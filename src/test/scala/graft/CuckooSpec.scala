@@ -1,0 +1,233 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Goldens from /root/reference/tests/cuckoo_test.py / countingcuckoo_test.py. */
+class CuckooSpec extends AnyFunSuite {
+  import TestUtil._
+
+  test("export md5 golden: default filter + str(0..999) (cuckoo_test.py:248-257)") {
+    val c = CuckooFilter()
+    (0 until 1000).foreach(i => c.add(i.toString))
+    assert(md5hex(c.toBytes) == "1371760d4ee9ccbe83e0144919750140")
+  }
+
+  test("error-rate sizing: eps=1e-5, b=4 -> 20 fingerprint bits (cuckoo.py:518-524)") {
+    val c = CuckooFilter.withErrorRate(1e-5)
+    assert(c.fingerprintSizeBits == 20)
+  }
+
+  test("export md5 golden: eps=1e-5 + str(0..999)") {
+    val c = CuckooFilter.withErrorRate(1e-5)
+    (0 until 1000).foreach(i => c.add(i.toString))
+    assert(md5hex(c.toBytes) == "3c693508d1a3acd819310fd0c11dc906")
+  }
+
+  test("membership + dedup + remove") {
+    val c = CuckooFilter(capacity = 1000)
+    (0 until 100).foreach(i => c.add(s"k$i"))
+    (0 until 100).foreach(i => assert(c.check(s"k$i")))
+    val before = c.elementsAdded
+    c.add("k0") // dedup: no-op
+    assert(c.elementsAdded == before)
+    assert(c.remove("k0"))
+    assert(!c.check("k0"))
+    assert(!c.remove("absent"))
+  }
+
+  test("auto-expand under load (cuckoo_test.py:316-333)") {
+    val c = CuckooFilter(capacity = 100, bucketSize = 2, maxSwaps = 10)
+    (0 until 375).foreach(i => c.add(i.toString))
+    assert(c.capacity >= 200)
+    (0 until 375).foreach(i => assert(c.check(i.toString)))
+  }
+
+  test("full error without auto-expand (cuckoo_test.py:177-186)") {
+    val c = CuckooFilter(capacity = 10, bucketSize = 2, maxSwaps = 5, autoExpand = false)
+    assertThrows[CuckooFilterFullException] {
+      (0 until 100).foreach(i => c.add(i.toString))
+    }
+  }
+
+  test("bytes round trip") {
+    val c = CuckooFilter()
+    (0 until 500).foreach(i => c.add(i.toString))
+    val c2 = CuckooFilter.fromBytes(c.toBytes)
+    assert(c2.toBytes.toSeq == c.toBytes.toSeq)
+    assert(c2.capacity == c.capacity && c2.elementsAdded == c.elementsAdded)
+    (0 until 500).foreach(i => assert(c2.check(i.toString)))
+  }
+
+  test("merge extension unions fingerprint sets") {
+    val a = CuckooFilter(capacity = 2000)
+    val b = CuckooFilter(capacity = 2000)
+    (0 until 300).foreach(i => a.add(s"a$i"))
+    (0 until 300).foreach(i => b.add(s"b$i"))
+    a.mergeFrom(b)
+    (0 until 300).foreach { i => assert(a.check(s"a$i")); assert(a.check(s"b$i")) }
+  }
+}
+
+class CountingCuckooSpec extends AnyFunSuite {
+  import TestUtil._
+
+  test("export md5 golden: (1000,2,no-expand) + str(0..99) (countingcuckoo_test.py:199-218)") {
+    val c = CountingCuckooFilter(capacity = 1000, bucketSize = 2, autoExpand = false)
+    (0 until 100).foreach(i => c.add(i.toString))
+    assert(md5hex(c.toBytes) == "6a98c2df1ec9fbb4f75f8e6392696b9b")
+  }
+
+  test("counting semantics: repeated adds increment; remove decrements") {
+    val c = CountingCuckooFilter(capacity = 1000)
+    c.add("x"); c.add("x"); c.add("x")
+    assert(c.check("x") == 3)
+    assert(c.uniqueElements == 1)
+    assert(c.insertedElements == 3)
+    c.remove("x")
+    assert(c.check("x") == 2)
+    c.remove("x"); c.remove("x")
+    assert(c.check("x") == 0)
+    assert(c.uniqueElements == 0)
+  }
+
+  test("bytes round trip") {
+    val c = CountingCuckooFilter(capacity = 1000, bucketSize = 2, autoExpand = false)
+    (0 until 100).foreach { i => c.add(i.toString); if (i % 3 == 0) c.add(i.toString) }
+    val c2 = CountingCuckooFilter.fromBytes(c.toBytes)
+    assert(c2.toBytes.toSeq == c.toBytes.toSeq)
+    assert(c2.check("0") == c.check("0"))
+  }
+
+  test("merge extension adds counts") {
+    val a = CountingCuckooFilter(capacity = 2000)
+    val b = CountingCuckooFilter(capacity = 2000)
+    (0 until 50).foreach { _ => a.add("k"); b.add("k"); b.add("only-b") }
+    a.mergeFrom(b)
+    assert(a.check("k") == 100)
+    assert(a.check("only-b") == 50)
+  }
+}
+
+class QuotientFilterSpec extends AnyFunSuite {
+  test("param derivation: q=20 -> r=12, 1048576 slots (quotientfilter_test.py:25-55)") {
+    val qf = QuotientFilter(20)
+    assert(qf.q == 20 && qf.r == 12 && qf.size == 1048576 && qf.bitsPerElm == 16)
+    val qf8 = QuotientFilter(8)
+    assert(qf8.r == 24 && qf8.bitsPerElm == 32)
+    val qf24 = QuotientFilter(24)
+    assert(qf24.r == 8 && qf24.bitsPerElm == 8)
+    assertThrows[QuotientFilterException](QuotientFilter(2))
+    assertThrows[QuotientFilterException](QuotientFilter(32))
+  }
+
+  test("add / check / dedup") {
+    val qf = QuotientFilter(7, autoExpand = false)
+    val alpha = "abcd.efghij;klm-nopqrs=tuvwxyz".toSeq.map(_.toString)
+    alpha.foreach(qf.add)
+    alpha.foreach(a => assert(qf.check(a), s"missing $a"))
+    val n = qf.elementsAdded
+    alpha.foreach(qf.add) // dedup
+    assert(qf.elementsAdded == n)
+    assert(!qf.check("~"))
+  }
+
+  test("remove preserves all other members across every cluster shape (quotientfilter_test.py:367-388)") {
+    val alpha0 = "abcd.efghij;klm-nopqrs=tuvwxyz".toSeq.map(_.toString)
+    var alpha = alpha0.toList
+    val qf = QuotientFilter(7)
+    alpha.foreach(qf.add)
+    while (alpha.nonEmpty) {
+      val v = alpha.head
+      alpha = alpha.tail
+      qf.remove(v)
+      alpha.foreach(a => assert(qf.check(a), s"lost $a after removing $v"))
+    }
+  }
+
+  test("randomized differential remove vs naive set") {
+    val rnd = new scala.util.Random(7)
+    val qf = QuotientFilter(10, autoExpand = false)
+    var set = Set.empty[String]
+    (0 until 400).foreach { i =>
+      val k = s"key-${rnd.nextInt(300)}"
+      if (rnd.nextBoolean() || set.isEmpty) {
+        if (set.size < 800) { qf.add(k); set += k }
+      } else {
+        qf.remove(k); set -= k
+      }
+    }
+    set.foreach(k => assert(qf.check(k), s"false negative for $k"))
+  }
+
+  test("hashes() losslessly enumerates; merge {0..199} U {300..499} (quotientfilter_test.py:197-216)") {
+    val a = QuotientFilter(10)
+    val b = QuotientFilter(10)
+    (0 until 200).foreach(i => a.add(i.toString))
+    (300 until 500).foreach(i => b.add(i.toString))
+    a.merge(b)
+    assert(a.elementsAdded == 400)
+    (0 until 200).foreach(i => assert(a.check(i.toString)))
+    (300 until 500).foreach(i => assert(a.check(i.toString)))
+  }
+
+  test("resize keeps membership (quotientfilter_test.py:115-184)") {
+    val qf = QuotientFilter(8, autoExpand = true)
+    (0 until 230).foreach(i => qf.add(i.toString)) // forces auto-resize past 0.85*256
+    assert(qf.q > 8)
+    (0 until 230).foreach(i => assert(qf.check(i.toString)))
+    qf.resize(qf.q + 1)
+    (0 until 230).foreach(i => assert(qf.check(i.toString)))
+  }
+
+  test("bytes round trip via hash enumeration") {
+    val qf = QuotientFilter(9)
+    (0 until 150).foreach(i => qf.add(s"v$i"))
+    val qf2 = QuotientFilter.fromBytes(qf.toBytes)
+    assert(qf2.toBytes.toSeq == qf.toBytes.toSeq)
+    (0 until 150).foreach(i => assert(qf2.check(s"v$i")))
+  }
+}
+
+class ExpandingBloomSpec extends AnyFunSuite {
+  import TestUtil._
+
+  test("empty export md5 golden (expandingbloom_test.py:99-109)") {
+    val e = ExpandingBloomFilter(25, 0.05)
+    assert(md5hex(e.toBytes) == "eb5769ae9babdf7b37d6ce64d58812bc")
+  }
+
+  test("105 adds -> 3 expansions; byte round trip (expandingbloom_test.py:111-126)") {
+    val e = ExpandingBloomFilter(25, 0.05)
+    (0 until 105).foreach(i => e.add(i.toString))
+    assert(e.expansions == 3)
+    assert(e.elementsAdded == 105)
+    val e2 = ExpandingBloomFilter.fromBytes(e.toBytes)
+    assert(e2.expansions == 3)
+    assert(e2.fpr.toDouble == 0.05000000074505806)
+    assert(e2.estElements == 25)
+    assert(e2.elementsAdded == 105)
+    assert(e2.toBytes.toSeq == e.toBytes.toSeq)
+    (0 until 105).foreach(i => assert(e2.check(i.toString)))
+  }
+
+  test("rotating: oldest filter rolls off (expandingbloom_test.py:168-200)") {
+    val r = RotatingBloomFilter(10, 0.05, maxQueueSize = 3)
+    (0 until 10).foreach(i => r.add(s"a$i"))
+    (0 until 10).foreach(i => r.add(s"b$i"))
+    (0 until 10).foreach(i => r.add(s"c$i"))
+    assert(r.currentQueueSize == 3)
+    (0 until 10).foreach(i => assert(r.check(s"a$i")))
+    // next insert rotates the "a" bloom off
+    (0 until 10).foreach(i => r.add(s"d$i"))
+    assert(r.currentQueueSize == 3)
+    assert((0 until 10).count(i => r.check(s"a$i")) < 10)
+    (0 until 10).foreach(i => assert(r.check(s"d$i")))
+  }
+
+  test("rotating pop on size 1 raises (expandingbloom_test.py:332-341)") {
+    val r = RotatingBloomFilter(10, 0.05, maxQueueSize = 3)
+    assertThrows[RotatingBloomFilterException](r.pop())
+  }
+}
