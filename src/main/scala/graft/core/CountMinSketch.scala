@@ -110,27 +110,33 @@ final class CountMinSketch private (
     if (((a ^ b) & (a ^ s)) < 0) { if (a > 0) Long.MaxValue else Long.MinValue } else s
   }
 
-  /** Dispatch on query type over the (unsorted) cell values; sorts first, as
-    * the reference does (countminsketch.py:288, 321, 340). */
-  private def query(vals: Array[Long]): Long = {
-    val sorted = vals.clone()
-    java.util.Arrays.sort(sorted)
-    queryType match {
-      case CmsQueryType.Min => sorted(0)
-      case CmsQueryType.Mean => Math.floorDiv(sorted.sum, depth.toLong)
-      case CmsQueryType.MeanMin =>
-        if (sorted(0) == 0 && sorted(sorted.length - 1) == 0) 0L
-        else {
-          val meanmin = sorted.map { v =>
-            val diff = elementsAdded - v
-            v - Math.floorDiv(diff, (width - 1).toLong)
-          }
-          java.util.Arrays.sort(meanmin)
-          if (depth % 2 == 0)
-            Math.floorDiv(meanmin(depth / 2) + meanmin(depth / 2 - 1), 2L)
-          else meanmin(depth / 2)
+  /** Dispatch on query type over the cell values. Min and Mean don't need the
+    * reference's sort (countminsketch.py:288) — min/sum are order-free — so
+    * the hot path is allocation-free; MeanMin keeps the exact sorted-median
+    * floor-div semantics. */
+  private def query(vals: Array[Long]): Long = queryType match {
+    case CmsQueryType.Min =>
+      var m = vals(0); var i = 1
+      while (i < vals.length) { if (vals(i) < m) m = vals(i); i += 1 }
+      m
+    case CmsQueryType.Mean =>
+      var s = 0L; var i = 0
+      while (i < vals.length) { s += vals(i); i += 1 }
+      Math.floorDiv(s, depth.toLong)
+    case CmsQueryType.MeanMin =>
+      val sorted = vals.clone()
+      java.util.Arrays.sort(sorted)
+      if (sorted(0) == 0 && sorted(sorted.length - 1) == 0) 0L
+      else {
+        val meanmin = sorted.map { v =>
+          val diff = elementsAdded - v
+          v - Math.floorDiv(diff, (width - 1).toLong)
         }
-    }
+        java.util.Arrays.sort(meanmin)
+        if (depth % 2 == 0)
+          Math.floorDiv(meanmin(depth / 2) + meanmin(depth / 2 - 1), 2L)
+        else meanmin(depth / 2)
+      }
   }
 
   def clear(): Unit = { java.util.Arrays.fill(bins, 0); elementsAdded = 0 }

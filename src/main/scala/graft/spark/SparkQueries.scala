@@ -1,0 +1,289 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.spark.aggs._
+import graft.spark.ann.Ann
+import graft.spark.dedup.Dedup
+import graft.spark.fns.SketchFunctions
+import graft.spark.text.TextFunctions
+
+/** The engine's query surface: each method is one operator pipeline from
+  * SURVEY.md §2 re-expressed Spark-first. SparkEntry exposes these to the
+  * driver's Verify/Bench harness.
+  *
+  * Conventions:
+  *  - only `doc`/`lineitem`/... columns actually used are selected, so
+  *    column pruning reaches the parquet scan;
+  *  - sketch builds are single hash-aggregates (partial per partition,
+  *    merge at the exchange) — the aggregator IS the distributed algorithm;
+  *  - membership queries use sketch-probe → exact-verify, so their output is
+  *    deterministic and oracle-checkable while still exercising the sketch
+  *    end to end (a lost true member would break the oracle match).
+  */
+object SparkQueries {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- exact-oracle queries ----------
+
+  /** Per-lang doc counts + char volume (baseline scan/agg shape). */
+  def docsStats(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Exact dedup by content digest — the hash-groupBy dedup operator. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), md5(col("text")).as("digest"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("digest")).as("n_distinct_texts"))
+
+  /** Token counting over the documents table (pure built-in expressions). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("toks")).as("total_tokens"), max(col("toks")).as("max_tokens"),
+        count(lit(1)).as("n_docs"))
+
+  /** Quality scoring: integer-metric heuristic, count survivors per lang. */
+  def qualityStats(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), TextFunctions.isQuality(col("text")).as("q"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"), count(lit(1)).as("n_docs"))
+
+  /** Document fingerprinting, md5 mode (content-hash fingerprint). */
+  def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))
+
+  /** Exact per-lang top-3 sources — the two-phase top-k the HH sketch
+    * approximates, with deterministic tiebreak. */
+  def heavyDomainsExact(spark: SparkSession, dir: String): DataFrame = {
+    val counts = tbl(spark, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_docs").desc, col("source"))
+    counts.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 3)
+  }
+
+  /** Event-time windowed aggregation (the RotatingBloom/window analogue). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+
+  /** TPC-H Q1-shaped pricing summary restricted to exact-integer measures. */
+  def lineitemPricing(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** Bloom-pruned exact semi-join: build a Bloom over BUILDING customers,
+    * pre-filter orders map-side with the probe, then exact semi-join to
+    * remove false positives. Output == plain semi-join, but at scale the
+    * probe prunes the shuffle input (Spark's own InjectRuntimeFilter pattern,
+    * with our reference-format Bloom). */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = tbl(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloomBytes = custKeys
+      .agg(SketchUdafs.bloom(200000, 0.01)(col("c_custkey").cast("string")).as("blm"))
+      .head().getAs[Array[Byte]]("blm")
+    val probe = SketchFunctions.bloomContains(bloomBytes)
+    tbl(spark, dir, "orders")
+      .filter(probe(col("o_custkey").cast("string")))       // map-side bloom prune
+      .join(custKeys.hint("broadcast"), col("o_custkey") === col("c_custkey"), "left_semi") // exact
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Membership, Bloom: build over lang='en' doc ids, probe EVERY doc id
+    * map-side, exact-verify the positives. No false negatives ⇒ output is
+    * exactly the 'en' ids; a sketch bug breaks the oracle match. */
+  def bloomMembers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val bytes = docs.filter(col("lang") === "en")
+      .agg(SketchUdafs.bloom(100000, 0.001)(col("doc_id").cast("string")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val probe = SketchFunctions.bloomContains(bytes)
+    docs.filter(probe(col("doc_id").cast("string")) && col("lang") === "en")
+      .select(col("doc_id"))
+  }
+
+  /** Membership, Cuckoo filter (distributed build via fingerprint-reinsert merge). */
+  def cuckooMembers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val bytes = docs.filter(col("lang") === "de")
+      .agg(SketchUdafs.cuckoo(100000, 4, 32)(col("doc_id").cast("string")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val probe = SketchFunctions.cuckooContains(bytes, 32)
+    docs.filter(probe(col("doc_id").cast("string")) && col("lang") === "de")
+      .select(col("doc_id"))
+  }
+
+  /** Membership, quotient filter (hashes()-based merge). */
+  def qfMembers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val bytes = docs.filter(col("lang") === "fr")
+      .agg(SketchUdafs.quotientFilter(18)(col("doc_id").cast("string")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val probe = SketchFunctions.qfContains(bytes)
+    docs.filter(probe(col("doc_id").cast("string")) && col("lang") === "fr")
+      .select(col("doc_id"))
+  }
+
+  // ---------- sketch queries (approximate — rows-only driver check; error
+  // bounds are asserted in SparkAggSpec against exact answers) ----------
+
+  /** HLL distinct doc texts per lang + Bloom-estimate cross-check. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), col("text"))
+      .groupBy(col("lang"))
+      .agg(
+        SketchUdafs.hllCount(14)(col("text")).as("hll_distinct_texts"),
+        SketchFunctions.bfEstimate(
+          SketchUdafs.bloom(100000, 0.01)(col("text"))).as("bloom_estimate"))
+
+  /** CMS-backed heavy hitters per lang: top sources with estimated counts. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(SketchUdafs.heavyHitters(3, 2048, 5)(col("source"), lit(1L)).as("hh"))
+      .select(col("lang"), explode(col("hh")).as(Seq("source", "est_count")))
+
+  /** KLL text-length quantiles per lang. */
+  def kllQuantiles(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(SketchUdafs.kll(200)(col("n_chars").cast("double")).as("kll"))
+      .select(col("lang"),
+        SketchFunctions.kllQuantiles(col("kll"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("p50_p90_p99"))
+      .select(col("lang"),
+        element_at(col("p50_p90_p99"), 1).as("p50"),
+        element_at(col("p50_p90_p99"), 2).as("p90"),
+        element_at(col("p50_p90_p99"), 3).as("p99"))
+
+  /** t-digest value quantiles per event type. */
+  def tdigestQuantiles(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(SketchUdafs.tdigest(100.0)(col("value")).as("td"))
+      .select(col("event_type"),
+        SketchFunctions.tdigestQuantiles(col("td"),
+          array(lit(0.5), lit(0.95), lit(0.99))).as("qs"))
+      .select(col("event_type"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p95"),
+        element_at(col("qs"), 3).as("p99"))
+
+  /** Counting-bloom point counts: estimated event count per user bucket
+    * (always >= true count; bound asserted in tests). */
+  def cbfCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(concat(lit("u"), (col("user_id") % 500).cast("string")).as("bucket"))
+    val bytes = ev.agg(SketchUdafs.cbf(2000, 0.01)(col("bucket"), lit(1L)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val probeFn = SketchFunctions.cbfCount(bytes)
+    ev.groupBy(col("bucket")).agg(count(lit(1)).as("true_count"))
+      .withColumn("cbf_count", probeFn(col("bucket")))
+      .select(col("bucket"), col("true_count"), col("cbf_count"))
+  }
+
+  /** Stream-threshold: users with >= threshold events (sketch-tracked). */
+  def streamThreshold(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .select(col("user_id").cast("string").as("user"))
+      .agg(SketchUdafs.streamThreshold(30, 4096, 5)(col("user"), lit(1L)).as("st"))
+      .select(explode(col("st")).as(Seq("user", "est_events")))
+
+  /** Expanding-bloom build stats per lang (size/expansion telemetry). */
+  def ebfStats(spark: SparkSession, dir: String): DataFrame = {
+    val ebfBytes = tbl(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(SketchUdafs.ebf(64, 0.01)(col("doc_id").cast("string")).as("e"))
+    val expansions = udf((b: Array[Byte]) =>
+      graft.core.ExpandingBloomFilter.fromBytes(b).expansions)
+    val added = udf((b: Array[Byte]) =>
+      graft.core.ExpandingBloomFilter.fromBytes(b).elementsAdded)
+    ebfBytes.select(col("lang"), expansions(col("e")).as("expansions"),
+      added(col("e")).as("els_added"), length(col("e")).as("export_bytes"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs over documents (exact-Jaccard verified). */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+
+  /** SimHash near-duplicate pairs (hamming <= 3 over 64-bit signatures). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    Ann.bruteForceTopK(emb.select(col("vec_id"), col("embedding")), queries, 5)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+  }
+
+  /** LSH ANN recall vs the exact baseline (per query). */
+  def annLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = Ann.lshTopK(corpus, queries, 5, dim = 64, tables = 8, bitsPerTable = 10)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    exact.join(approx, exact("query_id") === col("aq") && exact("vec_id") === col("av"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(when(col("av").isNotNull, 1).otherwise(0)) / count(lit(1))).as("recall_at_5"))
+  }
+
+  /** Heuristic language ID vs the labeled lang column: per-lang accuracy. */
+  def langIdAccuracy(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+
+  /** Rolling-hash fingerprints (fnv mode) + per-lang distinct fingerprints. */
+  def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.fingerprint64(col("text"), lit(8)).as("fp"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("fp")).as("n_distinct_fp"), count(lit(1)).as("n_docs"))
+
+  /** Flagship: one pass over a deterministic synthetic pages table building
+    * the full sketch battery per lang — the north-star query shape
+    * (distinct urls, heavy domains, text-length quantiles, membership). */
+  def pagesSketchBattery(spark: SparkSession, nPages: Long): DataFrame = {
+    val pages = graft.spark.io.PagesGen.pages(spark, nPages)
+    val domain = regexp_extract(col("url"), "https://([^/]+)/", 1)
+    pages
+      .select(col("lang"), col("url"), domain.as("domain"),
+        length(col("text")).cast("double").as("text_len"))
+      .groupBy(col("lang"))
+      .agg(
+        SketchUdafs.hllCount(14)(col("url")).as("distinct_urls_hll"),
+        SketchFunctions.bfEstimate(
+          SketchUdafs.bloom(2000000, 0.01)(col("url"))).as("distinct_urls_bloom"),
+        SketchUdafs.heavyHitters(5, 4096, 5)(col("domain"), lit(1L)).as("top_domains"),
+        SketchFunctions.kllQuantiles(
+          SketchUdafs.kll(200)(col("text_len")),
+          array(lit(0.5), lit(0.95), lit(0.99))).as("len_quantiles"),
+        count(lit(1)).as("n_pages"))
+  }
+}

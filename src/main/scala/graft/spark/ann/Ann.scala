@@ -1,0 +1,95 @@
+package graft.spark.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
+import org.apache.spark.sql.functions._
+
+import graft.core.SplitMix64
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * - [[cosine]] is a pure built-in expression (`zip_with` + `aggregate`),
+  *   whole-stage-codegen'd — no UDF in the O(n·k) hot path.
+  * - [[bruteForceTopK]] is the exact baseline: broadcast the (small) query
+  *   set, score every corpus row map-side, take per-query top-k with a
+  *   window — one shuffle keyed by query id.
+  * - [[lshTopK]] is the scale path: random-hyperplane LSH (Charikar 2002)
+  *   with deterministic splitmix64 planes; candidates = rows sharing a
+  *   bucket in any table, then exact re-score. At 10^12 rows the bucket join
+  *   replaces the full scan per query.
+  */
+object Ann extends Serializable {
+
+  /** Cosine similarity between two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors for each query row.
+    * queries: (query_id, q_embedding), corpus: (vec_id, embedding). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", cosine(col("embedding"), col("q_embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic random-hyperplane signature: bit i = sign(dot(v, plane_i)),
+    * planes drawn from splitmix64(seed, i, dim). */
+  def hyperplaneSig(numBits: Int, dim: Int, seed: Long = 42L): UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      var sig = 0L
+      var b = 0
+      while (b < numBits) {
+        val rng = new SplitMix64(seed + b * 1315423911L)
+        var dot = 0.0
+        var i = 0
+        while (i < math.min(dim, v.length)) {
+          // uniform in [-1,1) from the top 53 bits
+          val plane = (rng.nextLong() >>> 11) * (1.0 / (1L << 52)) - 1.0
+          dot += v(i) * plane
+          i += 1
+        }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    })
+
+  /** LSH-bucketed ANN: candidates share at least one of `tables` bucket
+    * hashes (each bucket = `bitsPerTable` hyperplane bits), re-scored exactly.
+    * Recall < 1 by construction; the exact [[bruteForceTopK]] is the oracle. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              tables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
+    val sigFns = (0 until tables).map(t => hyperplaneSig(bitsPerTable, dim, seed = 1000L + t))
+    def withBuckets(df: DataFrame, embCol: String, prefix: String): DataFrame = {
+      val withSigs = sigFns.zipWithIndex.foldLeft(df) { case (d, (fn, t)) =>
+        d.withColumn(s"b$t", fn(col(embCol)))
+      }
+      withSigs.withColumn(s"${prefix}_bucket",
+        explode(array((0 until tables).map(t => struct(lit(t).as("t"), col(s"b$t").as("h"))): _*)))
+        .drop((0 until tables).map(t => s"b$t"): _*)
+    }
+    val cb = withBuckets(corpus, "embedding", "c")
+      .select(col("vec_id"), col("embedding"), col("c_bucket").as("bucket"))
+    val qb = withBuckets(queries, "q_embedding", "q")
+      .select(col("query_id"), col("q_embedding"), col("q_bucket").as("bucket"))
+    val cands = cb.join(broadcast(qb), "bucket")
+      .select(col("query_id"), col("q_embedding"), col("vec_id"), col("embedding"))
+      .distinct()
+      .withColumn("sim", cosine(col("embedding"), col("q_embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.spark.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hash.Fnv
+
+/** Multimodal-column plumbing: images/audio/video ride as opaque `BINARY`
+  * columns with typed metadata, processed batch-wise with the schemas,
+  * partitioning and UDF signatures a real decoder would use.
+  *
+  * The actual media codecs are NOT in this container, so the decode kernels
+  * are DETERMINISTIC STUBS (clearly marked below): they parse the payload's
+  * bytes into fake-but-stable metadata/features. Everything around them —
+  * binary column handling, struct metadata schema, batched feature
+  * extraction, frame sampling shape, size-aware repartitioning — is real and
+  * tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  // ==== STUB KERNELS — swap these for real codecs (e.g. javacv / a Pandas
+  // UDF over mapInPandas on a python cluster); signatures stay the same ====
+
+  /** STUB image decode: derives (width, height, channels, format) from the
+    * payload deterministically instead of parsing a real image header. */
+  val decodeImageMeta = udf((payload: Array[Byte]) => {
+    if (payload == null || payload.isEmpty) null
+    else {
+      val h = Fnv.fnv1a64(payload, 0)
+      val w = 64 + (Math.floorMod(h, 16L) * 64).toInt
+      val ht = 64 + (Math.floorMod(h >>> 8, 16L) * 64).toInt
+      (w, ht, 3, "rgb8-stub")
+    }
+  })
+
+  /** STUB feature extraction: a dim-d unit-norm embedding derived from the
+    * payload bytes via seeded hashing — stable, mergeable downstream with the
+    * real ANN operators ([[graft.spark.ann.Ann]]). */
+  def extractFeatures(dim: Int) = udf((payload: Array[Byte]) => {
+    if (payload == null) null
+    else {
+      val v = new Array[Float](dim)
+      var i = 0
+      var norm = 0.0
+      while (i < dim) {
+        val h = Fnv.fnv1a64(payload, i)
+        v(i) = ((h >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
+        norm += v(i) * v(i)
+        i += 1
+      }
+      val inv = (1.0 / math.sqrt(math.max(norm, 1e-12))).toFloat
+      v.map(_ * inv)
+    }
+  })
+
+  /** STUB frame sampling: treats the payload as `n` equal chunks ("frames")
+    * and returns every k-th chunk — the row-explosion shape of real video
+    * frame sampling. */
+  val sampleFrames = udf((payload: Array[Byte], frameSize: Int, everyK: Int) => {
+    if (payload == null || frameSize <= 0 || everyK <= 0) Array.empty[Array[Byte]]
+    else {
+      val frames = payload.grouped(frameSize).toArray
+      frames.indices.collect { case i if i % everyK == 0 => frames(i) }.toArray
+    }
+  })
+
+  // ==== real plumbing ====
+
+  /** Attach image metadata + features to a table with a binary column.
+    * Repartitions by payload size bucket first so that large blobs spread
+    * evenly (skew handling for fat binary columns). */
+  def enrichImages(df: DataFrame, payloadCol: String, dim: Int = 64,
+                   sizeBuckets: Int = 32): DataFrame = {
+    df.repartition(sizeBuckets, pmod(xxhash64(col(payloadCol)), lit(sizeBuckets)))
+      .withColumn("image_meta", decodeImageMeta(col(payloadCol))
+        .cast("struct<width:int,height:int,channels:int,format:string>"))
+      .withColumn("features", extractFeatures(dim)(col(payloadCol)))
+  }
+
+  /** Explode sampled frames to rows: (doc_id, frame_idx, frame BINARY). */
+  def explodeFrames(df: DataFrame, idCol: String, payloadCol: String,
+                    frameSize: Int, everyK: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        sampleFrames(col(payloadCol), lit(frameSize), lit(everyK))).as(Seq("frame_idx", "frame")))
+}

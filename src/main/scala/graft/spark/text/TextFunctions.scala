@@ -1,0 +1,121 @@
+package graft.spark.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.hash.Fnv
+
+/** Text-analysis operators for training-data pipelines.
+  *
+  * Wherever the semantics fit, these are pure built-in `Column` expressions
+  * (whole-stage-codegen'd, no UDF): token counting, punctuation/upper/digit
+  * ratios. Only genuinely non-relational logic (language ID, fingerprinting,
+  * shingling) uses Scala UDFs.
+  */
+object TextFunctions extends Serializable {
+
+  /** Whitespace token count; 0 for empty/blank strings. Mirrors the DuckDB
+    * oracle `CASE WHEN trim(text)='' THEN 0 ELSE
+    * len(regexp_split_to_array(trim(text),'\s+')) END`. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[!-/:-@\\[-`{-~]", ""))
+
+  def upperCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[A-Z]", ""))
+
+  def digitCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[0-9]", ""))
+
+  /** Quality heuristic used by the q_quality pipeline: integer metrics only so
+    * the DuckDB oracle can reproduce it bit-exactly. */
+  def isQuality(textCol: Column, minChars: Int = 20, maxChars: Int = 20000,
+                maxPunctPerMille: Int = 300): Column = {
+    val n = length(textCol)
+    (n >= minChars) && (n <= maxChars) &&
+      (punctCount(textCol) * 1000 <= n * maxPunctPerMille) &&
+      (tokenCount(textCol) >= 3)
+  }
+
+  // ---- language ID: stopword/script n-gram heuristic (UDF) ----
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "von", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "un", "pour", "dans", "que", "des", "du"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "una", "un", "para", "que", "de", "por"),
+    "pt" -> Set("o", "a", "os", "as", "e", "é", "uma", "um", "para", "que", "de", "não"),
+    "ru" -> Set("и", "в", "не", "на", "что", "это", "как", "по", "но", "из"),
+  )
+
+  /** Deterministic heuristic language ID: script detection for CJK/Cyrillic,
+    * stopword voting for Latin-script languages, "und" when undecidable. */
+  val langId: UserDefinedFunction = udf((text: String) => {
+    if (text == null || text.isEmpty) "und"
+    else {
+      var cjk = 0; var kana = 0; var cyr = 0; var total = 0
+      var i = 0
+      val n = math.min(text.length, 2000)
+      while (i < n) {
+        val cp = text.codePointAt(i)
+        if (!Character.isWhitespace(cp)) {
+          total += 1
+          if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+          else if ((cp >= 0x3040 && cp <= 0x30ff)) kana += 1
+          else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+        }
+        i += Character.charCount(cp)
+      }
+      if (total == 0) "und"
+      else if (kana * 10 >= total) "ja"
+      else if (cjk * 10 * 3 >= total) "zh"
+      else if (cyr * 10 * 3 >= total) "ru"
+      else {
+        val toks = text.toLowerCase.split("\\s+").take(400)
+        var best = "und"; var bestScore = 0
+        stopwords.foreach { case (lang, words) =>
+          val score = toks.count(words.contains)
+          if (score > bestScore) { bestScore = score; best = lang }
+        }
+        if (bestScore == 0) "en" else best // latin-script default
+      }
+    }
+  })
+
+  // ---- fingerprinting ----
+
+  /** 64-bit rolling-window document fingerprint: fnv-1a over each
+    * `window`-token shingle, combined with min (a 1-hash minhash) — a compact
+    * content fingerprint robust to small edits at the edges. */
+  val fingerprint64: UserDefinedFunction = udf((text: String, window: Int) => {
+    if (text == null) 0L
+    else {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < window) Fnv.fnv1a64(toks.mkString(" "), 0)
+      else {
+        var minH = Long.MaxValue
+        var i = 0
+        while (i + window <= toks.length) {
+          val h = Fnv.fnv1a64(toks.slice(i, i + window).mkString(" "), 0)
+          // unsigned min, keeping fnv's u64 semantics
+          if (java.lang.Long.compareUnsigned(h, minH) < 0 || minH == Long.MaxValue) minH = h
+          i += 1
+        }
+        minH
+      }
+    }
+  })
+
+  /** Word n-gram shingles (distinct), the input unit for minhash/Jaccard. */
+  val shingles: UserDefinedFunction = udf((text: String, n: Int) => {
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Array(toks.mkString(" "))
+      else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct.toArray
+    }
+  })
+}
