@@ -95,9 +95,10 @@ object SparkQueries {
     val bloomBytes = custKeys
       .agg(SketchUdafs.bloom(200000, 0.01)(col("c_custkey").cast("string")).as("blm"))
       .head().getAs[Array[Byte]]("blm")
-    val probe = SketchFunctions.bloomContains(bloomBytes)
     tbl(spark, dir, "orders")
-      .filter(probe(col("o_custkey").cast("string")))       // map-side bloom prune
+      // map-side bloom prune — native codegen'd probe, stays in WholeStageCodegen
+      .filter(graft.spark.fns.SketchExpressions.bloomMightContainNative(
+        bloomBytes, col("o_custkey").cast("string")))
       .join(custKeys.hint("broadcast"), col("o_custkey") === col("c_custkey"), "left_semi") // exact
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
@@ -111,8 +112,8 @@ object SparkQueries {
     val bytes = docs.filter(col("lang") === "en")
       .agg(SketchUdafs.bloom(100000, 0.001)(col("doc_id").cast("string")).as("b"))
       .head().getAs[Array[Byte]]("b")
-    val probe = SketchFunctions.bloomContains(bytes)
-    docs.filter(probe(col("doc_id").cast("string")) && col("lang") === "en")
+    docs.filter(graft.spark.fns.SketchExpressions.bloomMightContainNative(
+        bytes, col("doc_id").cast("string")) && col("lang") === "en")
       .select(col("doc_id"))
   }
 

@@ -1,0 +1,71 @@
+package graft.spark.fns
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.BloomFilter
+import graft.hash.Fnv
+
+/** Native Catalyst expressions for the hot per-row paths — codegen'd so they
+  * stay inside whole-stage codegen instead of breaking it with a ScalaUDF
+  * eval boundary (SURVEY.md §4.3: "a native Catalyst Expression (with
+  * doGenCode) beats a Scala UDF").
+  */
+
+/** fnv-1a-64 over a string column with a fixed seed — the reference hash
+  * kernel (hashes.py:86-103) as a codegen'd scalar. */
+case class Fnv1a64Expr(child: Expression, seed: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    Fnv.fnv1a64(input.asInstanceOf[UTF8String].toString, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.hash.Fnv.fnv1a64($c.toString(), $seed)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "fnv1a64"
+}
+
+/** Membership probe against a FIXED Bloom filter (the deserialized filter
+  * rides the plan as a reference object — one instance per executor, shared
+  * by all codegen'd tasks). The Spark-native analogue of the reference's
+  * `check(key)` over an in-process structure, mirroring Spark's own
+  * `BloomFilterMightContain` but with the reference-compatible layout and
+  * fnv-1a hashing. */
+case class BloomMightContainExpr(child: Expression, filter: BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.check(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", filter, classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.check($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_might_contain"
+}
+
+object SketchExpressions {
+  /** Codegen'd fnv-1a-64 column. */
+  def fnv1a64Native(c: Column, seed: Int = 0): Column =
+    GraftColumnBridge.column(Fnv1a64Expr(GraftColumnBridge.expression(c), seed))
+
+  /** Codegen'd Bloom probe over serialized reference-format bytes. */
+  def bloomMightContainNative(bloomBytes: Array[Byte], key: Column): Column =
+    GraftColumnBridge.column(
+      BloomMightContainExpr(GraftColumnBridge.expression(key), BloomFilter.fromBytes(bloomBytes)))
+}

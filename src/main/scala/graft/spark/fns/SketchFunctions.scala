@@ -108,4 +108,40 @@ object SketchFunctions extends Serializable {
 
   val tdigestCdf: UserDefinedFunction =
     udf((b: Array[Byte], v: Double) => TDigest.fromBytes(b).cdf(v))
+
+  /** The quotient filter's lossless hash enumeration (quotientfilter.py:208-245)
+    * — the one generator/UDTF-shaped operator in the reference: sketch → rows.
+    * Use with explode(): `df.select(explode(qfHashes($"qf")))`. */
+  val qfHashes: UserDefinedFunction =
+    udf((b: Array[Byte]) => QuotientFilter.fromBytes(b).hashes().toArray)
+
+  /** Reference hash kernel as column functions (golden-vector parity with
+    * hashes.py; see HashesSpec). */
+  val fnv1a64: UserDefinedFunction =
+    udf((s: String, seed: Int) => graft.hash.Fnv.fnv1a64(s, seed))
+
+  val fnv1a32: UserDefinedFunction =
+    udf((s: String, seed: Int) => graft.hash.Fnv.fnv1a32(s, seed) & 0xffffffffL)
+
+  val fnv1a64Depth: UserDefinedFunction =
+    udf((s: String, depth: Int) => graft.hash.Fnv1aHasher.hashes(s, depth))
+
+  /** Register the scalar sketch functions for SQL use. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("bf_estimate", bfEstimate)
+    spark.udf.register("bf_current_fpr", bfCurrentFpr)
+    spark.udf.register("bf_union", bfUnion)
+    spark.udf.register("bf_intersect", bfIntersect)
+    spark.udf.register("bf_jaccard", bfJaccard)
+    spark.udf.register("cms_join", cmsJoin)
+    spark.udf.register("hll_estimate", hllEstimate)
+    spark.udf.register("hll_merge", hllMerge)
+    spark.udf.register("kll_quantiles", kllQuantiles)
+    spark.udf.register("tdigest_quantiles", tdigestQuantiles)
+    spark.udf.register("tdigest_cdf", tdigestCdf)
+    spark.udf.register("qf_hashes", qfHashes)
+    spark.udf.register("fnv1a64", fnv1a64)
+    spark.udf.register("fnv1a32", fnv1a32)
+    spark.udf.register("fnv1a64_depth", fnv1a64Depth)
+  }
 }

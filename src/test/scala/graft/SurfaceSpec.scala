@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.aggs.SketchUdafs
+import graft.spark.fns.SketchFunctions
+
+/** The public surfaces: the driver's entry(), the SQL-registered functions,
+  * and the generator-shaped qf_hashes. */
+class SurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("entry() flagship returns per-lang sketch battery rows") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length == graft.spark.io.PagesGen.langs.length)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("distinct_urls_hll")) > 0)
+      assert(r.getLong(r.fieldIndex("n_pages")) > 0)
+      assert(r.getSeq[Double](r.fieldIndex("len_quantiles")).length == 3)
+    }
+  }
+
+  test("SQL surface: registered aggregates + scalar functions end to end") {
+    SketchUdafs.registerAll(spark)
+    SketchFunctions.registerAll(spark)
+    spark.range(0, 1000, 1, 4)
+      .select(concat(lit("u"), col("id") % 300).as("k"))
+      .createOrReplaceTempView("keys")
+    val row = spark.sql(
+      """SELECT hll_count(k) AS distinct_k,
+        |       bf_estimate(bloom_agg(k)) AS bloom_est,
+        |       fnv1a64('this is a test', 0) AS h
+        |FROM keys""".stripMargin).head()
+    assert(math.abs(row.getLong(0) - 300L) <= 5)
+    assert(math.abs(row.getLong(1) - 300L) <= 10)
+    assert(row.getLong(2) == java.lang.Long.parseUnsignedLong("4040040117721899264"))
+  }
+
+  test("qf_hashes generator: sketch -> rows, losslessly") {
+    val df = spark.range(0, 500, 1, 4).select(concat(lit("v"), col("id")).as("k"))
+    val qfBytes = df.agg(SketchUdafs.quotientFilter(14)(col("k"))).head().getAs[Array[Byte]](0)
+    val hashes = spark.createDataFrame(Seq(Tuple1(qfBytes))).toDF("qf")
+      .select(explode(SketchFunctions.qfHashes(col("qf"))).as("h"))
+    val got = hashes.collect().map(_.getLong(0)).toSet
+    val expected = (0 until 500).map(i => graft.hash.Fnv.fnv1a32(s"v$i", 0) & 0xffffffffL).toSet
+    assert(got == expected)
+  }
+
+  test("windowed stream threshold emits keys crossing the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val out = graft.spark.streaming.StreamingSketches.windowedThreshold(
+      mem.toDF().toDF("ts", "key"), "ts", "key", threshold = 20, windowDur = "1 hour")
+    val q = out.writeStream.format("memory").queryName("st_stream").outputMode("append").start()
+    try {
+      val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      def ts(min: Long) = java.sql.Timestamp.from(t0.plusSeconds(min * 60))
+      // "hot" appears 30x in the first hour, "cold" 5x
+      mem.addData((0 until 30).map(i => (ts(i % 50), "hot")) ++ (0 until 5).map(i => (ts(i), "cold")): _*)
+      mem.addData((ts(300), "late")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, est_count FROM st_stream").collect()
+      val keys = rows.map(_.getString(0)).toSet
+      assert(keys.contains("hot") && !keys.contains("cold"))
+    } finally q.stop()
+  }
+}
+
+/** Native Catalyst expressions: correctness + they stay inside whole-stage
+  * codegen (no ScalaUDF eval boundary). */
+class NativeExprSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import graft.spark.fns.SketchExpressions._
+
+  test("fnv1a64Native matches the kernel and rides WholeStageCodegen") {
+    val df = spark.range(0, 100, 1, 2)
+      .select(concat(lit("key-"), col("id")).as("k"))
+      .select(col("k"), fnv1a64Native(col("k")).as("h"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == graft.hash.Fnv.fnv1a64(r.getString(0), 0))
+    }
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("bloomMightContainNative probes correctly inside codegen") {
+    val blm = graft.core.BloomFilter.empty(10000, 0.001)
+    (0 until 1000).foreach(i => blm.add(s"u$i"))
+    val df = spark.range(0, 3000, 1, 4)
+      .select(concat(lit("u"), col("id")).as("k"))
+      .filter(bloomMightContainNative(blm.toBytes, col("k")))
+    val got = df.collect().map(_.getString(0)).toSet
+    (0 until 1000).foreach(i => assert(got.contains(s"u$i"), s"false negative u$i"))
+    // FPs possible but bounded: p=0.001 on 2000 absent probes
+    assert(got.size <= 1010)
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Filter"),
+      df.queryExecution.executedPlan.toString)
+  }
+}
