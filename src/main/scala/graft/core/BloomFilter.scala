@@ -186,6 +186,25 @@ final class BloomFilter private (
     Codec.hex(bloom) + Codec.hex(footer.array())
   }
 
+  /** C-header export (bloom.py:306-322): the full hex image as a C byte
+    * array plus the sizing constants — dev-tool parity with the reference. */
+  def toCHeader: String = {
+    val bytes = Codec.unhex(toHex)
+    val body = bytes.map(b => f"0x${b & 0xff}%02x").mkString(", ")
+      .grouped(80).map(l => "  " + l.trim).mkString("\n")
+    s"""/* BloomFilter Export of a standard BloomFilter */
+       |#include <inttypes.h>
+       |const uint64_t estimated_elements = $estElements;
+       |const uint64_t elements_added = $elsAdded;
+       |const float false_positive_rate = ${fpr.toDouble};
+       |const uint64_t number_bits = $numBits;
+       |const unsigned int number_hashes = $numHashes;
+       |const unsigned char bloom[] = {
+       |$body
+       |};
+       |""".stripMargin
+  }
+
   override def toString: String = {
     f"BloomFilter:%n" +
       f"\tbits: $numBits%n" +
