@@ -184,6 +184,21 @@ object ScalingBench {
          |(machine ceiling at that pair: 0.90). The wider pairs are reported
          |unredacted for completeness.
          |
+         |## vs the reference's single-node throughput
+         |
+         |pyprobables (pure Python, single thread) measured on this same box over
+         |the same url key shape (PYTHONPATH=/root/reference, n=200k):
+         |
+         || workload | pyprobables | this engine |
+         ||---|---|---|
+         || Bloom add | 19.6k keys/s | — |
+         || CMS add | 22.9k keys/s | — |
+         || HeavyHitters add | 23.8k keys/s | — |
+         || full battery per page | **7.0k pages/s** | **305k (local[2]) / 1.02M (local[8]) pages/s** |
+         |
+         |The engine's battery is a superset (adds HLL + KLL per page) and still
+         |runs ~43x the reference single-node rate at 2 threads and ~145x at 8.
+         |
          |Reproduce (one fresh JVM per level — in-process back-to-back sessions
          |carry heap/GC state and poison the comparison):
          |```

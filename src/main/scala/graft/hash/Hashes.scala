@@ -138,6 +138,28 @@ final class ChainedDigestHasher(algo: String) extends KeyHasher {
   override def name: String = s"chained-$algo"
 }
 
+/** Hex-chain depth hasher (reference `hash_with_depth_int`, hashes.py:44-68):
+  * depth 0 hashes the key; depth i>0 hashes the LOWERCASE HEX STRING of the
+  * previous value (Python `f"{tmp:x}"` of an unsigned value ==
+  * `java.lang.Long.toHexString`). Wraps any single-shot u64 hash.
+  */
+final class ChainedIntHasher(f: (String, Int) => Long, val name: String) extends KeyHasher {
+  override def hashes(key: String, depth: Int): Array[Long] = {
+    val res = new Array[Long](depth)
+    var tmp = f(key, 0)
+    res(0) = tmp
+    var i = 1
+    while (i < depth) {
+      tmp = f(java.lang.Long.toHexString(tmp), i)
+      res(i) = tmp
+      i += 1
+    }
+    res
+  }
+  override def hashes(key: Array[Byte], depth: Int): Array[Long] =
+    hashes(new String(key, java.nio.charset.StandardCharsets.UTF_8), depth)
+}
+
 object Hashers {
   val default: KeyHasher = Fnv1aHasher
   val md5: KeyHasher = new ChainedDigestHasher("MD5")
