@@ -32,6 +32,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(f: => Long): Double = {
+      f // warm-up: JIT + codegen + parquet footer caches
       val t0 = System.nanoTime()
       f
       (System.nanoTime() - t0) / 1e9
