@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The COUNT(DISTINCT) -> HLL optimizer rule, end to end through a session
+  * built with GraftExtensions. Needs its own session (extensions are
+  * install-time), so it uses a distinct appName/context carefully. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    // The SparkContext is shared JVM-wide across suites; clear the
+    // active/default session so getOrCreate builds a NEW SparkSession (with
+    // extensions) on the existing context, then restore the shared one.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.spark.plans.GraftExtensions)
+        .getOrCreate()
+      f(spark)
+    } finally {
+      prior.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
+    }
+  }
+
+  test("COUNT(DISTINCT string) rewrites to the HLL aggregate when enabled") {
+    withExtSession { spark =>
+      val df = spark.range(0, 20000, 1, 4)
+        .select(concat(lit("u"), col("id") % 5000).as("k"), (col("id") % 7).as("g"))
+      df.createOrReplaceTempView("t_ext")
+
+      spark.conf.set("spark.graft.hll.rewriteCountDistinct", "false")
+      val exact = spark.sql("SELECT g, COUNT(DISTINCT k) AS d FROM t_ext GROUP BY g")
+      assert(!exact.queryExecution.optimizedPlan.toString.contains("graft_hll_count"))
+      val exactRes = exact.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      spark.conf.set("spark.graft.hll.rewriteCountDistinct", "true")
+      try {
+        val approx = spark.sql("SELECT g, COUNT(DISTINCT k) AS d FROM t_ext GROUP BY g")
+        val plan = approx.queryExecution.optimizedPlan.toString
+        assert(plan.contains("graft_hll_count"), plan)
+        // the rewritten plan has no Expand/double-exchange distinct machinery
+        assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+        val approxRes = approx.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(approxRes.keySet == exactRes.keySet)
+        approxRes.foreach { case (g, est) =>
+          val ex = exactRes(g)
+          assert(math.abs(est - ex).toDouble / ex < 0.05, s"g=$g est=$est exact=$ex")
+        }
+      } finally spark.conf.set("spark.graft.hll.rewriteCountDistinct", "false")
+    }
+  }
+}
