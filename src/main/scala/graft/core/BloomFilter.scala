@@ -17,15 +17,15 @@ object BloomMath {
   final case class Params(fpr: Float, numHashes: Int, numBits: Long)
 
   def optimizedParams(estElements: Long, falsePositiveRate: Double): Params = {
-    require(estElements > 0, "Bloom: estimated elements must be greater than 0")
-    require(
-      falsePositiveRate >= 0.0 && falsePositiveRate < 1.0,
-      "Bloom: false positive rate must be between 0.0 and 1.0"
-    )
+    if (estElements <= 0)
+      throw new InitializationError("Bloom: estimated elements must be greater than 0")
+    if (falsePositiveRate < 0.0 || falsePositiveRate >= 1.0)
+      throw new InitializationError("Bloom: false positive rate must be between 0.0 and 1.0")
     val f32 = falsePositiveRate.toFloat // C-float round-trip (bloom.py:474-475)
     val m = math.ceil((-estElements.toDouble * math.log(f32.toDouble)) / 0.4804530139182).toLong
     val k = math.round(0.6931471805599453 * m / estElements).toInt
-    require(k != 0, "Bloom: Number hashes is zero; unusable parameters provided")
+    if (k == 0)
+      throw new InitializationError("Bloom: Number hashes is zero; unusable parameters provided")
     Params(f32, k, m)
   }
 
@@ -117,7 +117,7 @@ final class BloomFilter private (
   private def requireSimilar(second: BloomFilter): Unit = {
     val ok = numHashes == second.numHashes && numBits == second.numBits &&
       hasher.name == second.hasher.name
-    if (!ok) throw new IllegalArgumentException("Bloom Filters are not similar")
+    if (!ok) throw new SimilarityError("Bloom Filters are not similar")
   }
 
   /** Bitwise OR; the result's elements_added is its own cardinality estimate

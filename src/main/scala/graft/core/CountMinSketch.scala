@@ -143,7 +143,7 @@ final class CountMinSketch private (
 
   private[core] def requireCompatible(second: CountMinSketch): Unit = {
     if (width != second.width || depth != second.depth || hasher.name != second.hasher.name)
-      throw new IllegalArgumentException(
+      throw new CountMinSketchError(
         "Unable to merge as the count-min sketches are mismatched")
   }
 
@@ -189,7 +189,8 @@ object CountMinSketch {
   def empty(width: Int, depth: Int,
             queryType: CmsQueryType = CmsQueryType.Min,
             hasher: KeyHasher = Fnv1aHasher): CountMinSketch = {
-    require(width > 0 && depth > 0, "CountMinSketch: width and depth must be greater than 0")
+    if (width <= 0 || depth <= 0)
+      throw new InitializationError("CountMinSketch: width and depth must be greater than 0")
     new CountMinSketch(width, depth, new Array[Int](width * depth), 0L, queryType, hasher)
   }
 
@@ -198,8 +199,8 @@ object CountMinSketch {
   def fromConfidence(confidence: Double, errorRate: Double,
                      queryType: CmsQueryType = CmsQueryType.Min,
                      hasher: KeyHasher = Fnv1aHasher): CountMinSketch = {
-    require(confidence > 0 && errorRate > 0,
-      "CountMinSketch: width and depth must be greater than 0")
+    if (confidence <= 0 || errorRate <= 0)
+      throw new InitializationError("CountMinSketch: width and depth must be greater than 0")
     val w = math.ceil(2.0 / errorRate).toInt
     val d = math.ceil((-1.0 * math.log(1.0 - confidence)) / 0.6931471805599453).toInt
     empty(w, d, queryType, hasher)

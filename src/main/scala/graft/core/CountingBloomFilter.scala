@@ -128,7 +128,7 @@ final class CountingBloomFilter private (
     val ok = numHashes == second.numHashes && numBits == second.numBits &&
       hasher.name == second.hasher.name
     if (!ok)
-      throw new IllegalArgumentException(
+      throw new SimilarityError(
         "Counting Bloom Filters are not similar enough to calculate similarity")
   }
 

@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import graft.hash.{BitUtil, Fnv}
 
-class CuckooFilterFullException(msg: String) extends RuntimeException(msg)
+class CuckooFilterFullException(msg: String) extends ProbablesBaseException(msg)
 
 /** Deterministic splitmix64 stream used for cuckoo kick randomness. The
   * reference uses Python's global `random` (cuckoo.py:373-377); its golden
@@ -54,8 +54,9 @@ final class CuckooFilter(
     val autoExpand: Boolean,
     var fingerprintSizeBits: Int
 ) extends Serializable {
-  require(capacity >= 1 && bucketSize >= 1 && maxSwaps >= 1,
-    "CuckooFilter: capacity, bucket_size, and max_swaps must be an integer greater than 0")
+  if (capacity < 1 || bucketSize < 1 || maxSwaps < 1)
+    throw new InitializationError(
+      "CuckooFilter: capacity, bucket_size, and max_swaps must be an integer greater than 0")
 
   var buckets: Array[ArrayBuffer[Int]] = Array.fill(capacity)(new ArrayBuffer[Int](bucketSize))
   var insertedElements: Int = 0

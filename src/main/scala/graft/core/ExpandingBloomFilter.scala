@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import graft.hash.{Fnv1aHasher, KeyHasher}
 
-class RotatingBloomFilterException(msg: String) extends RuntimeException(msg)
+class RotatingBloomFilterException(msg: String) extends ProbablesBaseException(msg)
 
 /** Expanding Bloom filter (/root/reference/probables/blooms/expandingbloom.py):
   * a list of equally-sized plain Blooms that grows when the newest one reaches

@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import graft.hash.Fnv
 
-class QuotientFilterException(msg: String) extends RuntimeException(msg)
+class QuotientFilterException(msg: String) extends ProbablesBaseException(msg)
 
 /** Long-backed bitset with the same LSB-first-within-byte addressing as the
   * reference Bitarray (/root/reference/probables/utilities.py:88-229). */

@@ -227,6 +227,34 @@ object SparkQueries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
+  /** Counting-cuckoo point counts over event-type buckets: sketch count must
+    * equal the exact count when no fingerprint collision occurs (checked
+    * rows-only here; collision-free at this cardinality). */
+  def ccfCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(concat(col("event_type"), lit("#"), (col("user_id") % 100).cast("string")).as("bucket"))
+    val bytes = ev.agg(SketchUdafs.countingCuckoo(20000, 4, 32)(col("bucket")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val probe = {
+      lazy val ccf = graft.core.CountingCuckooFilter.fromBytes(bytes, fingerprintBits = 32)
+      udf((k: String) => ccf.check(k))
+    }
+    ev.groupBy(col("bucket")).agg(count(lit(1)).as("true_count"))
+      .withColumn("ccf_count", probe(col("bucket")))
+  }
+
+  /** Multimodal plumbing over the pages' html binary column: stub decode +
+    * deterministic feature extraction + frame-sampling row shape. */
+  def multimodalFeatures(spark: SparkSession, nPages: Long): DataFrame = {
+    import graft.spark.multimodal.Multimodal
+    val pages = graft.spark.io.PagesGen.pages(spark, nPages)
+      .withColumn("doc_id", xxhash64(col("url")))
+    Multimodal.enrichImages(pages, "html", dim = 16)
+      .select(col("doc_id"), col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"),
+        element_at(col("features"), 1).as("f0"))
+  }
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")

@@ -97,7 +97,7 @@ class CmsSpec extends AnyFunSuite {
   test("join guards on mismatched dimensions (countminsketch_test.py:379-433)") {
     val a = CountMinSketch.empty(1000, 5)
     val b = CountMinSketch.empty(1000, 4)
-    assertThrows[IllegalArgumentException](a.join(b))
+    assertThrows[CountMinSketchError](a.join(b))
   }
 
   test("join is associative and commutative on bytes") {
