@@ -48,6 +48,7 @@ object SparkEntry {
     "q_lang_id" -> (SparkQueries.langIdAccuracy(_, _)),
     "q_fingerprint_rolling" -> (SparkQueries.fingerprintRolling(_, _)),
     "q_ccf_counts" -> (SparkQueries.ccfCounts(_, _)),
+    "q_salted_hll" -> (SparkQueries.saltedDistinctUsers(_, _)),
     "q_multimodal" -> ((s, _) => SparkQueries.multimodalFeatures(s, 2000L)),
     "q_pages_battery" -> ((s, _) => SparkQueries.pagesSketchBattery(s, 20000L)),
   )

@@ -227,6 +227,19 @@ object SparkQueries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
+  /** Explicit two-level salted aggregation (north-rule skew handling): HLL +
+    * Bloom per event_type built via groupBy(key, salt) then sketch-merge —
+    * result proven byte-equal to the direct aggregate in SaltedAggSpec. */
+  def saltedDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("user"))
+    graft.spark.aggs.SaltedAgg.hllBloomTwoLevel(ev, col("event_type"), col("user"),
+        saltBuckets = 16, hllP = 12, bloomEst = 100000, bloomFpr = 0.01)
+      .select(col("k").as("event_type"),
+        SketchFunctions.hllEstimate(col("hll")).as("distinct_users_hll"),
+        SketchFunctions.bfEstimate(col("bloom")).as("distinct_users_bloom"))
+  }
+
   /** Counting-cuckoo point counts over event-type buckets: sketch count must
     * equal the exact count when no fingerprint collision occurs (checked
     * rows-only here; collision-free at this cardinality). */

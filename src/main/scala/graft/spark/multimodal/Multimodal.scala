@@ -53,6 +53,25 @@ object Multimodal {
     }
   })
 
+  /** STUB resize: a real kernel would decode, scale to (w,h), re-encode; the
+    * stub produces a deterministic payload of the right target size
+    * (w*h*3 bytes, seeded from the source) so downstream size accounting and
+    * partitioning behave exactly as with a real resizer. */
+  val resizeImage = udf((payload: Array[Byte], w: Int, h: Int) => {
+    if (payload == null || w <= 0 || h <= 0) null
+    else {
+      val out = new Array[Byte]((w * h * 3).min(1 << 22))
+      var seed = Fnv.fnv1a64(payload, 0)
+      var i = 0
+      while (i < out.length) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        out(i) = (seed >>> 56).toByte
+        i += 1
+      }
+      out
+    }
+  })
+
   /** STUB frame sampling: treats the payload as `n` equal chunks ("frames")
     * and returns every k-th chunk — the row-explosion shape of real video
     * frame sampling. */
