@@ -272,12 +272,56 @@ final class HeavyHitters(val numHitters: Int, val cms: CountMinSketch) extends S
   }
 
   def clear(): Unit = { cms.clear(); topX.clear(); smallest = 0L }
+
+  /** Engine codec (extension — the reference HH has no export): CMS bytes +
+    * insertion-ordered candidate entries + smallest + numHitters. */
+  def toBytes: Array[Byte] = {
+    val cmsBytes = cms.toBytes
+    val entries = topX.toSeq
+    val keysBytes = entries.map(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val size = 4 + cmsBytes.length + 8 + 4 + 4 +
+      entries.zip(keysBytes).map { case (_, kb) => 4 + kb.length + 8 }.sum
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(cmsBytes.length)
+    bb.put(cmsBytes)
+    bb.putLong(smallestValue)
+    bb.putInt(numHitters)
+    bb.putInt(entries.size)
+    entries.zip(keysBytes).foreach { case ((_, v), kb) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(v)
+    }
+    bb.array()
+  }
+
+  def smallestValue: Long = smallest
+  private[core] def setSmallest(v: Long): Unit = smallest = v
 }
 
 object HeavyHitters {
   def empty(numHitters: Int, width: Int, depth: Int,
             hasher: KeyHasher = Fnv1aHasher): HeavyHitters =
     new HeavyHitters(numHitters, CountMinSketch.empty(width, depth, CmsQueryType.Min, hasher))
+
+  def fromBytes(b: Array[Byte], hasher: KeyHasher = Fnv1aHasher): HeavyHitters = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val cmsLen = bb.getInt
+    val cmsBytes = new Array[Byte](cmsLen)
+    bb.get(cmsBytes)
+    val smallest = bb.getLong
+    val numHitters = bb.getInt
+    val n = bb.getInt
+    val hh = new HeavyHitters(numHitters, CountMinSketch.fromBytes(cmsBytes, CmsQueryType.Min, hasher))
+    var i = 0
+    while (i < n) {
+      val kl = bb.getInt
+      val kb = new Array[Byte](kl)
+      bb.get(kb)
+      hh.topX.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    hh.setSmallest(smallest)
+    hh
+  }
 }
 
 /** Stream threshold on top of CMS (countminsketch.py:694-843): tracks every
@@ -313,10 +357,47 @@ final class StreamThreshold(val threshold: Long, val cms: CountMinSketch) extend
   }
 
   def clear(): Unit = { cms.clear(); meets.clear() }
+
+  /** Engine codec (extension): CMS bytes + threshold + tracked entries. */
+  def toBytes: Array[Byte] = {
+    val cmsBytes = cms.toBytes
+    val entries = meets.toSeq
+    val keysBytes = entries.map(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val size = 4 + cmsBytes.length + 8 + 4 +
+      entries.zip(keysBytes).map { case (_, kb) => 4 + kb.length + 8 }.sum
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(cmsBytes.length)
+    bb.put(cmsBytes)
+    bb.putLong(threshold)
+    bb.putInt(entries.size)
+    entries.zip(keysBytes).foreach { case ((_, v), kb) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(v)
+    }
+    bb.array()
+  }
 }
 
 object StreamThreshold {
   def empty(threshold: Long, width: Int, depth: Int,
             hasher: KeyHasher = Fnv1aHasher): StreamThreshold =
     new StreamThreshold(threshold, CountMinSketch.empty(width, depth, CmsQueryType.Min, hasher))
+
+  def fromBytes(b: Array[Byte], hasher: KeyHasher = Fnv1aHasher): StreamThreshold = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val cmsLen = bb.getInt
+    val cmsBytes = new Array[Byte](cmsLen)
+    bb.get(cmsBytes)
+    val threshold = bb.getLong
+    val n = bb.getInt
+    val st = new StreamThreshold(threshold, CountMinSketch.fromBytes(cmsBytes, CmsQueryType.Min, hasher))
+    var i = 0
+    while (i < n) {
+      val kl = bb.getInt
+      val kb = new Array[Byte](kl)
+      bb.get(kb)
+      st.meets.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    st
+  }
 }

@@ -21,19 +21,51 @@ import graft.hash.Fnv1aHasher
   * `finish` emits the reference-format bytes ([[graft.core]] codecs), so a
   * checkpointed sketch column is directly loadable by the reference library.
   */
+/** Buffer encoders that serialize aggregation state in the REFERENCE export
+  * format (BASELINE.json: "Catalyst-friendly binary state encoders") — so
+  * shuffle bytes == checkpoint bytes == reference-loadable exports. Built on
+  * Catalyst's TransformingEncoder over the BinaryEncoder. */
 object SketchEncoders {
-  implicit val bloomEnc: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
-  implicit val cbfEnc: Encoder[CountingBloomFilter] = Encoders.kryo[CountingBloomFilter]
-  implicit val cmsEnc: Encoder[CountMinSketch] = Encoders.kryo[CountMinSketch]
-  implicit val hhEnc: Encoder[HeavyHitters] = Encoders.kryo[HeavyHitters]
-  implicit val stEnc: Encoder[StreamThreshold] = Encoders.kryo[StreamThreshold]
-  implicit val cuckooEnc: Encoder[CuckooFilter] = Encoders.kryo[CuckooFilter]
-  implicit val ccfEnc: Encoder[CountingCuckooFilter] = Encoders.kryo[CountingCuckooFilter]
-  implicit val qfEnc: Encoder[QuotientFilter] = Encoders.kryo[QuotientFilter]
-  implicit val ebfEnc: Encoder[ExpandingBloomFilter] = Encoders.kryo[ExpandingBloomFilter]
-  implicit val hllEnc: Encoder[Hll] = Encoders.kryo[Hll]
-  implicit val kllEnc: Encoder[Kll] = Encoders.kryo[Kll]
-  implicit val tdEnc: Encoder[TDigest] = Encoders.kryo[TDigest]
+  import scala.reflect.ClassTag
+  import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, Codec, ExpressionEncoder}
+
+  def refEncoder[T](enc: T => Array[Byte], dec: Array[Byte] => T)(
+      implicit ct: ClassTag[T]): Encoder[T] =
+    ExpressionEncoder(
+      new AgnosticEncoders.TransformingEncoder[T, Array[Byte]](
+        ct,
+        AgnosticEncoders.BinaryEncoder,
+        () => new Codec[T, Array[Byte]] {
+          override def encode(t: T): Array[Byte] = enc(t)
+          override def decode(b: Array[Byte]): T = dec(b)
+        },
+        false))
+
+  implicit val bloomEnc: Encoder[BloomFilter] =
+    refEncoder[BloomFilter](_.toBytes, BloomFilter.fromBytes(_))
+  implicit val cbfEnc: Encoder[CountingBloomFilter] =
+    refEncoder[CountingBloomFilter](_.toBytes, CountingBloomFilter.fromBytes(_))
+  implicit val cmsEnc: Encoder[CountMinSketch] =
+    refEncoder[CountMinSketch](_.toBytes, CountMinSketch.fromBytes(_))
+  implicit val hhEnc: Encoder[HeavyHitters] =
+    refEncoder[HeavyHitters](_.toBytes, HeavyHitters.fromBytes(_))
+  implicit val stEnc: Encoder[StreamThreshold] =
+    refEncoder[StreamThreshold](_.toBytes, StreamThreshold.fromBytes(_))
+  implicit val qfEnc: Encoder[QuotientFilter] =
+    refEncoder[QuotientFilter](_.toBytes, QuotientFilter.fromBytes(_))
+  implicit val ebfEnc: Encoder[ExpandingBloomFilter] =
+    refEncoder[ExpandingBloomFilter](_.toBytes, ExpandingBloomFilter.fromBytes(_))
+  implicit val hllEnc: Encoder[Hll] = refEncoder[Hll](_.toBytes, Hll.fromBytes)
+  implicit val kllEnc: Encoder[Kll] = refEncoder[Kll](_.toBytes, Kll.fromBytes)
+  implicit val tdEnc: Encoder[TDigest] = refEncoder[TDigest](_.toBytes, TDigest.fromBytes)
+
+  /** The cuckoo byte format omits (expansionRate, autoExpand, fp bits) —
+    * the per-aggregator encoders below close over those params. */
+  def cuckooEncoder(expansionRate: Int, autoExpand: Boolean, fpBits: Int): Encoder[CuckooFilter] =
+    refEncoder[CuckooFilter](_.toBytes, CuckooFilter.fromBytes(_, expansionRate, autoExpand, fpBits))
+  def ccfEncoder(expansionRate: Int, autoExpand: Boolean, fpBits: Int): Encoder[CountingCuckooFilter] =
+    refEncoder[CountingCuckooFilter](_.toBytes, CountingCuckooFilter.fromBytes(_, expansionRate, autoExpand, fpBits))
+
   val binaryEnc: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
@@ -115,7 +147,8 @@ final class CuckooAgg(capacity: Int, bucketSize: Int, fingerprintBits: Int)
   def merge(a: CuckooFilter, b: CuckooFilter): CuckooFilter =
     if (a.elementsAdded >= b.elementsAdded) a.mergeFrom(b) else b.mergeFrom(a)
   def finish(b: CuckooFilter): Array[Byte] = b.toBytes
-  def bufferEncoder: Encoder[CuckooFilter] = cuckooEnc
+  def bufferEncoder: Encoder[CuckooFilter] =
+    SketchEncoders.cuckooEncoder(2, autoExpand = true, fingerprintBits)
   def outputEncoder: Encoder[Array[Byte]] = binaryEnc
 }
 
@@ -129,7 +162,8 @@ final class CountingCuckooAgg(capacity: Int, bucketSize: Int, fingerprintBits: I
   def merge(a: CountingCuckooFilter, b: CountingCuckooFilter): CountingCuckooFilter =
     if (a.insertedElements >= b.insertedElements) a.mergeFrom(b) else b.mergeFrom(a)
   def finish(b: CountingCuckooFilter): Array[Byte] = b.toBytes
-  def bufferEncoder: Encoder[CountingCuckooFilter] = ccfEnc
+  def bufferEncoder: Encoder[CountingCuckooFilter] =
+    SketchEncoders.ccfEncoder(2, autoExpand = true, fingerprintBits)
   def outputEncoder: Encoder[Array[Byte]] = binaryEnc
 }
 
