@@ -292,13 +292,16 @@ object SparkQueries {
       .agg((sum(when(col("av").isNotNull, 1).otherwise(0)) / count(lit(1))).as("recall_at_5"))
   }
 
-  /** Heuristic language ID vs the labeled lang column: per-lang accuracy. */
+  /** Heuristic language ID: (label, prediction) distribution. NOTE the
+    * fixture documents carry English-like synthetic text under every label,
+    * so the honest output is the confusion distribution, not an accuracy
+    * claim — the heuristic itself is deterministic and unit-tested on real
+    * script/stopword inputs. */
   def langIdAccuracy(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
       .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
 
   /** Rolling-hash fingerprints (fnv mode) + per-lang distinct fingerprints. */
   def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =

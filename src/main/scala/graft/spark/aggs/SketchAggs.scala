@@ -86,7 +86,12 @@ final class CbfAgg(estElements: Long, fpr: Double)
     extends Aggregator[(String, Long), CountingBloomFilter, Array[Byte]] {
   def zero: CountingBloomFilter = CountingBloomFilter.empty(estElements, fpr, Fnv1aHasher)
   def reduce(b: CountingBloomFilter, in: (String, Long)): CountingBloomFilter = {
-    if (in._1 != null) b.add(in._1, in._2); b
+    // negative counts are removals (the reference's remove(), with its own
+    // clamping rules) — not negative adds
+    if (in._1 != null) {
+      if (in._2 >= 0) b.add(in._1, in._2) else b.remove(in._1, -in._2)
+    }
+    b
   }
   def merge(a: CountingBloomFilter, b: CountingBloomFilter): CountingBloomFilter = a.addInPlace(b)
   def finish(b: CountingBloomFilter): Array[Byte] = b.toBytes
@@ -98,7 +103,10 @@ final class CmsAgg(width: Int, depth: Int)
     extends Aggregator[(String, Long), CountMinSketch, Array[Byte]] {
   def zero: CountMinSketch = CountMinSketch.empty(width, depth, CmsQueryType.Min, Fnv1aHasher)
   def reduce(b: CountMinSketch, in: (String, Long)): CountMinSketch = {
-    if (in._1 != null) b.add(in._1, in._2); b
+    if (in._1 != null) {
+      if (in._2 >= 0) b.add(in._1, in._2) else b.remove(in._1, -in._2)
+    }
+    b
   }
   def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch = a.join(b)
   def finish(b: CountMinSketch): Array[Byte] = b.toBytes

@@ -102,3 +102,24 @@ class NativeExprSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 }
+
+/** langId on genuinely multilingual inputs (scripts + stopwords). */
+class LangIdSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  test("script and stopword detection") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat sat on the mat and it was a good day for the cat"),
+      ("de", "der hund und die katze sind nicht in der küche mit dem ball"),
+      ("fr", "le chat est dans la maison et il est pour les amis du village"),
+      ("es", "el perro y la casa son para los amigos que viven en el pueblo"),
+      ("ru", "это не так как в прошлом году но что из этого по сути"),
+      ("zh", "这是一个关于网络爬虫和数据处理的测试文档内容很长"),
+      ("ja", "これはテストのドキュメントですとても長い文章になります"))
+      .toDF("expected", "text")
+    val out = docs.select(col("expected"),
+      graft.spark.text.TextFunctions.langId(col("text")).as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+}
