@@ -33,6 +33,7 @@ object SparkEntry {
     "q_bloom_members" -> (SparkQueries.bloomMembers(_, _)),
     "q_cuckoo_members" -> (SparkQueries.cuckooMembers(_, _)),
     "q_qf_members" -> (SparkQueries.qfMembers(_, _)),
+    "q_ebf_members" -> (SparkQueries.ebfMembers(_, _)),
     // sketch / approximate queries (rows-only driver check)
     "q_hll_distinct" -> (SparkQueries.hllDistinct(_, _)),
     "q_cms_heavy_hitters" -> (SparkQueries.cmsHeavyHitters(_, _)),
@@ -97,5 +98,7 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE lang = 'de'",
     "q_qf_members" ->
       "SELECT doc_id FROM documents WHERE lang = 'fr'",
+    "q_ebf_members" ->
+      "SELECT doc_id FROM documents WHERE lang = 'es'",
   )
 }

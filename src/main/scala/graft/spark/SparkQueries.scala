@@ -139,6 +139,18 @@ object SparkQueries {
       .select(col("doc_id"))
   }
 
+  /** Membership, expanding Bloom (force-mode commutative build): same
+    * probe -> exact-verify pattern; no false negatives => exact output. */
+  def ebfMembers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val bytes = docs.filter(col("lang") === "es")
+      .agg(SketchUdafs.ebf(64, 0.001)(col("doc_id").cast("string")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val probe = SketchFunctions.ebfContains(bytes)
+    docs.filter(probe(col("doc_id").cast("string")) && col("lang") === "es")
+      .select(col("doc_id"))
+  }
+
   // ---------- sketch queries (approximate — rows-only driver check; error
   // bounds are asserted in SparkAggSpec against exact answers) ----------
 
