@@ -46,6 +46,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (SparkQueries.simhashPairs(_, _)),
     "q_ann_topk" -> (SparkQueries.annBruteForce(_, _)),
     "q_ann_lsh_recall" -> (SparkQueries.annLshRecall(_, _)),
+    "q_ann_ivf_recall" -> (SparkQueries.annIvfRecall(_, _)),
     "q_lang_id" -> (SparkQueries.langIdAccuracy(_, _)),
     "q_fingerprint_rolling" -> (SparkQueries.fingerprintRolling(_, _)),
     "q_ccf_counts" -> (SparkQueries.ccfCounts(_, _)),

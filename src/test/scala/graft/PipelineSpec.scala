@@ -160,3 +160,25 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** IVF ANN: recall on clustered vectors (the coarse-quantizer scale path). */
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  test("IVF recall vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    def vec(center: Int): Array[Float] = {
+      val c = Array.tabulate(dim)(j => math.cos(center * 23.0 + j).toFloat * 2f)
+      c.map(x => x + rnd.nextFloat() * 0.3f)
+    }
+    val corpus = (0 until 400).map(i => (i.toLong, vec(i % 20))).toDF("vec_id", "embedding")
+    val queries = (0 until 10).map(i => (i.toLong, vec(i % 20))).toDF("query_id", "q_embedding")
+    val exact = graft.spark.ann.Ann.bruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.spark.ann.Ann.ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall too low: $recall")
+  }
+}
