@@ -43,8 +43,35 @@ object InteropCli {
       val ckoOk = (0 until 20).forall(i => cko.check(s"url-$i")) && !cko.check("absent-key")
       println(s"cuckoo: inserted=${cko.elementsAdded} members_ok=$ckoOk")
 
+    case Array("workload", opsFile, dir) =>
+      // randomized differential: apply an ops script (op \t key \t count) to
+      // every structure, export — the same script runs through the reference
+      // library and the exports are byte-compared
+      val blm = BloomFilter.empty(5000, 0.01)
+      val cbf = CountingBloomFilter.empty(2000, 0.01)
+      val cms = CountMinSketch.empty(1024, 7)
+      val cko = CuckooFilter(capacity = 20000)
+      val ccf = CountingCuckooFilter(capacity = 20000, bucketSize = 2)
+      scala.io.Source.fromFile(opsFile, "UTF-8").getLines().foreach { line =>
+        val parts = line.split("\t", -1)
+        val (op, key, n) = (parts(0), parts(1), parts(2).toLong)
+        op match {
+          case "add" =>
+            blm.add(key); cbf.add(key, n); cms.add(key, n); cko.add(key); ccf.add(key)
+          case "remove" =>
+            cbf.remove(key, n); cms.remove(key, n)
+          case other => sys.error(s"unknown op $other")
+        }
+      }
+      Files.write(Paths.get(dir, "w_bloom.blm"), blm.toBytes)
+      Files.write(Paths.get(dir, "w_cbf.cbm"), cbf.toBytes)
+      Files.write(Paths.get(dir, "w_cms.cms"), cms.toBytes)
+      Files.write(Paths.get(dir, "w_cuckoo.cko"), cko.toBytes)
+      Files.write(Paths.get(dir, "w_ccf.cck"), ccf.toBytes)
+      println("workload exports written")
+
     case _ =>
-      System.err.println("usage: InteropCli export|load <dir>")
+      System.err.println("usage: InteropCli export|load|workload <dir>")
       sys.exit(2)
   }
 }
