@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkQueries
+
+/** Plan-shape regression tests: the physical plans the engine is designed to
+  * produce (column-pruned scans, pushed filters, broadcast semi-joins,
+  * partial+final object-hash aggregation) asserted so they can't silently
+  * regress. Runs on sf0.001.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("docsStats: scan pruned to exactly (lang, n_chars)") {
+    val plan = formatted(SparkQueries.docsStats(spark, dir))
+    assert(plan.contains("ReadSchema: struct<lang:string,n_chars:bigint>"), plan)
+    assert(!plan.contains("text:string"), "fat text column must be pruned")
+  }
+
+  test("bloomSemiJoin: filter pushdown reaches both scans; broadcast semi-join") {
+    val plan = formatted(SparkQueries.bloomSemiJoin(spark, dir))
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan) // pushed to parquet
+    assert(plan.contains("BroadcastHashJoin LeftSemi"), plan)
+    assert(plan.contains("ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>"), plan)
+    // the native bloom probe sits in a codegen'd Filter before the join
+    assert(plan.contains("bloom_might_contain"), plan)
+  }
+
+  test("hllDistinct: partial ObjectHashAggregate below the exchange, final above") {
+    val plan = formatted(SparkQueries.hllDistinct(spark, dir))
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    val exchange = plan.indexOf("Exchange", firstAgg)
+    val finalAgg = plan.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange,
+      s"expected partial-agg -> exchange -> final-agg:\n$plan")
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>"), plan)
+  }
+
+  test("annBruteForce: queries broadcast, corpus scan pruned, pushdown on query filter") {
+    val plan = formatted(SparkQueries.annBruteForce(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LessThan(vec_id,10)"), plan) // pushed to the query-side scan
+  }
+
+  test("minhashPairs: banded relation carries only narrow key columns into the join") {
+    val plan = formatted(SparkQueries.minhashPairs(spark, dir))
+    // the self-join keys are (band, bh) — the shingle/text payloads must not
+    // appear in the join-side ReadSchema more than the two verify lookups
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+    assert(plan.contains("hashpartitioning") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("salted two-level: two aggregation exchanges, no Expand") {
+    val pages = graft.spark.io.PagesGen.pages(spark, 100, numPartitions = 2)
+    val df = graft.spark.aggs.SaltedAgg.hllBloomTwoLevel(
+      pages, org.apache.spark.sql.functions.col("lang"),
+      org.apache.spark.sql.functions.col("url"), saltBuckets = 4)
+    val plan = formatted(df)
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n >= 2, s"expected stage1+stage2 exchanges:\n$plan")
+    assert(!plan.contains("Expand"), "salting must not introduce Expand")
+  }
+}
