@@ -33,6 +33,8 @@ object ScaleProbe {
       t("scan+lensum")(pages.select(sum(length(col("text")))).collect())
       t("exact-groupby")(pages.groupBy("lang").agg(count(lit(1)), approx_count_distinct(col("url"))).collect())
       t("hll-only")(pages.groupBy("lang").agg(SketchUdafs.hllCount(14)(col("url"))).collect())
+      t("hll-native")(pages.groupBy("lang").agg(
+        graft.spark.aggs.NativeHllCountAgg.hllCountNative(col("url"), 14)).collect())
       t("bloom-only")(pages.groupBy("lang").agg(SketchUdafs.bloom(1000000, 0.01)(col("url"))).collect())
       t("kll-only")(pages.groupBy("lang").agg(SketchUdafs.kll(200)(length(col("text")).cast("double"))).collect())
       t("hh-only")(pages.groupBy("lang").agg(SketchUdafs.heavyHitters(5, 4096, 5)(

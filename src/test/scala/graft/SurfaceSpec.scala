@@ -123,3 +123,28 @@ class LangIdSpec extends AnyFunSuite {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 }
+
+/** Native TypedImperativeAggregate HLL: identical estimates to the udaf path
+  * (ASCII zero-copy fold == codepoint fold), non-ASCII exact fallback. */
+class NativeHllSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import graft.spark.aggs.{NativeHllCountAgg, SketchUdafs}
+
+  test("native HLL equals udaf HLL on ascii keys; partition invariant") {
+    val df8 = spark.range(0, 30000, 1, 8).select(concat(lit("https://d"), col("id") % 7, lit(".x/p/"), col("id")).as("k"))
+    val native = df8.agg(NativeHllCountAgg.hllCountNative(col("k"), 14)).head().getLong(0)
+    val viaUdaf = df8.agg(SketchUdafs.hllCount(14)(col("k"))).head().getLong(0)
+    assert(native == viaUdaf)
+    val df1 = spark.range(0, 30000, 1, 1).select(concat(lit("https://d"), col("id") % 7, lit(".x/p/"), col("id")).as("k"))
+    assert(df1.agg(NativeHllCountAgg.hllCountNative(col("k"), 14)).head().getLong(0) == native)
+  }
+
+  test("native HLL non-ascii fallback matches codepoint semantics") {
+    import spark.implicits._
+    val keys = (0 until 2000).map(i => s"ключ-$i 键$i")
+    val df = spark.createDataset(keys).toDF("k").repartition(4)
+    val native = df.agg(NativeHllCountAgg.hllCountNative(col("k"), 12)).head().getLong(0)
+    val viaUdaf = df.agg(SketchUdafs.hllCount(12)(col("k"))).head().getLong(0)
+    assert(native == viaUdaf)
+  }
+}
