@@ -36,6 +36,7 @@ object SparkEntry {
     "q_ebf_members" -> (SparkQueries.ebfMembers(_, _)),
     // sketch / approximate queries (rows-only driver check)
     "q_hll_distinct" -> (SparkQueries.hllDistinct(_, _)),
+    "q_hll_native" -> (SparkQueries.hllDistinctNative(_, _)),
     "q_cms_heavy_hitters" -> (SparkQueries.cmsHeavyHitters(_, _)),
     "q_kll_quantiles" -> (SparkQueries.kllQuantiles(_, _)),
     "q_tdigest_quantiles" -> (SparkQueries.tdigestQuantiles(_, _)),

@@ -164,6 +164,15 @@ object SparkQueries {
         SketchFunctions.bfEstimate(
           SketchUdafs.bloom(100000, 0.01)(col("text"))).as("bloom_estimate"))
 
+  /** Native (pure-Catalyst TypedImperativeAggregate) HLL next to the udaf
+    * path — identical estimates, zero-copy update. */
+  def hllDistinctNative(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), col("text"))
+      .groupBy(col("lang"))
+      .agg(graft.spark.aggs.NativeHllCountAgg.hllCountNative(col("text"), 14)
+        .as("hll_distinct_texts"))
+
   /** CMS-backed heavy hitters per lang: top sources with estimated counts. */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
