@@ -68,6 +68,20 @@ object InteropCli {
       Files.write(Paths.get(dir, "w_cms.cms"), cms.toBytes)
       Files.write(Paths.get(dir, "w_cuckoo.cko"), cko.toBytes)
       Files.write(Paths.get(dir, "w_ccf.cck"), ccf.toBytes)
+      // quotient filter differential: the reference QF has no byte export, so
+      // compare the lossless hash enumeration + elements_added instead
+      val qf = QuotientFilter(12, autoExpand = true)
+      scala.io.Source.fromFile(opsFile, "UTF-8").getLines().foreach { line =>
+        val parts = line.split("\t", -1)
+        parts(0) match {
+          case "add"    => qf.add(parts(1))
+          case "remove" => qf.remove(parts(1))
+          case _        =>
+        }
+      }
+      Files.writeString(Paths.get(dir, "w_qf.txt"),
+        s"q=${qf.q} added=${qf.elementsAdded}\n" +
+          qf.hashes().sorted.mkString("\n"))
       println("workload exports written")
 
     case _ =>
