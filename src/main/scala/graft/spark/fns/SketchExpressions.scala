@@ -59,6 +59,47 @@ case class BloomMightContainExpr(child: Expression, filter: BloomFilter)
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** Point-count probe against a FIXED Count-Min sketch — codegen'd like
+  * [[BloomMightContainExpr]]; the deserialized sketch is a shared plan
+  * reference object. */
+case class CmsCountExpr(child: Expression, sketch: graft.core.CountMinSketch)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    sketch.check(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCms", sketch, classOf[graft.core.CountMinSketch].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.check($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "cms_count"
+}
+
+/** Min-count probe against a FIXED counting Bloom filter. */
+case class CbfCountExpr(child: Expression, sketch: graft.core.CountingBloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    sketch.check(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCbf", sketch,
+      classOf[graft.core.CountingBloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.check($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "cbf_count"
+}
+
 object SketchExpressions {
   /** Codegen'd fnv-1a-64 column. */
   def fnv1a64Native(c: Column, seed: Int = 0): Column =
@@ -68,4 +109,16 @@ object SketchExpressions {
   def bloomMightContainNative(bloomBytes: Array[Byte], key: Column): Column =
     GraftColumnBridge.column(
       BloomMightContainExpr(GraftColumnBridge.expression(key), BloomFilter.fromBytes(bloomBytes)))
+
+  /** Codegen'd CMS point-count probe. */
+  def cmsCountNative(cmsBytes: Array[Byte], key: Column): Column =
+    GraftColumnBridge.column(
+      CmsCountExpr(GraftColumnBridge.expression(key),
+        graft.core.CountMinSketch.fromBytes(cmsBytes)))
+
+  /** Codegen'd counting-Bloom min-count probe. */
+  def cbfCountNative(cbfBytes: Array[Byte], key: Column): Column =
+    GraftColumnBridge.column(
+      CbfCountExpr(GraftColumnBridge.expression(key),
+        graft.core.CountingBloomFilter.fromBytes(cbfBytes)))
 }

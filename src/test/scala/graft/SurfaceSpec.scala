@@ -148,3 +148,27 @@ class NativeHllSpec extends AnyFunSuite {
     assert(native == viaUdaf)
   }
 }
+
+/** Codegen'd CMS/CBF probes: values match the core sketches inside codegen. */
+class NativeProbeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import graft.spark.fns.SketchExpressions._
+
+  test("cmsCountNative + cbfCountNative match core counts in codegen") {
+    val cms = graft.core.CountMinSketch.empty(2048, 5)
+    val cbf = graft.core.CountingBloomFilter.empty(2000, 0.01)
+    (0 until 1000).foreach { i => val k = s"k${i % 40}"; cms.add(k); cbf.add(k) }
+    val df = spark.range(0, 40, 1, 2)
+      .select(concat(lit("k"), col("id")).as("k"))
+      .select(col("k"),
+        cmsCountNative(cms.toBytes, col("k")).as("cms"),
+        cbfCountNative(cbf.toBytes, col("k")).as("cbf"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == cms.check(r.getString(0)))
+      assert(r.getLong(2) == cbf.check(r.getString(0)))
+      assert(r.getLong(1) == 25L)
+    }
+  }
+}
