@@ -101,6 +101,21 @@ class MergePropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("ebf force-mode: mergeFrom is order-insensitive on membership; counters sum") {
+    check(Prop.forAll(threeKeySets) { case (a, b, c) =>
+      def mk(ks: List[String]): ExpandingBloomFilter = {
+        val e = ExpandingBloomFilter(64, 0.01)
+        ks.foreach(k => e.add(k, force = true))
+        e
+      }
+      val left = mk(a).mergeFrom(mk(b).mergeFrom(mk(c)))
+      val right = mk(c).mergeFrom(mk(b)).mergeFrom(mk(a))
+      val all = a ++ b ++ c
+      left.elementsAdded == all.size && right.elementsAdded == all.size &&
+        all.forall(left.check) && all.forall(right.check)
+    })
+  }
+
   test("kll/tdigest: merged quantiles stay within rank error regardless of split") {
     check(Prop.forAll(Gen.chooseNum(2, 7), Gen.chooseNum(1000, 4000)) { (splits, n) =>
       val data = Array.tabulate(n)(i => (i * 37 % n).toDouble)

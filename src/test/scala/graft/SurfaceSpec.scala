@@ -172,3 +172,25 @@ class NativeProbeSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Native CMS aggregate: byte-identical output vs udaf path, partition
+  * invariant, non-ASCII fallback exact. */
+class NativeCmsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import graft.spark.aggs.{NativeCmsAgg, SketchUdafs}
+
+  test("native CMS == udaf CMS bytes on ascii and non-ascii keys") {
+    val df = spark.range(0, 8000, 1, 8)
+      .select(concat(lit("key-"), col("id") % 60).as("k"), (col("id") % 5 + 1).as("c"))
+    val native = df.agg(NativeCmsAgg.cmsNative(col("k"), col("c"), 1024, 5)).head().getAs[Array[Byte]](0)
+    val viaUdaf = df.agg(SketchUdafs.cms(1024, 5)(col("k"), col("c"))).head().getAs[Array[Byte]](0)
+    assert(native.toSeq == viaUdaf.toSeq)
+
+    import spark.implicits._
+    val uni = (0 until 500).map(i => (s"ключ-${i % 20}", 2L)).toDF("k", "c").repartition(4)
+    val n2 = uni.agg(NativeCmsAgg.cmsNative(col("k"), col("c"), 512, 5)).head().getAs[Array[Byte]](0)
+    val u2 = uni.agg(SketchUdafs.cms(512, 5)(col("k"), col("c"))).head().getAs[Array[Byte]](0)
+    assert(n2.toSeq == u2.toSeq)
+    assert(graft.core.CountMinSketch.fromBytes(n2).check("ключ-3") == 50)
+  }
+}
