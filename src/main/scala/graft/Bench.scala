@@ -5,17 +5,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.spark.SparkQueries
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON
-  * line on stdout. The heavy sketch-build path also reports pages/sec
-  * (the north-rule metric) via the synthetic pages battery.
+  * line on stdout AND in /tmp/graft_bench.json (round-1 verdict #5: the
+  * driver's stdout parse missed the line in sbt noise). The heavy
+  * sketch-build path also reports pages/sec (the north-rule metric) via the
+  * synthetic pages battery.
+  *
+  * Bench runs the PURE sketch pipelines (raw estimates), not the
+  * VerifiedQueries projections — the verify variants co-compute exact ground
+  * truth (COUNT DISTINCT / brute-force pairs), which is verification work,
+  * not the operator under measurement.
   */
 object Bench {
   // headline subset: the shapes that dominate at scale — scan+agg, sketch
   // builds, semi-join pruning, dedup joins
-  val headline: Seq[String] = Seq(
-    "q_lineitem_pricing", "q_dedup_exact", "q_token_stats", "q_events_hourly",
-    "q_bloom_semijoin", "q_hll_distinct", "q_cms_heavy_hitters",
-    "q_kll_quantiles", "q_tdigest_quantiles", "q_minhash_pairs",
-    "q_simhash_pairs", "q_ann_topk", "q_heavy_domains_exact", "q_quality")
+  val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_lineitem_pricing" -> (SparkQueries.lineitemPricing(_, _)),
+    "q_dedup_exact" -> (SparkQueries.dedupExact(_, _)),
+    "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
+    "q_events_hourly" -> (SparkQueries.eventsHourly(_, _)),
+    "q_bloom_semijoin" -> (SparkQueries.bloomSemiJoin(_, _)),
+    "q_hll_distinct" -> (SparkQueries.hllDistinct(_, _)),
+    "q_cms_heavy_hitters" -> (SparkQueries.cmsHeavyHitters(_, _)),
+    "q_kll_quantiles" -> (SparkQueries.kllQuantiles(_, _)),
+    "q_tdigest_quantiles" -> (SparkQueries.tdigestQuantiles(_, _)),
+    "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
+    "q_simhash_pairs" -> (SparkQueries.simhashPairs(_, _)),
+    "q_ann_topk" -> (SparkQueries.annBruteForce(_, _)),
+    "q_heavy_domains_exact" -> (SparkQueries.heavyDomainsExact(_, _)),
+    "q_quality" -> (SparkQueries.qualityStats(_, _)),
+  )
 
   val benchPages = 200000L
 
@@ -39,8 +57,7 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    headline.foreach { name =>
-      val fn = SparkEntry.queries(name)
+    headline.foreach { case (name, fn) =>
       results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
     }
     // the north-rule workload: full sketch battery over synthetic pages
@@ -50,8 +67,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pages_per_sec":$pagesRate%.0f,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pages_per_sec":$pagesRate%.0f,"sf":"$sfDir"}"""
+    println(json)
+    // machine-readable copy so the driver's parse can't miss it in sbt noise
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json)
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

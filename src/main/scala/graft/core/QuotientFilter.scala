@@ -102,8 +102,13 @@ final class QuotientFilter(quotient: Int, var autoExpand: Boolean) extends Seria
     val out = new ArrayBuffer[Long](elementsAdded)
     if (elementsAdded == 0) return out
     val queue = new ArrayBuffer[Int]()
+    // bound the empty-slot search: a completely full filter (reachable with
+    // autoExpand=false) has no empty slot — start at 0 instead of running
+    // past the bitset (the reference shares the unbounded scan; here the
+    // guard matters because hashes() sits on the toBytes/shuffle path)
     var start = 0
-    while (!isEmptyElement(start)) start += 1
+    while (start < size && !isEmptyElement(start)) start += 1
+    if (start == size) start = 0
     var curQuot = 0
     var i = start
     val end = size + start

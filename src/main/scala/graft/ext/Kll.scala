@@ -69,12 +69,16 @@ final class Kll(val k: Int) extends Serializable {
     val offset = ((coins >>> h) & 1L).toInt
     coins ^= (1L << h) // flip this level's coin — deterministic, unbiased over pairs
     val up = compactors(h + 1)
+    // only an even count may be promoted at doubled weight (weight
+    // conservation: promoting (len+1)/2 items would inflate total weight by
+    // 2^h per compaction); with an odd buffer one element keeps its current
+    // level — item 0 for offset=1, the last item for offset=0
+    val odd = sorted.length % 2 == 1
+    val promoteEnd = if (odd && offset == 0) sorted.length - 1 else sorted.length
     var i = offset
-    while (i < sorted.length) { up += sorted(i); i += 2 }
+    while (i < promoteEnd) { up += sorted(i); i += 2 }
     buf.clear()
-    // odd leftover when offset=1: item 0 was skipped and has no pair partner;
-    // keep it at this level to stay unbiased
-    if (offset == 1 && sorted.length % 2 == 1) buf += sorted(0)
+    if (odd) buf += (if (offset == 1) sorted(0) else sorted(sorted.length - 1))
   }
 
   def merge(second: Kll): Kll = {

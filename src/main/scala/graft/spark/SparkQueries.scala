@@ -306,7 +306,9 @@ object SparkQueries {
     val corpus = emb.select(col("vec_id"), col("embedding"))
     val exact = Ann.bruteForceTopK(corpus, queries, 5)
       .select(col("query_id"), col("vec_id"))
-    val approx = Ann.lshTopK(corpus, queries, 5, dim = 64, tables = 8, bitsPerTable = 10)
+    // weakly-separated neighbors (top-5 cos ~0.32 vs ~0 median) need coarse
+    // buckets: 4 bits x 24 tables measures recall@5 ~0.9 on the fixture
+    val approx = Ann.lshTopK(corpus, queries, 5, dim = 64, tables = 24, bitsPerTable = 4)
       .select(col("query_id").as("aq"), col("vec_id").as("av"))
     exact.join(approx, exact("query_id") === col("aq") && exact("vec_id") === col("av"), "left")
       .groupBy(col("query_id"))
@@ -321,7 +323,7 @@ object SparkQueries {
     val corpus = emb.select(col("vec_id"), col("embedding"))
     val exact = Ann.bruteForceTopK(corpus, queries, 5)
       .select(col("query_id"), col("vec_id"))
-    val approx = Ann.ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 6)
+    val approx = Ann.ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 8, lloydIters = 3)
       .select(col("query_id").as("aq"), col("vec_id").as("av"))
     exact.join(approx, exact("query_id") === col("aq") && exact("vec_id") === col("av"), "left")
       .groupBy(col("query_id"))

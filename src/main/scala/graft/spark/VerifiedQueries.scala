@@ -1,0 +1,395 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.spark.aggs._
+import graft.spark.ann.Ann
+import graft.spark.dedup.Dedup
+import graft.spark.fns.{SketchExpressions, SketchFunctions}
+import graft.spark.text.{LangFixture, TextFunctions}
+
+/** Probe → exact-verify variants of the sketch queries: each runs the sketch
+  * pipeline end-to-end AND computes the exact ground truth in the same job,
+  * emitting only deterministic, DuckDB-reproducible columns (exact values +
+  * within-bound booleans). A sketch bug flips a boolean or drops a row →
+  * the driver's hash compare goes red. This converts the round-1 `no_oracle`
+  * rows into hard driver signal (VERDICT.md "Next round" #2) without faking
+  * determinism — the estimates themselves stay visible in the pure variants
+  * ([[SparkQueries]]) that the bench runs.
+  */
+object VerifiedQueries {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** |est − exact| <= max(relTol·exact, absSlack) as a Column. */
+  private def withinBound(est: Column, exact: Column, relTol: Double, absSlack: Double): Column =
+    abs(est.cast("double") - exact.cast("double")) <=
+      greatest(exact.cast("double") * relTol, lit(absSlack))
+
+  // ---------- distinct-count sketches ----------
+
+  /** HLL + Bloom distinct-texts per lang, checked against exact
+    * COUNT(DISTINCT text) computed in the same aggregate. */
+  def hllDistinctVerified(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), col("text"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("text")).as("n_exact"),
+        SketchUdafs.hllCount(14)(col("text")).as("hll_est"),
+        SketchFunctions.bfEstimate(
+          SketchUdafs.bloom(100000, 0.01)(col("text"))).as("bloom_est"))
+      .select(col("lang"), col("n_exact"),
+        withinBound(col("hll_est"), col("n_exact"), 0.03, 2).as("hll_ok"),
+        withinBound(col("bloom_est"), col("n_exact"), 0.03, 2).as("bloom_ok"))
+
+  /** Native (pure-Catalyst TypedImperativeAggregate) HLL, same check. */
+  def hllDistinctNativeVerified(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), col("text"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("text")).as("n_exact"),
+        NativeHllCountAgg.hllCountNative(col("text"), 14).as("hll_est"))
+      .select(col("lang"), col("n_exact"),
+        withinBound(col("hll_est"), col("n_exact"), 0.03, 2).as("hll_ok"))
+
+  /** Salted two-level HLL+Bloom distinct users per event type, checked
+    * against exact COUNT(DISTINCT user_id). */
+  def saltedDistinctUsersVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("user"))
+    val sketch = SaltedAgg.hllBloomTwoLevel(ev, col("event_type"), col("user"),
+        saltBuckets = 16, hllP = 12, bloomEst = 100000, bloomFpr = 0.01)
+      .select(col("k").as("event_type"),
+        SketchFunctions.hllEstimate(col("hll")).as("hll_est"),
+        SketchFunctions.bfEstimate(col("bloom")).as("bloom_est"))
+    val exact = ev.groupBy(col("event_type")).agg(countDistinct(col("user")).as("n_exact"))
+    exact.join(sketch, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        withinBound(col("hll_est"), col("n_exact"), 0.03, 2).as("hll_ok"),
+        withinBound(col("bloom_est"), col("n_exact"), 0.03, 2).as("bloom_ok"))
+  }
+
+  // ---------- frequency sketches ----------
+
+  /** Heavy hitters: the exact top-1 source per lang must be reported by the
+    * HH sketch with an estimate in [true, true·1.05 + 2] (CMS overestimates,
+    * bounded at this cardinality). */
+  def cmsHeavyHittersVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("lang"), col("source"))
+    val counts = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_docs").desc, col("source"))
+    val top1 = counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("lang"), col("source").as("top_source"), col("n_docs").as("true_count"))
+    val sketch = docs.groupBy(col("lang"))
+      .agg(SketchUdafs.heavyHitters(3, 2048, 5)(col("source"), lit(1L)).as("hh"))
+    top1.join(sketch, "lang")
+      .select(col("lang"), col("top_source"), col("true_count"),
+        (element_at(col("hh"), col("top_source")).isNotNull &&
+          element_at(col("hh"), col("top_source")) >= col("true_count")).as("hh_found_ok"),
+        (element_at(col("hh"), col("top_source")) <=
+          col("true_count") * 1.05 + 2).as("est_close_ok"))
+  }
+
+  /** CMS point counts per event type (codegen'd native probe): estimate is
+    * always >= the true count (min over rows of an overcounting grid). */
+  def cmsPointVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").select(col("event_type"))
+    val bytes = ev.agg(NativeCmsAgg.cmsNative(col("event_type"), lit(1L), 2048, 5).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("true_count"))
+      .withColumn("cms_est",
+        SketchExpressions.cmsCountNative(bytes, col("event_type")))
+      .select(col("event_type"), col("true_count"),
+        (col("cms_est") >= col("true_count")).as("ge_ok"),
+        (col("cms_est") <= col("true_count") * 1.05 + 2).as("close_ok"))
+  }
+
+  /** Counting-bloom point counts: estimate >= true (no false negatives),
+    * and close at this load factor. */
+  def cbfCountsVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(concat(lit("u"), (col("user_id") % 500).cast("string")).as("bucket"))
+    val bytes = ev.agg(SketchUdafs.cbf(2000, 0.01)(col("bucket"), lit(1L)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    ev.groupBy(col("bucket")).agg(count(lit(1)).as("true_count"))
+      .withColumn("cbf_est", SketchExpressions.cbfCountNative(bytes, col("bucket")))
+      .select(col("bucket"), col("true_count"),
+        (col("cbf_est") >= col("true_count")).as("ge_ok"))
+  }
+
+  /** Counting-cuckoo point counts: at this (capacity, cardinality) the
+    * fingerprint-exact count equals the true count. */
+  def ccfCountsVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(concat(col("event_type"), lit("#"), (col("user_id") % 100).cast("string")).as("bucket"))
+    val bytes = ev.agg(SketchUdafs.countingCuckoo(20000, 4, 32)(col("bucket")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val probe = {
+      lazy val ccf = graft.core.CountingCuckooFilter.fromBytes(bytes, fingerprintBits = 32)
+      udf((k: String) => ccf.check(k))
+    }
+    ev.groupBy(col("bucket")).agg(count(lit(1)).as("true_count"))
+      .withColumn("ccf_count", probe(col("bucket")))
+      .select(col("bucket"), col("true_count"), col("ccf_count"))
+  }
+
+  /** Stream-threshold: the sketch-reported user set (est >= 30; CMS
+    * overestimates, so no true user is missed) exact-verified — output is
+    * exactly the users with true count >= 30 and their exact counts. */
+  def streamThresholdVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").select(col("user_id").cast("string").as("user"))
+    val reported = ev
+      .agg(SketchUdafs.streamThreshold(30, 4096, 5)(col("user"), lit(1L)).as("st"))
+      .select(explode(col("st")).as(Seq("user", "est_events")))
+    val exact = ev.groupBy(col("user")).agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= 30)
+    // inner join: a sketch false-negative drops a row -> driver red
+    exact.join(reported, "user").select(col("user"), col("n_events"))
+  }
+
+  // ---------- quantile sketches ----------
+
+  /** Rank-check booleans: for estimate column `est` over values `v` grouped
+    * by `grp`, ok(q) := rank window [count(v < est), count(v <= est)]
+    * overlaps q·n ± (relTol·n + 1). */
+  private def quantileRankChecks(values: DataFrame, grp: String, valueCol: String,
+                                 est: DataFrame, qs: Seq[(String, Double)],
+                                 relTol: Double): DataFrame = {
+    val joined = values.join(broadcast(est), grp)
+    val aggs = qs.flatMap { case (name, _) =>
+      Seq(
+        sum(when(col(valueCol) <= col(s"${name}_est"), 1L).otherwise(0L)).as(s"${name}_le"),
+        sum(when(col(valueCol) < col(s"${name}_est"), 1L).otherwise(0L)).as(s"${name}_lt"))
+    } :+ count(lit(1)).as("n")
+    val counted = joined.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+    val checks = qs.map { case (name, q) =>
+      val eps = col("n") * relTol + 1.0
+      ((col(s"${name}_le").cast("double") >= col("n") * q - eps) &&
+        (col(s"${name}_lt").cast("double") <= col("n") * q + eps)).as(s"${name}_ok")
+    }
+    counted.select(col(grp) +: checks: _*)
+  }
+
+  /** KLL text-length quantiles per lang, rank-checked against the exact data. */
+  def kllQuantilesVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .select(col("lang"), col("n_chars").cast("double").as("v"))
+    val est = docs.groupBy(col("lang"))
+      .agg(SketchUdafs.kll(200)(col("v")).as("kll"))
+      .select(col("lang"),
+        SketchFunctions.kllQuantiles(col("kll"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
+      .select(col("lang"),
+        element_at(col("qs"), 1).as("p50_est"),
+        element_at(col("qs"), 2).as("p90_est"),
+        element_at(col("qs"), 3).as("p99_est"))
+    quantileRankChecks(docs, "lang", "v", est,
+      Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)), relTol = 0.05)
+  }
+
+  /** t-digest value quantiles per event type, rank-checked. */
+  def tdigestQuantilesVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").select(col("event_type"), col("value").as("v"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(SketchUdafs.tdigest(100.0)(col("v")).as("td"))
+      .select(col("event_type"),
+        SketchFunctions.tdigestQuantiles(col("td"),
+          array(lit(0.5), lit(0.95), lit(0.99))).as("qs"))
+      .select(col("event_type"),
+        element_at(col("qs"), 1).as("p50_est"),
+        element_at(col("qs"), 2).as("p95_est"),
+        element_at(col("qs"), 3).as("p99_est"))
+    quantileRankChecks(ev, "event_type", "v", est,
+      Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), relTol = 0.05)
+  }
+
+  // ---------- membership telemetry ----------
+
+  /** Expanding-bloom per-lang build: the sketch's own elements_added must
+    * equal COUNT(*) (adds always increment it), and every doc of the lang
+    * must still be a member (no false negatives across the merge path). */
+  def ebfStatsVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val perLang = docs.groupBy(col("lang"))
+      .agg(SketchUdafs.ebf(64, 0.01)(col("doc_id").cast("string")).as("e"))
+      .collect()
+      .map(r => r.getString(0) ->
+        graft.core.ExpandingBloomFilter.fromBytes(r.getAs[Array[Byte]]("e"))).toMap
+    // broadcast the deserialized filters: one instance per executor, pure
+    // in-memory probes per row
+    val bc = spark.sparkContext.broadcast(perLang)
+    val probe = udf((lang: String, key: String) => bc.value(lang).check(key))
+    val added = spark.createDataFrame(perLang.toSeq.map { case (l, e) =>
+      (l, e.elementsAdded)
+    }).toDF("lang", "els_added")
+    docs.withColumn("m", probe(col("lang"), col("doc_id").cast("string")))
+      .groupBy(col("lang"))
+      .agg(every(col("m")).as("all_members_ok"))
+      .join(added, "lang")
+      .select(col("lang"), col("els_added"), col("all_members_ok"))
+  }
+
+  /** Quotient-filter hashes(): the lossless enumeration must return exactly
+    * elements_added == COUNT(*) hashes per lang (no 32-bit collision at this
+    * cardinality, dedup-by-hash — checked end to end over the agg merge). */
+  def qfHashesVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val nHashes = udf((b: Array[Byte]) => {
+      val qf = graft.core.QuotientFilter.fromBytes(b)
+      qf.hashes().toArray.distinct.length.toLong
+    })
+    docs.groupBy(col("lang"))
+      .agg(SketchUdafs.quotientFilter(18)(col("doc_id").cast("string")).as("qf"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        (nHashes(col("qf")) === col("n_docs")).as("hashes_count_ok"))
+  }
+
+  // ---------- dedup ----------
+
+  /** SimHash blocking consistency over the exact near-dup pair set: for every
+    * pair with exact shingle-Jaccard >= 0.5 (DuckDB-reproducible), the
+    * C(6,3)-block candidate path must surface it iff full hamming <= 3. */
+  def simhashPairsVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // exact near-dup ground truth (brute force — verification-scale only)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val exactPairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccardText(col("text_a"), col("text_b"), lit(3)))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val sims = docs.select(col("doc_id"),
+      graft.spark.fns.TextExpressions.simhash64Native(col("text")).as("sim"))
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a").as("f_a"), col("id_b").as("f_b"), lit(true).as("found"))
+    exactPairs
+      .join(sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sims.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .join(found, col("id_a") === col("f_a") && col("id_b") === col("f_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("found"), lit(false)) ===
+          (bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)).as("consistent_ok"))
+  }
+
+  // ---------- text ----------
+
+  /** Language-ID accuracy over the deterministic per-lang fixture: every doc
+    * must be classified correctly (oracle = literal 100% rows). */
+  def langIdVerified(spark: SparkSession): DataFrame =
+    LangFixture.docs(spark, docsPerLang = 50)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+
+  /** Rolling fingerprints are a pure function of content, so the per-lang
+    * distinct-fingerprint count can never exceed the distinct-text count. */
+  def fingerprintRollingVerified(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), col("text"),
+        TextFunctions.fingerprint64(col("text"), lit(8)).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fp"),
+        countDistinct(col("text")).as("n_texts"))
+      .select(col("lang"), col("n_docs"), (col("n_fp") <= col("n_texts")).as("fp_le_texts_ok"))
+
+  // ---------- multimodal ----------
+
+  /** Real-header image metadata over a deterministic PNG/JPEG/GIF fixture:
+    * width/height/channels/format parsed from actual format headers, plus a
+    * unit-norm check on the extracted features. Oracle = the same closed
+    * formulas over range(0, n). */
+  def multimodalVerified(spark: SparkSession, nImages: Long): DataFrame = {
+    import spark.implicits._
+    import graft.spark.multimodal.{ImageHeaders, Multimodal}
+    val images = spark.range(nImages)
+      .map(i => (i, ImageHeaders.mkImage(i)))
+      .toDF("img_id", "payload")
+    Multimodal.enrichImages(images, "payload", dim = 16)
+      .select(col("img_id"),
+        col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"),
+        col("image_meta.channels").as("channels"),
+        col("image_meta.format").as("format"),
+        (abs(aggregate(transform(col("features"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x) - 1.0) < 0.001).as("feat_norm_ok"))
+  }
+
+  // ---------- ANN ----------
+
+  /** Exact brute-force cosine top-5 (query set = vec_id < 10), emitted with
+    * deterministic (sim desc, vec_id) ranks — DuckDB recomputes it exactly. */
+  def annBruteForceVerified(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    Ann.bruteForceTopK(emb.select(col("vec_id"), col("embedding")), queries, 5)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** LSH ANN recall >= threshold per query (recall itself is deterministic;
+    * the bound is the driver-checkable projection). */
+  def annLshRecallVerified(spark: SparkSession, dir: String, minRecall: Double): DataFrame =
+    recallOk(SparkQueries.annLshRecall(spark, dir), minRecall)
+
+  def annIvfRecallVerified(spark: SparkSession, dir: String, minRecall: Double): DataFrame =
+    recallOk(SparkQueries.annIvfRecall(spark, dir), minRecall)
+
+  private def recallOk(recalls: DataFrame, minRecall: Double): DataFrame =
+    recalls.select(col("query_id"), (col("recall_at_5") >= minRecall).as("recall_ok"))
+
+  // ---------- flagship ----------
+
+  /** The north-star pages battery, flattened to scalar columns and verified:
+    * exact n_pages + top domain (oracle = PagesTruth literals), HLL/Bloom
+    * distinct-url estimates vs exact COUNT(DISTINCT url), HH containment of
+    * the exact top domain, KLL length quantiles rank-checked. */
+  def pagesSketchBatteryVerified(spark: SparkSession, nPages: Long): DataFrame = {
+    val pages = graft.spark.io.PagesGen.pages(spark, nPages)
+    val domain = regexp_extract(col("url"), "https://([^/]+)/", 1)
+    val base = pages.select(col("lang"), col("url"), domain.as("domain"),
+      length(col("text")).cast("double").as("text_len"))
+
+    val sketch = base.groupBy(col("lang")).agg(
+      NativeHllCountAgg.hllCountNative(col("url"), 14).as("hll_est"),
+      SketchFunctions.bfEstimate(
+        SketchUdafs.bloom(2000000, 0.01)(col("url"))).as("bloom_est"),
+      SketchUdafs.heavyHitters(5, 4096, 5)(col("domain"), lit(1L)).as("top_domains"),
+      SketchFunctions.kllQuantiles(
+        SketchUdafs.kll(200)(col("text_len")),
+        array(lit(0.5), lit(0.95), lit(0.99))).as("lq"),
+      count(lit(1)).as("n_pages"))
+
+    val exact = base.groupBy(col("lang")).agg(
+      countDistinct(col("url")).as("exact_urls"))
+    val domCounts = base.groupBy(col("lang"), col("domain")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("domain"))
+    val topDom = domCounts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("lang"), col("domain").as("top_domain"), col("n").as("top_count"))
+
+    val est = sketch.select(col("lang"),
+      element_at(col("lq"), 1).as("p50_est"),
+      element_at(col("lq"), 2).as("p95_est"),
+      element_at(col("lq"), 3).as("p99_est"))
+    val ranks = quantileRankChecks(
+      base.select(col("lang"), col("text_len").as("v")), "lang", "v", est,
+      Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), relTol = 0.05)
+
+    sketch.join(exact, "lang").join(topDom, "lang").join(ranks, "lang")
+      .select(col("lang"), col("n_pages"), col("top_domain"),
+        withinBound(col("hll_est"), col("exact_urls"), 0.02, 2).as("hll_ok"),
+        withinBound(col("bloom_est"), col("exact_urls"), 0.02, 2).as("bloom_ok"),
+        (element_at(col("top_domains"), col("top_domain")).isNotNull &&
+          element_at(col("top_domains"), col("top_domain")) >= col("top_count") &&
+          element_at(col("top_domains"), col("top_domain")) <=
+            col("top_count") * 1.05 + 2).as("hh_ok"),
+        col("p50_ok"), col("p95_ok"), col("p99_ok"))
+  }
+}

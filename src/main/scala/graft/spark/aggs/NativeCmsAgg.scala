@@ -3,9 +3,9 @@ package graft.spark.aggs
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{CmsQueryType, CountMinSketch}
@@ -25,9 +25,12 @@ case class NativeCmsAgg(
     depth: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[CountMinSketch] {
+) extends TypedImperativeAggregate[CountMinSketch] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(key, count)
+  // the analyzer casts (or rejects) children, so update() never CCEs on an
+  // IntegerType count literal or a non-string key
+  override def inputTypes = Seq(StringType, LongType) // AbstractDataType is private[sql] — infer
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 

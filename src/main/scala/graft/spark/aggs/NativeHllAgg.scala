@@ -3,9 +3,9 @@ package graft.spark.aggs
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ext.Hll
@@ -29,9 +29,11 @@ case class NativeHllCountAgg(
     p: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[Hll] {
+) extends TypedImperativeAggregate[Hll] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  // cast-or-reject at analysis time instead of a runtime CCE on non-strings
+  override def inputTypes = Seq(StringType) // AbstractDataType is private[sql] — infer
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 

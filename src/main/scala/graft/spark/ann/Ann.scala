@@ -65,48 +65,81 @@ object Ann extends Serializable {
       sig
     })
 
+  private def cosineLocal(a: Seq[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer splits the corpus into
     * `nlist` cells; a query probes only its `nprobe` nearest cells and
     * re-scores exactly within them — the classic FAISS-style scale path.
     *
-    * The quantizer here is a deterministic sample of corpus vectors (the
-    * `nlist` rows with the smallest xxhash of their id) rather than trained
-    * k-means — cheap, reproducible, and good enough for recall benchmarking;
-    * swap in Lloyd iterations for production without changing the plan shape.
-    * At 10^12 rows the assignment is one broadcast-map pass, and the search
-    * join is keyed by `cell` — no full scan per query.
+    * The quantizer seeds from a deterministic sample of corpus vectors (the
+    * `nlist` rows with the smallest xxhash of their id) and then runs
+    * `lloydIters` distributed k-means iterations: assignment is one
+    * broadcast-map pass; the centroid update is one posexplode +
+    * (cell, dim)-keyed partial-aggregate (nlist·dim rows to the driver per
+    * iteration — O(KB), independent of corpus size). At 10^12 rows the
+    * search join is keyed by `cell` — no full scan per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
-    import org.apache.spark.sql.Row
-    // deterministic coarse centroids: nlist corpus vectors by hashed id
-    val centroids: Array[(Int, Seq[Float])] = corpus
+    // deterministic coarse seeds: nlist corpus vectors by hashed id
+    var centroids: Array[(Int, Array[Float])] = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"))
       .limit(nlist)
       .collect()
       .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding"))) }
+      .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }
 
-    val cents = spark.sparkContext.broadcast(centroids.map { case (i, v) => (i, v.toArray) })
-
-    def cosineLocal(a: Seq[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    def mkAssign(cs: Array[(Int, Array[Float])]) = {
+      val bc = spark.sparkContext.broadcast(cs)
+      udf((v: Seq[Float]) => {
+        var best = 0; var bestSim = Double.NegativeInfinity
+        bc.value.foreach { case (i, c) =>
+          val s = cosineLocal(v, c)
+          if (s > bestSim) { bestSim = s; best = i }
+        }
+        best
+      })
     }
 
-    val assignCell = udf((v: Seq[Float]) => {
-      var best = 0; var bestSim = Double.NegativeInfinity
-      cents.value.foreach { case (i, c) =>
-        val s = cosineLocal(v, c)
-        if (s > bestSim) { bestSim = s; best = i }
+    // Lloyd iterations: new centroid = normalized mean of the cell's vectors
+    // (spherical k-means); empty cells keep their previous centroid
+    var it = 0
+    while (it < lloydIters) {
+      val assign = mkAssign(centroids)
+      val sums = corpus.select(col("embedding"))
+        .withColumn("cell", assign(col("embedding")))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"))
+        .collect()
+      val dim = centroids.head._2.length
+      val acc = Array.fill(nlist)(new Array[Double](dim))
+      val seen = new Array[Boolean](nlist)
+      sums.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        acc(c)(p) = r.getDouble(2); seen(c) = true
       }
-      best
-    })
+      centroids = centroids.map { case (i, old) =>
+        if (!seen(i)) (i, old)
+        else {
+          val v = acc(i)
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          if (norm == 0) (i, old) else (i, v.map(x => (x / norm).toFloat))
+        }
+      }
+      it += 1
+    }
+
+    val cents = spark.sparkContext.broadcast(centroids)
+    val assignCell = mkAssign(centroids)
     val probeCells = udf((v: Seq[Float]) =>
       cents.value.map { case (i, c) => (i, cosineLocal(v, c)) }
         .sortBy(-_._2).take(nprobe).map(_._1))

@@ -1,0 +1,212 @@
+package graft.spark.fns
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.hash.Fnv
+
+/** Codegen'd kernels for the dedup hot paths (round-1 verdict #8: the
+  * minhash/simhash signature UDFs were the slowest bench stage). Each
+  * expression stays inside whole-stage codegen by emitting a static call
+  * into [[TextKernels]] — no ScalaUDF eval boundary, no Row boxing.
+  */
+object TextKernels extends Serializable {
+
+  // Java \s+ splits on exactly [ \t\n\f\r] (ASCII-only by default) —
+  // match that, NOT Character.isWhitespace, so kernel tokenization equals the
+  // jaccard-verify tokenization in Dedup
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  @inline private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
+
+  /** 64-bit SimHash over whitespace tokens (Charikar, STOC 2002): per-token
+    * fnv-1a-64, ±1 per bit, sign → bit. Single pass, no token array. */
+  def simhash64(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val text = s.toString
+    val acc = new Array[Int](64)
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      if (i < n) {
+        // fold fnv over the lowercased token in place
+        var h = Fnv.Offset64
+        while (i < n && !isWs(text.charAt(i))) {
+          h ^= lower(text.charAt(i)).toInt
+          h *= Fnv.Prime64
+          i += 1
+        }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Token (start, end) offsets over the lowercased text. */
+  private def tokenBounds(text: String): (Array[Char], Array[Int], Int) = {
+    val n = text.length
+    val chars = new Array[Char](n)
+    var i = 0
+    while (i < n) { chars(i) = lower(text.charAt(i)); i += 1 }
+    val bounds = new Array[Int](2 * (n / 2 + 2))
+    var ntoks = 0
+    i = 0
+    while (i < n) {
+      while (i < n && isWs(chars(i))) i += 1
+      if (i < n) {
+        bounds(2 * ntoks) = i
+        while (i < n && !isWs(chars(i))) i += 1
+        bounds(2 * ntoks + 1) = i
+        ntoks += 1
+      }
+    }
+    (chars, bounds, ntoks)
+  }
+
+  /** fnv-1a-64 of tokens [from, until) joined by single spaces, computed
+    * directly over the char buffer — no shingle string is materialized. */
+  private def shingleHash(chars: Array[Char], bounds: Array[Int], from: Int, until: Int): Long = {
+    var h = Fnv.Offset64
+    var t = from
+    while (t < until) {
+      if (t > from) { h ^= ' '.toInt; h *= Fnv.Prime64 }
+      var i = bounds(2 * t)
+      val e = bounds(2 * t + 1)
+      while (i < e) { h ^= chars(i).toInt; h *= Fnv.Prime64; i += 1 }
+      t += 1
+    }
+    h
+  }
+
+  /** MinHash signature via the one-hash permutation family: each shingle is
+    * fnv-hashed once; permutation i is a splitmix64-style finalizer of
+    * (base, i). Duplicates need no dedup — min over a multiset equals min
+    * over its set. Matches Dedup.minhashSignature's values exactly. */
+  def minhashSig(s: UTF8String, shingleSize: Int, numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(-1L) // unsigned max
+    if (s == null) return sig
+    val (chars, bounds, ntoks) = tokenBounds(s.toString)
+    @inline def mix(base: Long): Unit = {
+      var i = 0
+      while (i < numHashes) {
+        var z = base + (i + 1) * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (java.lang.Long.compareUnsigned(z, sig(i)) < 0) sig(i) = z
+        i += 1
+      }
+    }
+    if (ntoks < shingleSize) mix(shingleHash(chars, bounds, 0, ntoks))
+    else {
+      var w = 0
+      while (w + shingleSize <= ntoks) {
+        mix(shingleHash(chars, bounds, w, w + shingleSize))
+        w += 1
+      }
+    }
+    sig
+  }
+
+  /** Fused LSH path: minhash signature -> per-band fnv fold, returning only
+    * the `bands` band hashes — the 64-long signature never reaches the plan,
+    * so the exploded/shuffled relation stays narrow. */
+  def minhashBands(s: UTF8String, shingleSize: Int, numHashes: Int, bands: Int): ArrayData = {
+    val sig = minhashSig(s, shingleSize, numHashes)
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var i = b * rows
+      while (i < (b + 1) * rows) { h ^= sig(i); h *= 1099511628211L; i += 1 }
+      out(b) = h
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Codegen'd 64-bit SimHash of a string column. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.fns.TextKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Codegen'd fused minhash band hashes of a string column. */
+case class MinHashBandsExpr(child: Expression, shingleSize: Int, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashBands(input.asInstanceOf[UTF8String], shingleSize, numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.spark.fns.TextKernels.minhashBands($c, $shingleSize, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_bands"
+}
+
+/** Codegen'd minhash signature (the reference-shaped surface; the LSH
+  * pipeline itself uses the fused [[MinHashBandsExpr]]). */
+case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(
+      TextKernels.minhashSig(input.asInstanceOf[UTF8String], shingleSize, numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.spark.fns.TextKernels.minhashSig($c, $shingleSize, $numHashes))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object TextExpressions {
+  def simhash64Native(c: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c)))
+
+  def minhashBandsNative(c: Column, shingleSize: Int, numHashes: Int, bands: Int): Column =
+    GraftColumnBridge.column(
+      MinHashBandsExpr(GraftColumnBridge.expression(c), shingleSize, numHashes, bands))
+
+  def minhashSigNative(c: Column, shingleSize: Int, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSigExpr(GraftColumnBridge.expression(c), shingleSize, numHashes))
+}

@@ -74,7 +74,8 @@ object PagesGen extends Serializable {
     sb.append("doc ").append(id)
     var i = 0
     while (i < len) {
-      sb.append(' ').append(words((mix(seed, id, 5 + i) >>> 7).toInt.abs % words.length))
+      // floorMod: .toInt.abs % len is negative for Int.MinValue (abs == MinValue)
+      sb.append(' ').append(words(Math.floorMod((mix(seed, id, 5 + i) >>> 7).toInt, words.length)))
       i += 1
     }
     sb.toString

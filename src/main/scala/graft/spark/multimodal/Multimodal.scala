@@ -18,18 +18,24 @@ import graft.hash.Fnv
   */
 object Multimodal {
 
-  // ==== STUB KERNELS — swap these for real codecs (e.g. javacv / a Pandas
-  // UDF over mapInPandas on a python cluster); signatures stay the same ====
+  // ==== decode kernels: REAL header parsing for PNG/JPEG/GIF (pure
+  // byte-layout, see ImageHeaders); STUB fallback for other payloads —
+  // swap the fallback for real codecs (e.g. javacv / a Pandas UDF over
+  // mapInPandas on a python cluster); signatures stay the same ====
 
-  /** STUB image decode: derives (width, height, channels, format) from the
-    * payload deterministically instead of parsing a real image header. */
+  /** Image metadata decode: parses real PNG (IHDR), JPEG (SOF0-3) and GIF
+    * (screen descriptor) headers; payloads in any other format fall back to
+    * a DISCLOSED STUB derivation so the plumbing stays exercisable without
+    * codecs in the container. */
   val decodeImageMeta = udf((payload: Array[Byte]) => {
     if (payload == null || payload.isEmpty) null
-    else {
-      val h = Fnv.fnv1a64(payload, 0)
-      val w = 64 + (Math.floorMod(h, 16L) * 64).toInt
-      val ht = 64 + (Math.floorMod(h >>> 8, 16L) * 64).toInt
-      (w, ht, 3, "rgb8-stub")
+    else ImageHeaders.parse(payload) match {
+      case Some(m) => (m.width, m.height, m.channels, m.format)
+      case None => // STUB fallback: deterministic fake metadata
+        val h = Fnv.fnv1a64(payload, 0)
+        val w = 64 + (Math.floorMod(h, 16L) * 64).toInt
+        val ht = 64 + (Math.floorMod(h >>> 8, 16L) * 64).toInt
+        (w, ht, 3, "rgb8-stub")
     }
   })
 

@@ -33,8 +33,10 @@ case class RewriteCountDistinctToHll() extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.encoders.AgnosticEncoder
     val inEnc = ExpressionEncoder(
       Encoders.STRING.asInstanceOf[AgnosticEncoder[String]]).resolveAndBind()
-    val bufEnc = ExpressionEncoder(
-      Encoders.kryo[Hll].asInstanceOf[AgnosticEncoder[Hll]]).resolveAndBind()
+    // buffers cross the shuffle in the REFERENCE byte format (project
+    // invariant — same TransformingEncoder codec every other agg path uses)
+    val bufEnc = graft.spark.aggs.SketchEncoders.hllEnc
+      .asInstanceOf[ExpressionEncoder[Hll]].resolveAndBind()
     new ScalaAggregator[String, Hll, Long](
       Seq(child), new HllCountAgg(hllP), inEnc, bufEnc,
       false, true, 0, 0, Some("graft_hll_count"))

@@ -49,6 +49,12 @@ object TextFunctions extends Serializable {
     "es" -> Set("el", "la", "los", "las", "y", "es", "una", "un", "para", "que", "de", "por"),
     "pt" -> Set("o", "a", "os", "as", "e", "é", "uma", "um", "para", "que", "de", "não"),
     "ru" -> Set("и", "в", "не", "на", "что", "это", "как", "по", "но", "из"),
+    "it" -> Set("che", "di", "e", "il", "la", "per", "un", "della", "anche", "sono",
+      "perché", "più", "questo", "lo", "gli", "non"),
+    "nl" -> Set("de", "het", "een", "van", "en", "dat", "niet", "aan", "voor", "ook",
+      "maar", "zijn", "op", "te"),
+    "pl" -> Set("się", "nie", "jest", "że", "być", "jak", "ale", "czy", "dla", "przez",
+      "na", "do", "z", "co"),
   )
 
   /** Deterministic heuristic language ID: script detection for CJK/Cyrillic,

@@ -12,14 +12,17 @@ import graft.spark.fns.SketchFunctions
 class SurfaceSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
-  test("entry() flagship returns per-lang sketch battery rows") {
+  test("entry() flagship returns per-lang verified sketch battery rows") {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
     assert(rows.length == graft.spark.io.PagesGen.langs.length)
     rows.foreach { r =>
-      assert(r.getLong(r.fieldIndex("distinct_urls_hll")) > 0)
       assert(r.getLong(r.fieldIndex("n_pages")) > 0)
-      assert(r.getSeq[Double](r.fieldIndex("len_quantiles")).length == 3)
+      // every sketch-vs-exact check must hold on the deterministic fixture
+      Seq("hll_ok", "bloom_ok", "hh_ok", "p50_ok", "p95_ok", "p99_ok").foreach { c =>
+        assert(r.getBoolean(r.fieldIndex(c)), s"$c false for ${r.getString(0)}")
+      }
+      assert(r.getString(r.fieldIndex("top_domain")) == "d0.example.com")
     }
   }
 
