@@ -142,6 +142,41 @@ final class QuotientFilter(quotient: Int, var autoExpand: Boolean) extends Seria
 
   def merge(second: QuotientFilter): Unit = second.hashes().foreach(addHash)
 
+  /** Debug helper mirroring quotientfilter.py:520-538: check the metadata
+    * bits for the one combination ordered linear probing can never produce —
+    * a continuation slot that is not shifted (a run continuation always sits
+    * at or past its canonical slot's successor). NOTE the reference's own
+    * implementation compares the whole bitarray object to 1 (a Python bug
+    * that makes it always pass); this implements the documented intent. */
+  def validateMetadata(verbose: Boolean = false): Boolean = {
+    var ok = true
+    var i = 0
+    while (i < size) {
+      if (isContinuation.get(i) == 1 && isShifted.get(i) == 0) {
+        if (verbose) println(s"Row failed: $i")
+        ok = false
+      }
+      i += 1
+    }
+    ok
+  }
+
+  /** Debug dump of slot status (quotientfilter.py:509-518). */
+  def printLayout(out: java.io.PrintStream = System.out): Unit = {
+    out.println("idx\t--\tO-C-S\tStatus")
+    out.println("----------------------------------------")
+    var i = 0
+    while (i < size) {
+      val status =
+        if (isEmptyElement(i)) "Empty"
+        else if (isClusterStart(i)) "Cluster Start"
+        else if (isRunStart(i)) "Run Start"
+        else "Continuation"
+      out.println(s"$i\t--\t${isOccupied.get(i)}-${isContinuation.get(i)}-${isShifted.get(i)}\t$status")
+      i += 1
+    }
+  }
+
   // ---- internal cluster machinery (quotientfilter.py:291-508) ----
 
   private def isEmptyElement(i: Int): Boolean =

@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{BloomFilter, BloomFilterOnDisk, QuotientFilter, Utilities}
+import graft.spark.fns.TextKernels
+import graft.spark.multimodal.ImageHeaders
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-2 additions: real image-header parsing, on-disk Bloom, codegen'd
+  * text kernels, the C(6,3) simhash blocking guarantee, KLL weight
+  * conservation, QF debug helpers, path/hex utilities. */
+class ImageHeadersSpec extends AnyFunSuite {
+  test("generated PNG/JPEG/GIF headers parse to the closed formulas") {
+    (0L until 300L).foreach { i =>
+      val meta = ImageHeaders.parse(ImageHeaders.mkImage(i)).get
+      assert(meta.width == 16 + (i % 64) * 4, s"img $i width")
+      assert(meta.height == 16 + ((i / 64) % 64) * 4, s"img $i height")
+      val (fmt, ch) = (i % 3) match {
+        case 0 => ("png", 3)
+        case 1 => ("jpeg", 3)
+        case _ => ("gif", 1)
+      }
+      assert(meta.format == fmt && meta.channels == ch, s"img $i fmt/channels")
+    }
+  }
+
+  test("hand-built headers: PNG color types, JPEG marker skip, GIF87a") {
+    // PNG grayscale+alpha (color type 4 -> 2 channels)
+    val png = ImageHeaders.mkImage(0)
+    png(25) = 4
+    assert(ImageHeaders.parse(png).get.channels == 2)
+    // GIF87a variant
+    val gif = ImageHeaders.mkImage(2)
+    gif(4) = '7'
+    val g = ImageHeaders.parse(gif).get
+    assert(g.format == "gif" && g.width == 16 + 2 * 4)
+    // garbage -> None (stub fallback path)
+    assert(ImageHeaders.parse(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)).isEmpty)
+    assert(ImageHeaders.parse(null).isEmpty)
+  }
+}
+
+class BloomOnDiskSpec extends AnyFunSuite {
+  test("create/add/check, reopen, export: bytes == in-memory filter bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ondisk")
+    val path = dir.resolve("test.blm")
+    val mem = BloomFilter.empty(1000, 0.01)
+    val disk = BloomFilterOnDisk.create(path, 1000, 0.01)
+    (0 until 500).foreach { i => disk.add(s"key-$i"); mem.add(s"key-$i") }
+    (0 until 500).foreach(i => assert(disk.check(s"key-$i"), s"false negative key-$i"))
+    assert(disk.toBytes.toSeq == mem.toBytes.toSeq) // byte-format parity
+    disk.close()
+
+    val reopened = BloomFilterOnDisk.open(path)
+    assert(reopened.elsAdded == 500)
+    (0 until 500).foreach(i => assert(reopened.check(s"key-$i")))
+    reopened.add("key-500")
+    val out = dir.resolve("exported.blm")
+    reopened.export(out)
+    reopened.close()
+    val loaded = BloomFilter.fromBytes(java.nio.file.Files.readAllBytes(out))
+    assert(loaded.elsAdded == 501 && loaded.check("key-500"))
+  }
+
+  test("open on a missing file raises the reference message") {
+    val e = intercept[graft.core.InitializationError] {
+      BloomFilterOnDisk.open(java.nio.file.Paths.get("/tmp/definitely_missing.blm"))
+    }
+    assert(e.getMessage.contains("Insufecient parameters"))
+  }
+}
+
+class TextKernelsSpec extends AnyFunSuite {
+  private def u(s: String) = UTF8String.fromString(s)
+
+  // the round-1 UDF implementations, kept verbatim as the parity oracle
+  private def simhashRef(text: String): Long = {
+    if (text == null) 0L
+    else {
+      val acc = new Array[Int](64)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val h = graft.hash.Fnv.fnv1a64(tok, 0)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  private def shinglesRef(text: String, n: Int): Seq[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Seq(toks.mkString(" "))
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  private def minhashRef(text: String, n: Int, numHashes: Int): Seq[Long] = {
+    val sig = Array.fill(numHashes)(-1L)
+    shinglesRef(text, n).foreach { s =>
+      val base = graft.hash.Fnv.fnv1a64(s, 0)
+      var i = 0
+      while (i < numHashes) {
+        var z = base + (i + 1) * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (java.lang.Long.compareUnsigned(z, sig(i)) < 0) sig(i) = z
+        i += 1
+      }
+    }
+    sig.toSeq
+  }
+
+  private val samples = Seq(
+    "The quick Brown Fox jumps over the lazy dog",
+    "data page web crawl spark sketch filter count",
+    "  leading and   multiple   spaces\ttabs\nnewlines  ",
+    "one",
+    "two words",
+    "")
+
+  test("simhash64 kernel matches the round-1 UDF implementation") {
+    samples.foreach(s => assert(TextKernels.simhash64(u(s)) == simhashRef(s), s"'$s'"))
+  }
+
+  test("minhashSig kernel matches the round-1 shingle+signature path") {
+    samples.foreach { s =>
+      assert(TextKernels.minhashSig(u(s), 3, 64).toSeq == minhashRef(s, 3, 64), s"'$s'")
+    }
+  }
+
+  test("minhashBands equals the band fold over the signature") {
+    samples.foreach { s =>
+      val sig = TextKernels.minhashSig(u(s), 3, 64)
+      val bands = TextKernels.minhashBands(u(s), 3, 64, 16).toLongArray()
+      (0 until 16).foreach { b =>
+        var h = 0xcbf29ce484222325L ^ b
+        (b * 4 until (b + 1) * 4).foreach { i => h ^= sig(i); h *= 1099511628211L }
+        assert(bands(b) == h)
+      }
+    }
+  }
+}
+
+class SimhashBlockingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("C(6,3) blocking finds EXACTLY the hamming<=3 pairs (vs brute force)") {
+    import spark.implicits._
+    // random docs + planted near-dup pairs (1-2 token edits on ~40-token docs)
+    val rng = new scala.util.Random(20260816)
+    val vocab = (0 until 200).map(i => s"w$i")
+    def doc(): String = Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 120).map(_ => doc())
+    val edited = bases.take(40).map { t =>
+      val toks = t.split(" ")
+      toks(rng.nextInt(toks.length)) = vocab(rng.nextInt(vocab.size))
+      toks.mkString(" ")
+    }
+    val all = (bases ++ edited).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = all.toDF("doc_id", "text")
+
+    val sims = all.map { case (i, t) =>
+      i -> TextKernels.simhash64(UTF8String.fromString(t))
+    }.toMap
+    val expected = (for {
+      a <- all.map(_._1); b <- all.map(_._1) if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must contain hamming<=3 pairs")
+
+    val got = graft.spark.dedup.Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+}
+
+class KllWeightSpec extends AnyFunSuite {
+  private def totalWeight(k: graft.ext.Kll): Long = {
+    var s = 0L
+    k.compactors.zipWithIndex.foreach { case (buf, h) => s += buf.size.toLong << h }
+    s
+  }
+
+  test("compaction conserves total weight exactly (odd buffers included)") {
+    val k = graft.ext.Kll(8) // tiny k -> many compactions, odd buffers likely
+    val rng = new scala.util.Random(7)
+    (1 to 5000).foreach { i =>
+      k.update(rng.nextDouble())
+      if (i % 997 == 0) assert(totalWeight(k) == i.toLong, s"weight drift at $i")
+    }
+    assert(totalWeight(k) == 5000L)
+    val k2 = graft.ext.Kll(8)
+    (1 to 3000).foreach(_ => k2.update(rng.nextDouble()))
+    k.merge(k2)
+    assert(totalWeight(k) == 8000L)
+  }
+}
+
+class QfDebugSpec extends AnyFunSuite {
+  test("validateMetadata holds across adds/removes; printLayout emits rows") {
+    val qf = QuotientFilter(7, autoExpand = false)
+    val rng = new scala.util.Random(3)
+    (0 until 80).foreach(i => qf.add(s"k$i"))
+    (0 until 30).foreach(i => if (rng.nextBoolean()) qf.remove(s"k$i"))
+    assert(qf.validateMetadata())
+    val bos = new java.io.ByteArrayOutputStream()
+    qf.printLayout(new java.io.PrintStream(bos))
+    val lines = bos.toString.split("\n")
+    assert(lines.length == qf.size + 2)
+    assert(lines.exists(_.contains("Cluster Start")))
+  }
+}
+
+class UtilitiesSpec extends AnyFunSuite {
+  test("isHexString / isValidFile / resolvePath mirror utilities.py") {
+    assert(Utilities.isHexString("00deadBEEF"))
+    assert(!Utilities.isHexString("xyz"))
+    assert(!Utilities.isHexString(null))
+    assert(Utilities.isValidFile("/etc/hostname") || Utilities.isValidFile("/etc/hosts"))
+    assert(!Utilities.isValidFile("/definitely/not/here"))
+    assert(!Utilities.isValidFile(null))
+    assert(Utilities.resolvePath("~").toString == System.getProperty("user.home"))
+    assert(Utilities.resolvePath("/tmp/../tmp/x").toString == "/tmp/x")
+  }
+}
+
+class LangFixtureSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("every fixture doc classifies to its own language (exact accuracy 1.0)") {
+    val rows = graft.spark.text.LangFixture.docs(spark, docsPerLang = 50)
+      .select(col("lang"), graft.spark.text.TextFunctions.langId(col("text")).as("p"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(when(col("p") === col("lang"), 1L).otherwise(0L)).as("c"))
+      .collect()
+    assert(rows.length == graft.spark.text.LangFixture.langs.length)
+    rows.foreach(r => assert(r.getLong(1) == 50 && r.getLong(2) == 50,
+      s"${r.getString(0)}: ${r.getLong(2)}/50"))
+  }
+}
