@@ -75,17 +75,37 @@ object Dedup extends Serializable {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
   })
 
+  /** All (lo, hi) id pairs within a bucket, ids sorted for determinism.
+    * `maxBucket` truncates pathological buckets (sorted prefix): a bucket of
+    * B near-identical docs emits B² pairs no matter how candidates are
+    * generated — run exact dedup BEFORE near-dup LSH so identical-content
+    * clusters never reach this stage (standard pipeline ordering). */
+  private def bucketPairsUdf(maxBucket: Int): UserDefinedFunction =
+    udf((ids: Seq[Long]) => {
+      val sorted = ids.sorted.take(maxBucket).toArray
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
+        i += 1
+      }
+      out
+    })
+
   /** MinHash-LSH near-duplicate pairs.
     *
-    * df must carry (idCol, textCol). Pipeline: fused shingle→minhash→band
-    * kernel (codegen'd, emits only `bands` longs per doc) → explode →
-    * bucket-join within (band, hash) → exact-Jaccard verify on candidates.
+    * df must carry (idCol BIGINT, textCol). Pipeline: fused
+    * shingle→minhash→band kernel (codegen'd, emits only `bands` longs per
+    * doc) → explode → ONE shuffle keyed by (band, hash) → within-bucket pair
+    * generation → exact-Jaccard verify on candidates. Grouping (rather than
+    * a self-join) runs the signature kernel and the banded shuffle once.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+                      threshold: Double = 0.8, maxBucket: Int = 4096): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
 
     // (doc_id, band, band_hash) only — the exploded/shuffled relation stays
     // 3 narrow columns; neither shingles nor the 64-long signature ever
@@ -95,12 +115,12 @@ object Dedup extends Serializable {
         posexplode(TextExpressions.minhashBandsNative(
           col("text"), shingleSize, numHashes, bands)).as(Seq("band", "bh")))
 
-    val a = banded.select(col("band").as("band_a"), col("bh").as("bh_a"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band").as("band_b"), col("bh").as("bh_b"), col("doc_id").as("id_b"))
-    val candidates = a.join(b,
-        col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
-          col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val candidates = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
 
     // exact-Jaccard verification only on the (few) candidate pairs
@@ -134,27 +154,43 @@ object Dedup extends Serializable {
           shiftleft(blockOf(sim, j), 11) bitwiseOR blockOf(sim, k)).as("key"))
     }: _*)
 
+  /** Within-bucket (id, sim) pair generation; ids and sims are parallel
+    * collect_lists from the same aggregate, so indices correspond. */
+  private def bucketSimPairsUdf(maxBucket: Int): UserDefinedFunction =
+    udf((ids: Seq[Long], sims: Seq[Long]) => {
+      val z = ids.zip(sims).sortBy(_._1).take(maxBucket).toArray
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var i = 0
+      while (i < z.length) {
+        var j = i + 1
+        while (j < z.length) { out += ((z(i)._1, z(j)._1, z(i)._2, z(j)._2)); j += 1 }
+        i += 1
+      }
+      out
+    })
+
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming.
     *
     * Candidate recall is GUARANTEED for maxHamming <= 3 (the C(6,3) block
     * pigeonhole); larger maxHamming still works but recall becomes
-    * probabilistic. Join keys carry ~32 bits, so bucket sizes stay ~N/2^32
-    * at corpus scale (round-1 verdict #3's fix for the 16-bit chunk join).
-    */
+    * probabilistic. Bucket keys carry ~32 bits, so bucket sizes stay ~N/2^32
+    * at corpus scale (round-1 verdict #3's fix for the 16-bit chunk join);
+    * like the minhash path, ONE shuffle keyed by (combo, key), pair
+    * generation within buckets, simhash kernel runs once. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("doc_id"),
+                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val withSim = df.select(col(idCol).cast("long").as("doc_id"),
       TextExpressions.simhash64Native(col(textCol)).as("sim"))
     val keyed = withSim
       .select(col("doc_id"), col("sim"), explode(comboKeys(col("sim"))).as("ck"))
       .select(col("doc_id"), col("sim"), col("ck.combo").as("combo"), col("ck.key").as("key"))
-    val a = keyed.select(col("combo").as("combo_a"), col("key").as("key_a"),
-      col("doc_id").as("id_a"), col("sim").as("sim_a"))
-    val b = keyed.select(col("combo").as("combo_b"), col("key").as("key_b"),
-      col("doc_id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, col("combo_a") === col("combo_b") && col("key_a") === col("key_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+    keyed
+      .groupBy(col("combo"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"), collect_list(col("sim")).as("sims"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketSimPairsUdf(maxBucket)(col("ids"), col("sims"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("sim_a"), col("p._4").as("sim_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
