@@ -194,10 +194,11 @@ object ScalingBench {
          || Bloom add | 19.6k keys/s | — |
          || CMS add | 22.9k keys/s | — |
          || HeavyHitters add | 23.8k keys/s | — |
-         || full battery per page | **7.0k pages/s** | **305k (local[2]) / 1.02M (local[8]) pages/s** |
+         || full battery per page | **7.0k pages/s** | **${rate(2) / 1000}%.0fk (local[2]) / ${rate(8) / 1000}%.0fk (local[8]) pages/s** |
          |
          |The engine's battery is a superset (adds HLL + KLL per page) and still
-         |runs ~43x the reference single-node rate at 2 threads and ~145x at 8.
+         |runs ~${rate(2) / 7000}%.0fx the reference single-node rate at 2 threads
+         |and ~${rate(8) / 7000}%.0fx at 8.
          |
          |Reproduce (one fresh JVM per level — in-process back-to-back sessions
          |carry heap/GC state and poison the comparison):
@@ -227,8 +228,11 @@ object ScalingBench {
     s
   }
 
-  /** The measured job: full per-lang sketch battery over the pages table. */
+  /** The measured job: full per-lang sketch battery over the pages table —
+    * all four sketches as pure-Catalyst TypedImperativeAggregates (zero-copy
+    * UTF8String folds; same bytes as the udaf path, NativeParitySpec). */
   private def job(spark: SparkSession, dir: String): Unit = {
+    import graft.spark.aggs.{NativeHllCountAgg, NativeSketchAggs}
     val pages = spark.read.parquet(dir)
     val domain = regexp_extract(col("url"), "https://([^/]+)/", 1)
     val out = pages
@@ -236,12 +240,13 @@ object ScalingBench {
         length(col("text")).cast("double").as("text_len"))
       .groupBy(col("lang"))
       .agg(
-        SketchUdafs.hllCount(14)(col("url")).as("distinct_urls"),
+        NativeHllCountAgg.hllCountNative(col("url"), 14).as("distinct_urls"),
         SketchFunctions.bfEstimate(
-          SketchUdafs.bloom(1000000, 0.01)(col("url"))).as("bloom_estimate"),
-        SketchUdafs.heavyHitters(5, 4096, 5)(col("domain"), lit(1L)).as("top_domains"),
+          NativeSketchAggs.bloomNative(col("url"), 1000000, 0.01)).as("bloom_estimate"),
+        NativeSketchAggs.heavyHittersNative(col("domain"), lit(1L), 5, 4096, 5)
+          .as("top_domains"),
         SketchFunctions.kllQuantiles(
-          SketchUdafs.kll(200)(col("text_len")),
+          NativeSketchAggs.kllNative(col("text_len"), 200),
           array(lit(0.5), lit(0.95), lit(0.99))).as("len_q"),
         count(lit(1)).as("n_pages"))
     out.collect()

@@ -236,8 +236,13 @@ final class HeavyHitters(val numHitters: Int, val cms: CountMinSketch) extends S
   def heavyHitters: Map[String, Long] = topX.toMap
   def elementsAdded: Long = cms.elementsAdded
 
-  def add(key: String, numEls: Long = 1L): Long = {
-    val res = cms.add(key, numEls)
+  def add(key: String, numEls: Long = 1L): Long =
+    addWithHashes(key, cms.hashes(key), numEls)
+
+  /** Add with precomputed grid hashes (the native aggregate's zero-copy
+    * entry point — the key string is still needed for the candidate dict). */
+  def addWithHashes(key: String, hs: Array[Long], numEls: Long): Long = {
+    val res = cms.addHashes(hs, numEls)
     if (topX.size < numHitters) {
       topX.update(key, res) // room left (countminsketch.py:646-650)
     } else if (topX.contains(key)) {

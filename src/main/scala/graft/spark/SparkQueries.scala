@@ -351,7 +351,9 @@ object SparkQueries {
 
   /** Flagship: one pass over a deterministic synthetic pages table building
     * the full sketch battery per lang — the north-star query shape
-    * (distinct urls, heavy domains, text-length quantiles, membership). */
+    * (distinct urls, heavy domains, text-length quantiles, membership).
+    * All four sketches run as pure-Catalyst TypedImperativeAggregates
+    * (zero-copy UTF8String folds, no per-row boxing through Encoders). */
   def pagesSketchBattery(spark: SparkSession, nPages: Long): DataFrame = {
     val pages = graft.spark.io.PagesGen.pages(spark, nPages)
     val domain = regexp_extract(col("url"), "https://([^/]+)/", 1)
@@ -360,12 +362,13 @@ object SparkQueries {
         length(col("text")).cast("double").as("text_len"))
       .groupBy(col("lang"))
       .agg(
-        SketchUdafs.hllCount(14)(col("url")).as("distinct_urls_hll"),
+        NativeHllCountAgg.hllCountNative(col("url"), 14).as("distinct_urls_hll"),
         SketchFunctions.bfEstimate(
-          SketchUdafs.bloom(2000000, 0.01)(col("url"))).as("distinct_urls_bloom"),
-        SketchUdafs.heavyHitters(5, 4096, 5)(col("domain"), lit(1L)).as("top_domains"),
+          NativeSketchAggs.bloomNative(col("url"), 2000000, 0.01)).as("distinct_urls_bloom"),
+        NativeSketchAggs.heavyHittersNative(col("domain"), lit(1L), 5, 4096, 5)
+          .as("top_domains"),
         SketchFunctions.kllQuantiles(
-          SketchUdafs.kll(200)(col("text_len")),
+          NativeSketchAggs.kllNative(col("text_len"), 200),
           array(lit(0.5), lit(0.95), lit(0.99))).as("len_quantiles"),
         count(lit(1)).as("n_pages"))
   }

@@ -360,10 +360,11 @@ object VerifiedQueries {
     val sketch = base.groupBy(col("lang")).agg(
       NativeHllCountAgg.hllCountNative(col("url"), 14).as("hll_est"),
       SketchFunctions.bfEstimate(
-        SketchUdafs.bloom(2000000, 0.01)(col("url"))).as("bloom_est"),
-      SketchUdafs.heavyHitters(5, 4096, 5)(col("domain"), lit(1L)).as("top_domains"),
+        NativeSketchAggs.bloomNative(col("url"), 2000000, 0.01)).as("bloom_est"),
+      NativeSketchAggs.heavyHittersNative(col("domain"), lit(1L), 5, 4096, 5)
+        .as("top_domains"),
       SketchFunctions.kllQuantiles(
-        SketchUdafs.kll(200)(col("text_len")),
+        NativeSketchAggs.kllNative(col("text_len"), 200),
         array(lit(0.5), lit(0.95), lit(0.99))).as("lq"),
       count(lit(1)).as("n_pages"))
 

@@ -9,7 +9,6 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{CmsQueryType, CountMinSketch}
-import graft.hash.Fnv
 
 /** Pure-Catalyst weighted Count-Min aggregate — the zero-copy companion to
   * the udaf-based [[CmsAgg]]: reads (key UTF8String, count long) straight
@@ -37,31 +36,12 @@ case class NativeCmsAgg(
   override def createAggregationBuffer(): CountMinSketch =
     CountMinSketch.empty(width, depth, CmsQueryType.Min)
 
-  /** depth seeded fnv hashes, byte-fold fast path for ASCII keys. */
-  private def hashesOf(s: UTF8String): Array[Long] = {
-    val n = s.numBytes()
-    var ascii = true
-    var i = 0
-    while (i < n && ascii) { if (s.getByte(i) < 0) ascii = false; i += 1 }
-    if (!ascii) return graft.hash.Fnv1aHasher.hashes(s.toString, depth)
-    val out = new Array[Long](depth)
-    var d = 0
-    while (d < depth) {
-      var h = Fnv.Offset64 + 31L * d
-      var j = 0
-      while (j < n) { h ^= s.getByte(j); h *= Fnv.Prime64; j += 1 }
-      out(d) = h
-      d += 1
-    }
-    out
-  }
-
   override def update(buffer: CountMinSketch, input: InternalRow): CountMinSketch = {
     val k = key.eval(input)
     if (k != null) {
       val c = count.eval(input)
       val n = if (c == null) 1L else c.asInstanceOf[Long]
-      val hs = hashesOf(k.asInstanceOf[UTF8String])
+      val hs = NativeHashes.hashesOf(k.asInstanceOf[UTF8String], depth)
       if (n >= 0) buffer.addHashes(hs, n) else buffer.removeHashes(hs, -n)
     }
     buffer

@@ -57,4 +57,40 @@ class ExtensionsSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.graft.hll.rewriteCountDistinct", "false")
     }
   }
+
+  test("rewrite path buffers serialize in the reference HLL byte format") {
+    // the ScalaAggregator the rule builds must carry the SketchEncoders
+    // TransformingEncoder (reference bytes across the shuffle), not kryo:
+    // its buffer serializer output must parse as Hll.fromBytes
+    withExtSession { spark =>
+      spark.conf.set("spark.graft.hll.rewriteCountDistinct", "true")
+      try {
+        val df = spark.range(0, 1000, 1, 2)
+          .select(concat(lit("v"), col("id") % 300).as("k"))
+        df.createOrReplaceTempView("t_enc")
+        val q = spark.sql("SELECT COUNT(DISTINCT k) FROM t_enc")
+        val aggExprs = q.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.aggregateExpressions
+        }.flatten
+        val scalaAggs = aggExprs.flatMap(_.collect {
+          case s: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _] => s
+        })
+        assert(scalaAggs.nonEmpty, "rewritten ScalaAggregator not found in plan")
+        val agg = scalaAggs.head.asInstanceOf[
+          org.apache.spark.sql.execution.aggregate.ScalaAggregator[String, graft.ext.Hll, Long]]
+        val buf = agg.createAggregationBuffer()
+        (0 until 100).foreach(i => buf.add(s"x$i"))
+        // serialize() emits the buffer as a 1-column UnsafeRow; the BINARY
+        // field inside must be the reference HLL export, not kryo bytes
+        val rowBytes = agg.serialize(buf)
+        val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+        row.pointTo(rowBytes, rowBytes.length)
+        val payload = row.getBinary(0)
+        assert(payload.toSeq == buf.toBytes.toSeq)
+        val back = graft.ext.Hll.fromBytes(payload) // kryo bytes would fail here
+        assert(back.estimate == buf.estimate)
+      } finally spark.conf.set("spark.graft.hll.rewriteCountDistinct", "false")
+    }
+  }
 }
