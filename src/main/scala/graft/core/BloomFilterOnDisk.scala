@@ -117,6 +117,16 @@ final class BloomFilterOnDisk private (
 
 object BloomFilterOnDisk {
 
+  /** Unsupported, with the reference's exact message (bloom.py:612-614). */
+  def fromHex(hexString: String): Nothing =
+    throw new NotSupportedError(
+      "Loading from hex_string is currently not supported by the on disk Bloom Filter")
+
+  /** Unsupported, with the reference's exact message (bloom.py:676-681). */
+  def fromBytes(b: Array[Byte]): Nothing =
+    throw new NotSupportedError(
+      "Loading from bytes is currently not supported by the on disk Bloom Filter")
+
   /** Create a new zeroed on-disk filter at `filepath` (bloom.py:616-623). */
   def create(filepath: Path, estElements: Long, falsePositiveRate: Double,
              hasher: KeyHasher = Fnv1aHasher): BloomFilterOnDisk = {

@@ -71,6 +71,15 @@ class BloomOnDiskSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Insufecient parameters"))
   }
+
+  test("fromHex / fromBytes raise the reference NotSupportedError messages") {
+    val eh = intercept[graft.core.NotSupportedError](BloomFilterOnDisk.fromHex("00ff"))
+    assert(eh.getMessage ==
+      "Loading from hex_string is currently not supported by the on disk Bloom Filter")
+    val eb = intercept[graft.core.NotSupportedError](BloomFilterOnDisk.fromBytes(Array[Byte](1)))
+    assert(eb.getMessage ==
+      "Loading from bytes is currently not supported by the on disk Bloom Filter")
+  }
 }
 
 class TextKernelsSpec extends AnyFunSuite {
