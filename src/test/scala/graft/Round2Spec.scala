@@ -192,6 +192,28 @@ class SimhashBlockingSpec extends AnyFunSuite {
   }
 }
 
+class EmbedNearDupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("embedding-cosine near-dup finds planted parallel vectors, exact-verified") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(16)(rng.nextGaussian().toFloat)
+    val base = (0 until 100).map(i => (i.toLong, vec()))
+    // planted near-dups: a tiny perturbation of base vector i
+    val dups = (0 until 10).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = spark.createDataset(base ++ dups).toDF("vec_id", "embedding")
+    val pairs = graft.spark.dedup.Dedup
+      .embeddingNearDupPairs(df, "vec_id", "embedding", threshold = 0.98, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach(i => assert(pairs.contains((i.toLong, 1000L + i)), s"missed dup $i"))
+    // random gaussians don't pair at cosine >= 0.98
+    assert(pairs.forall { case (a, b) => b - a == 1000 })
+  }
+}
+
 class KllWeightSpec extends AnyFunSuite {
   private def totalWeight(k: graft.ext.Kll): Long = {
     var s = 0L
