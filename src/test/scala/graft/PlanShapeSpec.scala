@@ -49,12 +49,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(vec_id,10)"), plan) // pushed to the query-side scan
   }
 
-  test("minhashPairs: banded relation carries only narrow key columns into the join") {
-    val plan = formatted(SparkQueries.minhashPairs(spark, dir))
-    // the self-join keys are (band, bh) — the shingle/text payloads must not
-    // appear in the join-side ReadSchema more than the two verify lookups
+  test("minhashPairs: ONE signature-kernel pass, bucket grouping (no self-join recompute)") {
+    val df = SparkQueries.minhashPairs(spark, dir)
+    val plan = formatted(df)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
-    assert(plan.contains("hashpartitioning") || plan.contains("BroadcastHashJoin"), plan)
+    val tree = df.queryExecution.executedPlan.toString
+    // the fused kernel must appear in exactly one Generate — candidates come
+    // from groupBy buckets, not a both-sides-recomputed self-join
+    val kernelPasses = "minhash_bands".r.findAllIn(tree).length
+    assert(kernelPasses == 1, s"expected 1 kernel pass, got $kernelPasses:\n$tree")
+    assert(tree.contains("ObjectHashAggregate") || tree.contains("SortAggregate"),
+      s"bucket grouping missing:\n$tree") // collect_list per (band, bh)
+  }
+
+  test("simhashPairs: one simhash pass, C(6,3) combo keys, bucket grouping") {
+    val df = SparkQueries.simhashPairs(spark, dir)
+    val tree = df.queryExecution.executedPlan.toString
+    val kernelPasses = "simhash64".r.findAllIn(tree).length
+    assert(kernelPasses == 1, s"expected 1 simhash pass, got $kernelPasses:\n$tree")
+    assert(tree.contains("bit_count"), tree) // codegen'd hamming verify
+  }
+
+  test("pagesSketchBattery: native aggs, partial -> exchange -> final") {
+    val df = SparkQueries.pagesSketchBattery(spark, 2000L)
+    val plan = formatted(df)
+    Seq("graft_hll_count_native", "graft_bloom_native", "graft_hh_native", "graft_kll_native")
+      .foreach(agg => assert(plan.contains(agg), s"$agg missing:\n$plan"))
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    val exchange = plan.indexOf("Exchange", firstAgg)
+    val finalAgg = plan.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange,
+      s"expected partial-agg -> exchange -> final-agg:\n$plan")
   }
 
   test("salted two-level: two aggregation exchanges, no Expand") {
