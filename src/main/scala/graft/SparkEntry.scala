@@ -51,6 +51,7 @@ object SparkEntry {
     "q_kll_quantiles" -> (VerifiedQueries.kllQuantilesVerified(_, _)),
     "q_tdigest_quantiles" -> (VerifiedQueries.tdigestQuantilesVerified(_, _)),
     "q_ebf_stats" -> (VerifiedQueries.ebfStatsVerified(_, _)),
+    "q_stream_window" -> (VerifiedQueries.streamingWindowVerified(_, _)),
     "q_qf_hashes" -> (VerifiedQueries.qfHashesVerified(_, _)),
     // dedup / ANN / text / multimodal
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
@@ -159,6 +160,10 @@ object SparkEntry {
         "FROM events GROUP BY event_type"),
     "q_ebf_stats" ->
       "SELECT lang, COUNT(*) AS els_added, true AS all_members_ok FROM documents GROUP BY lang",
+    "q_stream_window" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS hll_ok " +
+        "FROM events GROUP BY 1, 2"),
     "q_qf_hashes" ->
       "SELECT lang, COUNT(*) AS n_docs, true AS hashes_count_ok FROM documents GROUP BY lang",
     "q_minhash_pairs" ->

@@ -322,6 +322,61 @@ object VerifiedQueries {
           lit(0.0), (acc, x) => acc + x) - 1.0) < 0.001).as("feat_norm_ok"))
   }
 
+  // ---------- streaming ----------
+
+  /** Structured-Streaming end to end, driver-checkable: the events table is
+    * replayed through a MemoryStream in two deterministic batches into the
+    * windowed sketch aggregation (incremental state store), then the sink is
+    * exact-verified — per (hour window, event_type): exact event count, and
+    * the streamed HLL distinct-user estimate within bound of the exact
+    * batch-computed distinct count. */
+  def streamingWindowVerified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = tbl(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("user_id").cast("string").as("user"))
+    val rows: Array[(Long, java.sql.Timestamp, String, String)] = events.collect()
+      .map { r =>
+        // the fixture ts is TIMESTAMP_NTZ (LocalDateTime); session TZ is UTC
+        val ts = r.get(1) match {
+          case t: java.sql.Timestamp => t
+          case ldt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(ldt)
+          case i: java.time.Instant => java.sql.Timestamp.from(i)
+        }
+        (r.getLong(0), ts, r.getString(2), r.getString(3))
+      }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val agg = mem.toDF().toDF("ts", "event_type", "user")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(SketchUdafs.hllCount(12)(col("user")).as("hll_users"),
+        count(lit(1)).as("n_events"))
+    val sinkName = "graft_stream_window_sink"
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.partition(_._1 % 2 == 0) // deterministic batch split
+      mem.addData(b1.toSeq.map(r => (r._2, r._3, r._4)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq.map(r => (r._2, r._3, r._4)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val exact = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(countDistinct(col("user")).as("n_exact"))
+    spark.table(sinkName)
+      // back to NTZ so the output column matches the fixture's (and the
+      // DuckDB oracle's) naive timestamps; session TZ is UTC so values align
+      .select(col("win.start").cast("timestamp_ntz").as("window_start"), col("event_type"),
+        col("n_events"), col("hll_users"))
+      .join(exact, Seq("window_start", "event_type"))
+      .select(col("window_start"), col("event_type"), col("n_events"), col("n_exact"),
+        withinBound(col("hll_users"), col("n_exact"), 0.05, 2).as("hll_ok"))
+  }
+
   // ---------- ANN ----------
 
   /** Exact brute-force cosine top-5 (query set = vec_id < 10), emitted with
