@@ -176,9 +176,16 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     val queries = (0 until 10).map(i => (i.toLong, vec(i % 20))).toDF("query_id", "q_embedding")
     val exact = graft.spark.ann.Ann.bruteForceTopK(corpus, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = graft.spark.ann.Ann.ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 6)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = exact.count(approx.contains).toDouble / exact.size
-    assert(recall >= 0.7, s"IVF recall too low: $recall")
+    def recallAt(iters: Int): Double = {
+      val approx = graft.spark.ann.Ann
+        .ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 6, lloydIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(approx.contains).toDouble / exact.size
+    }
+    val seeded = recallAt(0) // hashed-id seed centroids only
+    val trained = recallAt(3) // + spherical-Lloyd iterations
+    assert(trained >= 0.7, s"IVF recall too low: $trained")
+    // Lloyd training must not lose recall vs raw seeds on clustered data
+    assert(trained >= seeded, s"Lloyd hurt recall: seeded=$seeded trained=$trained")
   }
 }
