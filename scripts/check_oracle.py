@@ -43,7 +43,8 @@ def main(outdir, sfdir):
             except Exception:
                 eq = False
             if not eq:
-                # tolerant float compare fallback to surface value diffs
+                # dtype-insensitive EXACT compare (rtol=atol=0): only papers
+                # over int32-vs-int64 style dtype gaps, not value differences
                 diffs = []
                 for c in a.columns:
                     if not a[c].equals(b[c]):

@@ -28,7 +28,7 @@ object Bench {
     "q_cms_heavy_hitters" -> (SparkQueries.cmsHeavyHitters(_, _)),
     "q_kll_quantiles" -> (SparkQueries.kllQuantiles(_, _)),
     "q_tdigest_quantiles" -> (SparkQueries.tdigestQuantiles(_, _)),
-    "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
+    "q_minhash_pairs" -> (SparkQueries.minhashPairsBench(_, _)),
     "q_simhash_pairs" -> (SparkQueries.simhashPairs(_, _)),
     "q_ann_topk" -> (SparkQueries.annBruteForce(_, _)),
     "q_heavy_domains_exact" -> (SparkQueries.heavyDomainsExact(_, _)),

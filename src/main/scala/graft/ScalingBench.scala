@@ -191,7 +191,7 @@ object ScalingBench {
          |at 2->8). The two measurements that isolate job scalability from the
          |shared-memory-bus artifact:
          |
-         |- battery **${bestPair._1}**: **${bestPair._2}%.3f >= 0.8** (best pair,
+         |- battery **${bestPair._1}**: **${bestPair._2}%.3f** ${if (bestPair._2 >= 0.8) "(meets the >= 0.8 target;" else "(MISSES the >= 0.8 target;"} best pair,
          |  all pairs above unredacted);
          |- the CPU-dense minhash companion job (compute-per-byte high enough to
          |  sit below the DRAM ceiling) scales 8->32 at the efficiency shown in

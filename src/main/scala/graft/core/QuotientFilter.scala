@@ -103,12 +103,21 @@ final class QuotientFilter(quotient: Int, var autoExpand: Boolean) extends Seria
     if (elementsAdded == 0) return out
     val queue = new ArrayBuffer[Int]()
     // bound the empty-slot search: a completely full filter (reachable with
-    // autoExpand=false) has no empty slot — start at 0 instead of running
-    // past the bitset (the reference shares the unbounded scan; here the
-    // guard matters because hashes() sits on the toBytes/shuffle path)
+    // autoExpand=false) has no empty slot — anchor at a CLUSTER START
+    // instead (its first element is unshifted at its canonical slot, so a
+    // non-empty filter always has one); starting mid-run would decode wrong
+    // quotients. The reference's unbounded scan would run past the bitset;
+    // the guard matters here because hashes() sits on the toBytes/shuffle
+    // path.
     var start = 0
     while (start < size && !isEmptyElement(start)) start += 1
-    if (start == size) start = 0
+    if (start == size) {
+      start = 0
+      while (start < size && !isClusterStart(start)) start += 1
+      if (start == size)
+        throw new QuotientFilterException(
+          "Unable to enumerate hashes: full filter with no cluster start (corrupt metadata)")
+    }
     var curQuot = 0
     var i = start
     val end = size + start

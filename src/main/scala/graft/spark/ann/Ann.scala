@@ -97,8 +97,7 @@ object Ann extends Serializable {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }
 
-    def mkAssign(cs: Array[(Int, Array[Float])]) = {
-      val bc = spark.sparkContext.broadcast(cs)
+    def mkAssign(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]]) =
       udf((v: Seq[Float]) => {
         var best = 0; var bestSim = Double.NegativeInfinity
         bc.value.foreach { case (i, c) =>
@@ -107,19 +106,21 @@ object Ann extends Serializable {
         }
         best
       })
-    }
 
     // Lloyd iterations: new centroid = normalized mean of the cell's vectors
-    // (spherical k-means); empty cells keep their previous centroid
+    // (spherical k-means); empty cells keep their previous centroid; each
+    // iteration's broadcast is destroyed once its job completes
     var it = 0
-    while (it < lloydIters) {
-      val assign = mkAssign(centroids)
-      val sums = corpus.select(col("embedding"))
-        .withColumn("cell", assign(col("embedding")))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v").cast("double")).as("s"))
-        .collect()
+    while (it < lloydIters && centroids.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums =
+        try corpus.select(col("embedding"))
+          .withColumn("cell", mkAssign(bc)(col("embedding")))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("v").cast("double")).as("s"))
+          .collect()
+        finally bc.destroy()
       val dim = centroids.head._2.length
       val acc = Array.fill(nlist)(new Array[Double](dim))
       val seen = new Array[Boolean](nlist)
@@ -139,7 +140,7 @@ object Ann extends Serializable {
     }
 
     val cents = spark.sparkContext.broadcast(centroids)
-    val assignCell = mkAssign(centroids)
+    val assignCell = mkAssign(cents) // reuse the one final broadcast
     val probeCells = udf((v: Seq[Float]) =>
       cents.value.map { case (i, c) => (i, cosineLocal(v, c)) }
         .sortBy(-_._2).take(nprobe).map(_._1))

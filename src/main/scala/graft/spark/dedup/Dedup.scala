@@ -26,8 +26,9 @@ import graft.spark.fns.{TextExpressions, TextKernels}
 object Dedup extends Serializable {
 
   /** MinHash signature of a shingle set (one-hash permutation family,
-    * Broder 1997 / universal hashing). UDF surface kept for API parity;
-    * delegates to the codegen'd kernel so all paths agree bit-for-bit. */
+    * Broder 1997 / universal hashing). UDF surface kept for API parity
+    * (takes pre-built shingles); same hash + finalizer family as the fused
+    * kernel — ASCII/BMP parity pinned in TextKernelsSpec. */
   val minhashSignature: UserDefinedFunction = udf((shingles: Seq[String], numHashes: Int) => {
     val sig = Array.fill(numHashes)(-1L) // unsigned max
     shingles.foreach { s =>
@@ -46,7 +47,8 @@ object Dedup extends Serializable {
   })
 
   /** 64-bit SimHash over whitespace tokens (Charikar 2002) — delegates to
-    * the codegen'd kernel. */
+    * the codegen'd kernel (so the UDF and native paths agree by
+    * construction). */
   val simhash64: UserDefinedFunction =
     udf((text: String) => TextKernels.simhash64(UTF8String.fromString(text)))
 
@@ -157,13 +159,17 @@ object Dedup extends Serializable {
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH bucketing
     * (a pair is a candidate if it collides in ANY of `tables` buckets) +
     * exact-cosine verify — the embedding-space sibling of minhashLshPairs.
-    * Defaults (3 bits x 32 tables) give per-pair miss probability
-    * (1 - p^3)^32 with p = 1 - theta/pi; at cosine 0.4 that is ~1e-4.
-    * At corpus scale raise bitsPerTable with the threshold (e.g. 0.9-dup
-    * detection supports 12+ bits, keeping buckets ~N/2^12 per table). */
+    * The default 12 bits/table keeps buckets ~N/2^12 per table — the
+    * scale-sane setting for real near-dup thresholds (cosine >= 0.9, where
+    * p = 1 - theta/pi ~ 0.856 gives per-pair miss (1 - p^12)^32 ~ 0.3%;
+    * raise tables for tighter recall). Verification-scale corpora with LOW
+    * thresholds need coarser buckets — the q_embed_neardup fixture (cosine
+    * 0.4, 500 rows) passes bitsPerTable = 3 explicitly. maxBucket truncates
+    * pathological buckets (sorted-prefix, like the minhash path); if buckets
+    * routinely hit it, bitsPerTable is too small for the corpus. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                             threshold: Double, dim: Int, tables: Int = 32,
-                            bitsPerTable: Int = 3, maxBucket: Int = 4096): DataFrame = {
+                            bitsPerTable: Int = 12, maxBucket: Int = 4096): DataFrame = {
     import graft.spark.ann.Ann
     val base = df.select(col(idCol).cast("long").as("vid"), col(embCol).as("emb"))
     val sigFns = (0 until tables).map(t => Ann.hyperplaneSig(bitsPerTable, dim, seed = 2000L + t))
