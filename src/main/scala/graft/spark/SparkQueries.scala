@@ -123,8 +123,8 @@ object SparkQueries {
     val bytes = docs.filter(col("lang") === "de")
       .agg(SketchUdafs.cuckoo(100000, 4, 32)(col("doc_id").cast("string")).as("b"))
       .head().getAs[Array[Byte]]("b")
-    val probe = SketchFunctions.cuckooContains(bytes, 32)
-    docs.filter(probe(col("doc_id").cast("string")) && col("lang") === "de")
+    docs.filter(graft.spark.fns.SketchExpressions.cuckooContainsNative(
+        bytes, 32, col("doc_id").cast("string")) && col("lang") === "de")
       .select(col("doc_id"))
   }
 
@@ -134,8 +134,8 @@ object SparkQueries {
     val bytes = docs.filter(col("lang") === "fr")
       .agg(SketchUdafs.quotientFilter(18)(col("doc_id").cast("string")).as("b"))
       .head().getAs[Array[Byte]]("b")
-    val probe = SketchFunctions.qfContains(bytes)
-    docs.filter(probe(col("doc_id").cast("string")) && col("lang") === "fr")
+    docs.filter(graft.spark.fns.SketchExpressions.qfContainsNative(
+        bytes, col("doc_id").cast("string")) && col("lang") === "fr")
       .select(col("doc_id"))
   }
 
@@ -146,8 +146,8 @@ object SparkQueries {
     val bytes = docs.filter(col("lang") === "es")
       .agg(SketchUdafs.ebf(64, 0.001)(col("doc_id").cast("string")).as("b"))
       .head().getAs[Array[Byte]]("b")
-    val probe = SketchFunctions.ebfContains(bytes)
-    docs.filter(probe(col("doc_id").cast("string")) && col("lang") === "es")
+    docs.filter(graft.spark.fns.SketchExpressions.ebfContainsNative(
+        bytes, col("doc_id").cast("string")) && col("lang") === "es")
       .select(col("doc_id"))
   }
 

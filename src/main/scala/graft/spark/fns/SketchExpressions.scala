@@ -100,6 +100,65 @@ case class CbfCountExpr(child: Expression, sketch: graft.core.CountingBloomFilte
   override def prettyName: String = "cbf_count"
 }
 
+/** Membership probe against a FIXED cuckoo filter (shared per-executor plan
+  * reference object, like [[BloomMightContainExpr]]). */
+case class CuckooContainsExpr(child: Expression, filter: graft.core.CuckooFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.check(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCuckoo", filter, classOf[graft.core.CuckooFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.check($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "cuckoo_contains"
+}
+
+/** Membership probe against a FIXED quotient filter. */
+case class QfContainsExpr(child: Expression, filter: graft.core.QuotientFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.check(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftQf", filter, classOf[graft.core.QuotientFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.check($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "qf_contains"
+}
+
+/** Membership probe against a FIXED expanding Bloom filter. */
+case class EbfContainsExpr(child: Expression, filter: graft.core.ExpandingBloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.check(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftEbf", filter,
+      classOf[graft.core.ExpandingBloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.check($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "ebf_contains"
+}
+
 object SketchExpressions {
   /** Codegen'd fnv-1a-64 column. */
   def fnv1a64Native(c: Column, seed: Int = 0): Column =
@@ -121,4 +180,22 @@ object SketchExpressions {
     GraftColumnBridge.column(
       CbfCountExpr(GraftColumnBridge.expression(key),
         graft.core.CountingBloomFilter.fromBytes(cbfBytes)))
+
+  /** Codegen'd cuckoo membership probe. */
+  def cuckooContainsNative(bytes: Array[Byte], fingerprintBits: Int, key: Column): Column =
+    GraftColumnBridge.column(
+      CuckooContainsExpr(GraftColumnBridge.expression(key),
+        graft.core.CuckooFilter.fromBytes(bytes, fingerprintBits = fingerprintBits)))
+
+  /** Codegen'd quotient-filter membership probe. */
+  def qfContainsNative(bytes: Array[Byte], key: Column): Column =
+    GraftColumnBridge.column(
+      QfContainsExpr(GraftColumnBridge.expression(key),
+        graft.core.QuotientFilter.fromBytes(bytes)))
+
+  /** Codegen'd expanding-Bloom membership probe. */
+  def ebfContainsNative(bytes: Array[Byte], key: Column): Column =
+    GraftColumnBridge.column(
+      EbfContainsExpr(GraftColumnBridge.expression(key),
+        graft.core.ExpandingBloomFilter.fromBytes(bytes)))
 }

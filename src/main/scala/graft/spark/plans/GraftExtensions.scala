@@ -61,9 +61,87 @@ case class RewriteCountDistinctToHll() extends Rule[LogicalPlan] {
   *   SparkSession.builder()
   *     .withExtensions(new GraftExtensions)           // or
   *     .config("spark.sql.extensions", "graft.spark.plans.GraftExtensions")
+  *
+  * Injects the COUNT(DISTINCT)->HLL optimizer rule plus SQL registrations of
+  * the pure-Catalyst native sketch aggregates (the udaf registry in
+  * SketchUdafs.registerAll covers the Aggregator-based paths; these are the
+  * zero-boxing TypedImperativeAggregates, usable directly from SQL:
+  * `SELECT hll_count_native(url), kll_native(len, 200) FROM pages`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  import graft.spark.aggs.{NativeBloomAgg, NativeCmsAgg, NativeHhAgg, NativeHllCountAgg, NativeKllAgg}
+
+  private def intArg(e: Expression, fn: String, name: String): Int = {
+    require(e.foldable, s"$fn: $name must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+  private def doubleArg(e: Expression, fn: String, name: String): Double = {
+    require(e.foldable, s"$fn: $name must be a literal")
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL 0.01 literal
+      case n: Number => n.doubleValue
+      case other => throw new IllegalArgumentException(s"$fn: $name is not numeric: $other")
+    }
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteCountDistinctToHll())
+
+    e.injectFunction((FunctionIdentifier("hll_count_native"),
+      info("hll_count_native", "hll_count_native(col[, p]) - native HLL distinct count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NativeHllCountAgg(c, 14).toAggregateExpression()
+        case Seq(c, p) =>
+          NativeHllCountAgg(c, intArg(p, "hll_count_native", "p")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("hll_count_native takes (col[, p])")
+      }))
+
+    e.injectFunction((FunctionIdentifier("cms_native"),
+      info("cms_native", "cms_native(key, count[, width, depth]) - native CMS bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k, c) => NativeCmsAgg(k, c, 2048, 5).toAggregateExpression()
+        case Seq(k, c, w, d) => NativeCmsAgg(k, c,
+          intArg(w, "cms_native", "width"), intArg(d, "cms_native", "depth"))
+          .toAggregateExpression()
+        case _ => throw new IllegalArgumentException("cms_native takes (key, count[, w, d])")
+      }))
+
+    e.injectFunction((FunctionIdentifier("bloom_native"),
+      info("bloom_native", "bloom_native(col, est_elements, fpr) - native Bloom bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, est, fpr) => NativeBloomAgg(c,
+          intArg(est, "bloom_native", "est_elements").toLong,
+          doubleArg(fpr, "bloom_native", "fpr")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("bloom_native takes (col, est, fpr)")
+      }))
+
+    e.injectFunction((FunctionIdentifier("kll_native"),
+      info("kll_native", "kll_native(col[, k]) - native KLL sketch bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NativeKllAgg(c, 200).toAggregateExpression()
+        case Seq(c, k) =>
+          NativeKllAgg(c, intArg(k, "kll_native", "k")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("kll_native takes (col[, k])")
+      }))
+
+    e.injectFunction((FunctionIdentifier("heavy_hitters_native"),
+      info("heavy_hitters_native",
+        "heavy_hitters_native(key, count, k[, width, depth]) - native top-k map"),
+      (args: Seq[Expression]) => args match {
+        case Seq(key, c, k) => NativeHhAgg(key, c,
+          intArg(k, "heavy_hitters_native", "k"), 4096, 5).toAggregateExpression()
+        case Seq(key, c, k, w, d) => NativeHhAgg(key, c,
+          intArg(k, "heavy_hitters_native", "k"),
+          intArg(w, "heavy_hitters_native", "width"),
+          intArg(d, "heavy_hitters_native", "depth")).toAggregateExpression()
+        case _ =>
+          throw new IllegalArgumentException("heavy_hitters_native takes (key, count, k[, w, d])")
+      }))
   }
 }

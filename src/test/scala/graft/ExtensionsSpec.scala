@@ -58,6 +58,31 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("injected native-agg SQL functions work end to end") {
+    withExtSession { spark =>
+      spark.range(0, 5000, 1, 4)
+        .selectExpr("concat('u', id % 700) AS k", "CAST(id % 100 AS DOUBLE) AS v")
+        .createOrReplaceTempView("t_native_fns")
+      val row = spark.sql(
+        """SELECT hll_count_native(k) AS d,
+          |       hll_count_native(k, 12) AS d12,
+          |       cms_native(k, CAST(1 AS BIGINT)) AS cms,
+          |       bloom_native(k, 10000, 0.01) AS blm,
+          |       kll_native(v, 200) AS kll,
+          |       heavy_hitters_native(k, CAST(1 AS BIGINT), 3) AS hh
+          |FROM t_native_fns""".stripMargin).head()
+      assert(math.abs(row.getLong(0) - 700L) <= 25)
+      assert(math.abs(row.getLong(1) - 700L) <= 40)
+      val cms = graft.core.CountMinSketch.fromBytes(row.getAs[Array[Byte]]("cms"))
+      assert(cms.check("u3") == 8) // 5000/700-ish occurrences of u3 (ids 3,703,...)
+      val blm = graft.core.BloomFilter.fromBytes(row.getAs[Array[Byte]]("blm"))
+      assert(blm.check("u1") && blm.check("u699"))
+      val kll = graft.ext.Kll.fromBytes(row.getAs[Array[Byte]]("kll"))
+      assert(math.abs(kll.quantile(0.5) - 50.0) <= 5.0)
+      assert(row.getMap[String, Long](5).nonEmpty)
+    }
+  }
+
   test("rewrite path buffers serialize in the reference HLL byte format") {
     // the ScalaAggregator the rule builds must carry the SketchEncoders
     // TransformingEncoder (reference bytes across the shuffle), not kryo:
