@@ -45,6 +45,8 @@ object SparkEntry {
     "q_salted_hll" -> (VerifiedQueries.saltedDistinctUsersVerified(_, _)),
     "q_cms_heavy_hitters" -> (VerifiedQueries.cmsHeavyHittersVerified(_, _)),
     "q_cms_point" -> (VerifiedQueries.cmsPointVerified(_, _)),
+    "q_cms_modes" -> (VerifiedQueries.cmsModesVerified(_, _)),
+    "q_bloom_algebra" -> (VerifiedQueries.bloomAlgebraVerified(_, _)),
     "q_cbf_counts" -> (VerifiedQueries.cbfCountsVerified(_, _)),
     "q_ccf_counts" -> (VerifiedQueries.ccfCountsVerified(_, _)),
     "q_stream_threshold" -> (VerifiedQueries.streamThresholdVerified(_, _)),
@@ -143,6 +145,13 @@ object SparkEntry {
     "q_cms_point" ->
       ("SELECT event_type, COUNT(*) AS true_count, true AS ge_ok, true AS close_ok " +
         "FROM events GROUP BY event_type"),
+    "q_cms_modes" ->
+      ("SELECT event_type, COUNT(*) AS true_count, true AS min_ge_ok, " +
+        "true AS mean_ge_ok, true AS meanmin_close_ok FROM events GROUP BY event_type"),
+    "q_bloom_algebra" ->
+      ("SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_union_exact, " +
+        "true AS union_ok, true AS intersect_ok, true AS jaccard_ok " +
+        "FROM documents WHERE lang IN ('en', 'es')"),
     "q_cbf_counts" ->
       ("SELECT 'u' || CAST(user_id % 500 AS VARCHAR) AS bucket, COUNT(*) AS true_count, " +
         "true AS ge_ok FROM events GROUP BY 1"),

@@ -95,6 +95,51 @@ object VerifiedQueries {
           col("true_count") * 1.05 + 2).as("est_close_ok"))
   }
 
+  /** Bloom set algebra driver-visible: union / intersection cardinality
+    * estimates and the jaccard index of the en/es doc-id filters, checked
+    * against exact set arithmetic (the two id sets are disjoint). */
+  def bloomAlgebraVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .filter(col("lang").isin("en", "es"))
+    val perLang = docs.groupBy(col("lang"))
+      .agg(SketchUdafs.bloom(10000, 0.001)(col("doc_id").cast("string")).as("b"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Array[Byte]]("b"), r.getLong(2))).toMap
+    val (enB, nEn) = perLang("en")
+    val (esB, nEs) = perLang("es")
+    val en = graft.core.BloomFilter.fromBytes(enB)
+    val es = graft.core.BloomFilter.fromBytes(esB)
+    val unionEst = en.union(es).estimateElements
+    val interEst = en.intersection(es).estimateElements
+    val jaccard = en.jaccardIndex(es)
+    val exact = docs.agg(countDistinct(col("doc_id")).as("n_union_exact"))
+    exact.select(col("n_union_exact"),
+      (abs(lit(unionEst) - col("n_union_exact")) <=
+        greatest(col("n_union_exact") * 0.03, lit(2.0))).as("union_ok"),
+      // disjoint id sets: intersection estimate and jaccard must be ~0
+      (lit(interEst) <= (lit(nEn) + lit(nEs)) * 0.05 + 2).as("intersect_ok"),
+      (lit(jaccard) <= 0.05).as("jaccard_ok"))
+  }
+
+  /** The three CMS query modes driver-visible over the same grid: Min is
+    * one-sided (>= true), Mean >= true (floor of an overcounting average),
+    * MeanMin within the noise-correction bound floor(N/(w-1)) + 1. */
+  def cmsModesVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").select(col("event_type"))
+    val bytes = ev.agg(NativeCmsAgg.cmsNative(col("event_type"), lit(1L), 2048, 5).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val n = graft.core.CountMinSketch.fromBytes(bytes).elementsAdded
+    val minP = SketchFunctions.cmsCount(bytes)
+    val meanP = SketchFunctions.cmsCountMean(bytes)
+    val mmP = SketchFunctions.cmsCountMeanMin(bytes)
+    val bound = n / 2047 + 1 // floor(N/(w-1)) + 1
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("true_count"))
+      .select(col("event_type"), col("true_count"),
+        (minP(col("event_type")) >= col("true_count")).as("min_ge_ok"),
+        (meanP(col("event_type")) >= col("true_count")).as("mean_ge_ok"),
+        (abs(mmP(col("event_type")) - col("true_count")) <= bound).as("meanmin_close_ok"))
+  }
+
   /** CMS point counts per event type (codegen'd native probe): estimate is
     * always >= the true count (min over rows of an overcounting grid). */
   def cmsPointVerified(spark: SparkSession, dir: String): DataFrame = {
