@@ -65,6 +65,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
+    "q_frames" -> ((s, _) => VerifiedQueries.framesVerified(s, 2000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
   )
 
@@ -212,6 +213,14 @@ object SparkEntry {
         "CAST(CASE WHEN range % 3 = 2 THEN 1 ELSE 3 END AS INT) AS channels, " +
         "CASE WHEN range % 3 = 0 THEN 'png' WHEN range % 3 = 1 THEN 'jpeg' " +
         "ELSE 'gif' END AS format, true AS feat_norm_ok FROM range(0, 2000)"),
+    // payload = format header + 64 body bytes; 16-byte frames, every 2nd:
+    // png 97 bytes -> frames 0,2,4,6 (16+16+16+1); jpeg 91 -> 0,2,4 (48);
+    // gif 77 -> 0,2,4 (16+16+13)
+    "q_frames" ->
+      ("SELECT range AS img_id, " +
+        "CAST(CASE WHEN range % 3 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_frames, " +
+        "CAST(CASE WHEN range % 3 = 0 THEN 49 WHEN range % 3 = 1 THEN 48 ELSE 45 END " +
+        "AS BIGINT) AS frame_bytes FROM range(0, 2000)"),
     // literals generated by `runMain graft.tools.PagesTruth 20000` —
     // deterministic ground truth of the synthetic pages table (seed 42)
     "q_pages_battery" ->

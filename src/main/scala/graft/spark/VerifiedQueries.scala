@@ -425,6 +425,21 @@ object VerifiedQueries {
         withinBound(col("hll_users"), col("n_exact"), 0.05, 2).as("hll_ok"))
   }
 
+  /** Frame-sampling plumbing (the video-shape row explosion): every k-th
+    * 16-byte chunk of each deterministic image payload, per-image frame
+    * count + sampled bytes checked against the closed layout formulas
+    * (header sizes: png 33, jpeg 91-64=27, gif 13; body 64 bytes). */
+  def framesVerified(spark: SparkSession, nImages: Long): DataFrame = {
+    import spark.implicits._
+    import graft.spark.multimodal.{ImageHeaders, Multimodal}
+    val images = spark.range(nImages)
+      .map(i => (i, ImageHeaders.mkImage(i)))
+      .toDF("img_id", "payload")
+    Multimodal.explodeFrames(images, "img_id", "payload", frameSize = 16, everyK = 2)
+      .groupBy(col("img_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("frame_bytes"))
+  }
+
   // ---------- ANN ----------
 
   /** Exact brute-force cosine top-5 (query set = vec_id < 10), emitted with
