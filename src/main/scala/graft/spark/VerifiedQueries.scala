@@ -105,8 +105,11 @@ object VerifiedQueries {
       .agg(SketchUdafs.bloom(10000, 0.001)(col("doc_id").cast("string")).as("b"),
         count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> (r.getAs[Array[Byte]]("b"), r.getLong(2))).toMap
-    val (enB, nEn) = perLang("en")
-    val (esB, nEs) = perLang("es")
+    def langOrFail(l: String) = perLang.getOrElse(l,
+      throw new IllegalStateException(
+        s"q_bloom_algebra needs documents with lang='$l'; present: ${perLang.keys.mkString(",")}"))
+    val (enB, nEn) = langOrFail("en")
+    val (esB, nEs) = langOrFail("es")
     val en = graft.core.BloomFilter.fromBytes(enB)
     val es = graft.core.BloomFilter.fromBytes(esB)
     val unionEst = en.union(es).estimateElements
@@ -125,14 +128,15 @@ object VerifiedQueries {
     * one-sided (>= true), Mean >= true (floor of an overcounting average),
     * MeanMin within the noise-correction bound floor(N/(w-1)) + 1. */
   def cmsModesVerified(spark: SparkSession, dir: String): DataFrame = {
+    val width = 2048
     val ev = tbl(spark, dir, "events").select(col("event_type"))
-    val bytes = ev.agg(NativeCmsAgg.cmsNative(col("event_type"), lit(1L), 2048, 5).as("b"))
+    val bytes = ev.agg(NativeCmsAgg.cmsNative(col("event_type"), lit(1L), width, 5).as("b"))
       .head().getAs[Array[Byte]]("b")
     val n = graft.core.CountMinSketch.fromBytes(bytes).elementsAdded
     val minP = SketchFunctions.cmsCount(bytes)
     val meanP = SketchFunctions.cmsCountMean(bytes)
     val mmP = SketchFunctions.cmsCountMeanMin(bytes)
-    val bound = n / 2047 + 1 // floor(N/(w-1)) + 1
+    val bound = n / (width - 1) + 1 // floor(N/(w-1)) + 1, the mean-min correction
     ev.groupBy(col("event_type")).agg(count(lit(1)).as("true_count"))
       .select(col("event_type"), col("true_count"),
         (minP(col("event_type")) >= col("true_count")).as("min_ge_ok"),

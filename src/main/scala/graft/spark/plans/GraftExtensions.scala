@@ -74,10 +74,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   import graft.spark.aggs.{NativeBloomAgg, NativeCmsAgg, NativeHhAgg, NativeHllCountAgg, NativeKllAgg}
 
-  private def intArg(e: Expression, fn: String, name: String): Int = {
+  private def longArg(e: Expression, fn: String, name: String): Long = {
     require(e.foldable, s"$fn: $name must be a literal")
-    e.eval().asInstanceOf[Number].intValue
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toLong
+      case n: Number => n.longValue
+      case other => throw new IllegalArgumentException(s"$fn: $name is not numeric: $other")
+    }
   }
+  private def intArg(e: Expression, fn: String, name: String): Int =
+    Math.toIntExact(longArg(e, fn, name))
   private def doubleArg(e: Expression, fn: String, name: String): Double = {
     require(e.foldable, s"$fn: $name must be a literal")
     e.eval() match {
@@ -116,7 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_native", "bloom_native(col, est_elements, fpr) - native Bloom bytes"),
       (args: Seq[Expression]) => args match {
         case Seq(c, est, fpr) => NativeBloomAgg(c,
-          intArg(est, "bloom_native", "est_elements").toLong,
+          longArg(est, "bloom_native", "est_elements"),
           doubleArg(fpr, "bloom_native", "fpr")).toAggregateExpression()
         case _ => throw new IllegalArgumentException("bloom_native takes (col, est, fpr)")
       }))

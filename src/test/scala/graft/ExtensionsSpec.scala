@@ -74,7 +74,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(math.abs(row.getLong(0) - 700L) <= 25)
       assert(math.abs(row.getLong(1) - 700L) <= 40)
       val cms = graft.core.CountMinSketch.fromBytes(row.getAs[Array[Byte]]("cms"))
-      assert(cms.check("u3") == 8) // 5000/700-ish occurrences of u3 (ids 3,703,...)
+      // min estimate is one-sided: true count 8 (ids 3, 703, ..., 4903),
+      // small possible overcount from collisions among 700 keys in 2048 cells
+      assert(cms.check("u3") >= 8 && cms.check("u3") <= 12)
       val blm = graft.core.BloomFilter.fromBytes(row.getAs[Array[Byte]]("blm"))
       assert(blm.check("u1") && blm.check("u699"))
       val kll = graft.ext.Kll.fromBytes(row.getAs[Array[Byte]]("kll"))

@@ -214,6 +214,41 @@ class EmbedNearDupSpec extends AnyFunSuite {
   }
 }
 
+/** The UDF probe surface and the codegen'd probe expressions are parallel
+  * implementations of the same checks — pin them against each other so they
+  * can't silently drift (the UDF variants are the documented no-extensions
+  * API; the native expressions are the hot path). */
+class ProbeParitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import graft.spark.fns.{SketchExpressions, SketchFunctions}
+
+  test("cuckoo/qf/ebf UDF probes == native expression probes on hits and misses") {
+    val keys = (0 until 500).map(i => s"item-$i")
+    val cko = new graft.core.CuckooFilter(10000, 4, 500, 2, true, 32)
+    val qf = graft.core.QuotientFilter(14, autoExpand = true)
+    val ebf = graft.core.ExpandingBloomFilter(200, 0.01)
+    keys.foreach { k => cko.add(k); qf.add(k); ebf.add(k, force = true) }
+    val df = spark.range(0, 1500, 1, 4)
+      .select(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("item-"), col("id")).as("k"))
+    val out = df.select(col("k"),
+      SketchFunctions.cuckooContains(cko.toBytes, 32)(col("k")).as("cu"),
+      SketchExpressions.cuckooContainsNative(cko.toBytes, 32, col("k")).as("cn"),
+      SketchFunctions.qfContains(qf.toBytes)(col("k")).as("qu"),
+      SketchExpressions.qfContainsNative(qf.toBytes, col("k")).as("qn"),
+      SketchFunctions.ebfContains(ebf.toBytes)(col("k")).as("eu"),
+      SketchExpressions.ebfContainsNative(ebf.toBytes, col("k")).as("en")).collect()
+    out.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2), s"cuckoo drift at ${r.getString(0)}")
+      assert(r.getBoolean(3) == r.getBoolean(4), s"qf drift at ${r.getString(0)}")
+      assert(r.getBoolean(5) == r.getBoolean(6), s"ebf drift at ${r.getString(0)}")
+    }
+    // and the probes are actually discriminating: all 500 members hit
+    val hits = out.filter(_.getBoolean(2))
+    assert(hits.length >= 500 && hits.length <= 520) // members + bounded FPs
+  }
+}
+
 class KllWeightSpec extends AnyFunSuite {
   private def totalWeight(k: graft.ext.Kll): Long = {
     var s = 0L
