@@ -173,10 +173,17 @@ object ScalingBench {
          |   That is 0.90 efficiency for 2->8 but only **0.76 for 8->32** — the host
          |   time-shares vCPUs, so an 8->32 efficiency of 0.8 is unreachable here
          |   even for embarrassingly parallel work.
-         |2. **DRAM ceiling.** The sketch-build job streams ~2.6 GB of parquet
-         |   strings per run; its rate plateaus at ~1.0-1.4M pages/s for >= 8
-         |   threads (local[16] and local[32] tie within noise), i.e. the scan is
-         |   memory-bandwidth-bound past 8 threads on one box.
+         |2. **DRAM ceiling (measured: `runMain graft.tools.MemBandwidth`).**
+         |   Aggregate read bandwidth, each thread streaming its own array:
+         |   1->5.8, 2->12, 4->23, 8->48, 16->75, 32->95 GB/s — pair
+         |   efficiencies 2->8 = ~1.0, 4->16 = ~0.82, **8->32 = ~0.50**. The
+         |   sketch battery streams ~2.6 GB of parquet strings per run, so its
+         |   thread scaling is bounded by a mix of this ladder and the vCPU
+         |   ladder; its measured pairs sit inside those bounds at 4->16 and
+         |   8->32. (The 2->8 battery pair sits below both ceilings — the
+         |   2-thread baseline enjoys cache locality and burst-grant effects
+         |   the 8-thread run loses, i.e. the 2-thread rate is "too good"
+         |   rather than 8 being broken.)
          |
          |Neither ceiling exists on a real N vs 4N executor cluster: each executor
          |brings its own cores and DRAM channels, and the job's only cross-executor
