@@ -120,6 +120,54 @@ case class NativeKllAgg(
   override def prettyName: String = "graft_kll_native"
 }
 
+/** KLL aggregate evaluating directly to quantile value(s) — the target shape
+  * of the percentile_approx -> KLL optimizer rewrite. Returns null on empty
+  * input (percentile_approx parity). */
+case class NativeKllQuantileAgg(
+    child: Expression,
+    k: Int,
+    percentages: Seq[Double],
+    asArray: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Kll] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes = Seq(DoubleType)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    if (asArray) ArrayType(DoubleType, containsNull = false) else DoubleType
+
+  override def createAggregationBuffer(): Kll = Kll(k)
+
+  override def update(buffer: Kll, input: InternalRow): Kll = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: Kll, input: Kll): Kll = buffer.merge(input)
+
+  override def eval(buffer: Kll): Any =
+    if (buffer.n == 0) null
+    else if (asArray)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        percentages.map(buffer.quantile).toArray)
+    else buffer.quantile(percentages.head)
+
+  override def serialize(buffer: Kll): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): Kll = Kll.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): NativeKllQuantileAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): NativeKllQuantileAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "graft_kll_quantile"
+}
+
 /** Pure-Catalyst heavy hitters — zero-copy grid hashing (the key string is
   * materialized only for the candidate dict, which needs it anyway). Same
   * slack-tracking + candidate-union merge as [[HeavyHittersAgg]]; OUT is the

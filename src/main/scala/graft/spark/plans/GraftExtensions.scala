@@ -56,6 +56,62 @@ case class RewriteCountDistinctToHll() extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: rewrite `percentile_approx(col, q[, accuracy])` into the
+  * KLL quantile aggregate. Opt-in per session:
+  *
+  *   spark.conf.set("spark.graft.kll.rewritePercentileApprox", "true")
+  *
+  * Why at scale: Spark's ApproximatePercentile buffers a QuantileSummaries
+  * per group whose serialized size grows with the sampled count; the KLL
+  * buffer is O(k) with a published ~1/k rank-error bound, so wide groupings
+  * shuffle fixed-size state. Trade: a (bounded, documented) rank-error
+  * difference — hence opt-in, like the HLL rewrite. The result is cast back
+  * to percentile_approx's own output type (the child type), so the rewritten
+  * plan's schema is unchanged.
+  */
+case class RewritePercentileApproxToKll() extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  private val kllK = 200
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.kll.rewritePercentileApprox", "false").toBoolean
+
+  private def percentagesOf(e: Expression): Option[(Seq[Double], Boolean)] =
+    if (!e.foldable) None
+    else e.eval() match {
+      case d: java.lang.Number => Some((Seq(d.doubleValue), false))
+      case d: org.apache.spark.sql.types.Decimal => Some((Seq(d.toDouble), false))
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        Some((arr.toDoubleArray().toSeq, true))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case a: Aggregate =>
+        a.transformExpressions {
+          case AggregateExpression(ap: ApproximatePercentile, _, false, filter, _)
+              if ap.child.resolved &&
+                ap.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+                percentagesOf(ap.percentageExpression).isDefined =>
+            val (ps, asArray) = percentagesOf(ap.percentageExpression).get
+            val agg = graft.spark.aggs.NativeKllQuantileAgg(
+              Cast(ap.child, DoubleType), kllK, ps, asArray)
+              .toAggregateExpression(isDistinct = false, filter = filter)
+            // preserve percentile_approx's output type exactly
+            val target =
+              if (asArray) ArrayType(ap.child.dataType, containsNull = false)
+              else ap.child.dataType
+            if (target == agg.dataType) agg else Cast(agg, target)
+        }
+    }
+  }
+}
+
 /** Session extensions entry point:
   *
   *   SparkSession.builder()
@@ -98,6 +154,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteCountDistinctToHll())
+    e.injectOptimizerRule(_ => RewritePercentileApproxToKll())
 
     e.injectFunction((FunctionIdentifier("hll_count_native"),
       info("hll_count_native", "hll_count_native(col[, p]) - native HLL distinct count"),

@@ -58,6 +58,44 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx rewrites to the KLL quantile aggregate when enabled") {
+    withExtSession { spark =>
+      // uniform 0..9999 doubles plus an INT column (type-preservation check)
+      spark.range(0, 20000, 1, 4)
+        .selectExpr("CAST(id % 10000 AS DOUBLE) AS v", "CAST(id % 1000 AS INT) AS iv",
+          "id % 3 AS g")
+        .createOrReplaceTempView("t_pct")
+
+      spark.conf.set("spark.graft.kll.rewritePercentileApprox", "false")
+      val off = spark.sql("SELECT percentile_approx(v, 0.5) FROM t_pct")
+      assert(!off.queryExecution.optimizedPlan.toString.contains("graft_kll_quantile"))
+
+      spark.conf.set("spark.graft.kll.rewritePercentileApprox", "true")
+      try {
+        val q = spark.sql(
+          """SELECT g, percentile_approx(v, 0.5) AS p50,
+            |       percentile_approx(v, array(0.1, 0.9)) AS p_arr,
+            |       percentile_approx(iv, 0.5) AS ip50
+            |FROM t_pct GROUP BY g""".stripMargin)
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(plan.contains("graft_kll_quantile"), plan)
+        // output types preserved: double, array<double>, int
+        assert(q.schema("p50").dataType.typeName == "double")
+        assert(q.schema("ip50").dataType.typeName == "integer")
+        q.collect().foreach { r =>
+          assert(math.abs(r.getDouble(1) - 5000.0) < 300, s"p50=${r.getDouble(1)}")
+          val arr = r.getSeq[Double](2)
+          assert(math.abs(arr.head - 1000.0) < 300 && math.abs(arr(1) - 9000.0) < 300)
+          assert(math.abs(r.getInt(3) - 500) < 40, s"ip50=${r.getInt(3)}")
+        }
+        // empty-input parity: percentile_approx returns null
+        val empty = spark.sql(
+          "SELECT percentile_approx(v, 0.5) FROM t_pct WHERE v < -1").head()
+        assert(empty.isNullAt(0))
+      } finally spark.conf.set("spark.graft.kll.rewritePercentileApprox", "false")
+    }
+  }
+
   test("injected native-agg SQL functions work end to end") {
     withExtSession { spark =>
       spark.range(0, 5000, 1, 4)
