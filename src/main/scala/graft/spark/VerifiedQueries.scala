@@ -306,12 +306,51 @@ object VerifiedQueries {
     * C(6,3)-block candidate path must surface it iff full hamming <= 3. */
   def simhashPairsVerified(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
-    // exact near-dup ground truth (brute force — verification-scale only)
-    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-    val exactPairs = a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", Dedup.jaccardText(col("text_a"), col("text_b"), lit(3)))
-      .filter(col("jaccard") >= 0.5)
+    // exact near-dup ground truth (brute force — verification-scale only),
+    // made tractable at 10x scale without losing exactness:
+    //  - shingle sets hashed (fnv-64) + sorted ONCE per doc and BROADCAST
+    //    (verification corpora are ~MBs) — the all-pairs join carries only
+    //    (id, set size), never the arrays;
+    //  - pairs pruned by the exactness-preserving size bound
+    //    (J >= 0.5 ⟹ I <= min(|A|,|B|) and I >= 0.5·max ⟹ sizes within 2x);
+    //  - per-pair jaccard = primitive merge-walk over the sorted hashes
+    //    (identical to string-set jaccard barring 64-bit collisions)
+    import org.apache.spark.sql.Row
+    val shingleHashes = udf((s: Seq[String]) => {
+      val a = new Array[Long](s.length)
+      var i = 0
+      s.foreach { x => a(i) = graft.hash.Fnv.fnv1a64(x, 0); i += 1 }
+      java.util.Arrays.sort(a)
+      a
+    })
+    val shRows: Array[(Long, Array[Long])] = docs
+      .select(col("doc_id"),
+        shingleHashes(graft.spark.text.TextFunctions.shingles(col("text"), lit(3))).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val bcSh = spark.sparkContext.broadcast(shRows.toMap)
+    val jacByIds = udf((ia: Long, ib: Long) => {
+      val a = bcSh.value(ia); val b = bcSh.value(ib)
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val c = java.lang.Long.compare(a(i), b(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      if (union == 0) 1.0 else inter.toDouble / union
+    })
+    val idsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(shRows.map(r => Row(r._1, r._2.length)).toSeq, 32),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ns", org.apache.spark.sql.types.IntegerType))))
+    val a = idsDf.select(col("id").as("id_a"), col("ns").as("ns_a"))
+    val b = idsDf.select(col("id").as("id_b"), col("ns").as("ns_b"))
+    val exactPairs = a.join(b, col("id_a") < col("id_b") &&
+        col("ns_a") <= col("ns_b") * 2 && col("ns_b") <= col("ns_a") * 2)
+      .filter(jacByIds(col("id_a"), col("id_b")) >= 0.5)
       .select(col("id_a"), col("id_b"))
     val sims = docs.select(col("doc_id"),
       graft.spark.fns.TextExpressions.simhash64Native(col("text")).as("sim"))
