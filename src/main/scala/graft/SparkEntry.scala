@@ -29,6 +29,7 @@ object SparkEntry {
     "q_dedup_exact" -> (SparkQueries.dedupExact(_, _)),
     "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
     "q_quality" -> (SparkQueries.qualityStats(_, _)),
+    "q_bpe_tokens" -> (SparkQueries.bpeTokenStats(_, _)),
     "q_fingerprint_md5" -> (SparkQueries.fingerprintMd5(_, _)),
     "q_heavy_domains_exact" -> (SparkQueries.heavyDomainsExact(_, _)),
     "q_events_hourly" -> (SparkQueries.eventsHourly(_, _)),
@@ -54,6 +55,7 @@ object SparkEntry {
     "q_tdigest_quantiles" -> (VerifiedQueries.tdigestQuantilesVerified(_, _)),
     "q_ebf_stats" -> (VerifiedQueries.ebfStatsVerified(_, _)),
     "q_stream_window" -> (VerifiedQueries.streamingWindowVerified(_, _)),
+    "q_stream_dedup" -> (VerifiedQueries.streamDedupVerified(_, _)),
     "q_qf_hashes" -> (VerifiedQueries.qfHashesVerified(_, _)),
     // dedup / ANN / text / multimodal
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
@@ -101,6 +103,12 @@ object SparkEntry {
         "length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct, " +
         "CASE WHEN trim(text) = '' THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks " +
+        "FROM documents) GROUP BY lang"),
+    "q_bpe_tokens" ->
+      ("SELECT lang, CAST(SUM(toks) AS BIGINT) AS total_bpe_tokens, " +
+        "CAST(MAX(toks) AS BIGINT) AS max_bpe_tokens, COUNT(*) AS n_docs FROM (" +
+        "SELECT lang, len(regexp_extract_all(text, " +
+        "'" + graft.spark.text.TextFunctions.bpePatternSql + "')) AS toks " +
         "FROM documents) GROUP BY lang"),
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
@@ -176,6 +184,10 @@ object SparkEntry {
         "FROM events GROUP BY 1, 2"),
     "q_qf_hashes" ->
       "SELECT lang, COUNT(*) AS n_docs, true AS hashes_count_ok FROM documents GROUP BY lang",
+    "q_stream_dedup" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(COUNT(DISTINCT user_id % 1000) AS BIGINT) AS n_distinct_exact, " +
+        "true AS dedup_ok FROM events GROUP BY event_type"),
     "q_minhash_pairs" ->
       (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
     "q_simhash_pairs" ->

@@ -160,4 +160,18 @@ object RotatingBloomFilter {
   def apply(estElements: Long, falsePositiveRate: Double, maxQueueSize: Int = 10,
             hasher: KeyHasher = Fnv1aHasher): RotatingBloomFilter =
     new RotatingBloomFilter(estElements, falsePositiveRate, maxQueueSize, hasher)
+
+  /** Rebuild from the EBF byte layout (the reference RBF inherits `export`
+    * from ExpandingBloom, expandingbloom.py:185-207 — `maxQueueSize` is not
+    * part of the export and must be re-supplied). Used as the streaming
+    * per-key state codec, so stream state == reference export bytes. */
+  def fromBytes(b: Array[Byte], maxQueueSize: Int,
+                hasher: KeyHasher = Fnv1aHasher): RotatingBloomFilter = {
+    val ebf = ExpandingBloomFilter.fromBytes(b, hasher)
+    val rbf = new RotatingBloomFilter(ebf.estElements, ebf.fpr.toDouble, maxQueueSize, hasher)
+    rbf.blooms.clear()
+    rbf.blooms ++= ebf.blooms
+    rbf.addedElements = ebf.addedElements
+    rbf
+  }
 }

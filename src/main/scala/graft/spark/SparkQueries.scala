@@ -51,6 +51,15 @@ object SparkQueries {
       .agg(sum(col("toks")).as("total_tokens"), max(col("toks")).as("max_tokens"),
         count(lit(1)).as("n_docs"))
 
+  /** BPE-ish token counting (GPT-2-style pre-tokenizer regex) — the token
+    * unit LLM data pipelines budget by, as a pure codegen'd expression. */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), TextFunctions.bpeTokenCount(col("text")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("toks")).as("total_bpe_tokens"), max(col("toks")).as("max_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+
   /** Quality scoring: integer-metric heuristic, count survivors per lang. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")

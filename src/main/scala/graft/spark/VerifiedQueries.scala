@@ -468,6 +468,51 @@ object VerifiedQueries {
         withinBound(col("hll_users"), col("n_exact"), 0.05, 2).as("hll_ok"))
   }
 
+  /** Count-rotating-Bloom streaming dedup (flatMapGroupsWithState custom
+    * state, [[graft.spark.streaming.StreamingSketches.rotatingDedupByCount]]):
+    * events stream in 3 deterministic micro-batches; per event_type the state
+    * holds one RotatingBloomFilter deduping user buckets. Sized so the window
+    * never rotates and the filter is effectively FP-free (est ≫ distinct,
+    * fpr=1e-4 → per-probe FPR ~1e-28 at this load), so the streamed
+    * first-seen count must equal exact COUNT(DISTINCT bucket) — any state
+    * loss across batches, double-admission, or codec bug flips `dedup_ok`. */
+  def streamDedupVerified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.spark.streaming.StreamingSketches
+    val events = tbl(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        concat(lit("u"), col("user_id") % 1000).as("bucket"))
+    val rows: Array[(Long, String, String)] =
+      events.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val deduped = StreamingSketches.rotatingDedupByCount(
+      mem.toDF().toDF("key", "value"), "key", "value",
+      estElements = 100000L, fpr = 1e-4, maxQueueSize = 4)
+    val sinkName = "graft_stream_dedup_sink"
+    val q = deduped.toDF().writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { b =>
+        mem.addData(rows.filter(_._1 % 3 == b).toSeq.map(r => (r._2, r._3)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val exact = events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("bucket")).as("n_distinct_exact"))
+    spark.table(sinkName)
+      .groupBy(col("key").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("first_seen"), 1L).otherwise(0L)).as("n_first_seen"))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_distinct_exact"),
+        (col("n_first_seen") === col("n_distinct_exact")).as("dedup_ok"))
+  }
+
   /** Frame-sampling plumbing (the video-shape row explosion): every k-th
     * 16-byte chunk of each deterministic image payload, per-image frame
     * count + sampled bytes checked against the closed layout formulas

@@ -1,9 +1,15 @@
 package graft.spark.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.core.RotatingBloomFilter
 import graft.spark.aggs.SketchUdafs
+
+/** Output row of [[StreamingSketches.rotatingDedupByCount]]: `first_seen` is
+  * false when the key's rotating Bloom window already claims the value. */
+case class RotatingDedupEvent(key: String, value: String, first_seen: Boolean)
 
 /** Structured-Streaming sketch aggregation.
   *
@@ -50,4 +56,51 @@ object StreamingSketches {
       .groupBy(window(col(tsCol), windowDur).as("win"))
       .agg(SketchUdafs.streamThreshold(threshold, 4096, 5)(col(keyCol), lit(1L)).as("meets"))
       .select(col("win.start").as("window_start"), explode(col("meets")).as(Seq("key", "est_count")))
+
+  /** COUNT-based rotating-Bloom dedup — the one reference stream semantic a
+    * windowed aggregation genuinely cannot express: `RotatingBloomFilter`
+    * (expandingbloom.py:250-370) rotates when the newest sub-bloom has seen
+    * `estElements` NEW elements, not when event time advances. So this is
+    * custom per-key state via `flatMapGroupsWithState`: each key holds one
+    * RotatingBloomFilter, serialized in the REFERENCE export byte format
+    * (state bytes == `export()` bytes — the buffer-format invariant extends
+    * to the state store).
+    *
+    * Emits every input row with a `first_seen` flag (filter `first_seen` for
+    * the deduped stream). Values that roll off the `maxQueueSize`-deep window
+    * are re-admitted — "drop URLs seen among the last ~N×queue per key".
+    *
+    * Scale: state is O(keys × maxQueue × bloomBytes) in the state store,
+    * partitioned by key hash across executors; per-row work is k bit-probes.
+    * Within a micro-batch the per-key iterator order follows shuffle arrival,
+    * so which duplicate of a NEW value gets `first_seen=true` is not
+    * guaranteed — the set of values admitted into the filter is order-
+    * invariant (check-then-insert), which is what downstream dedup consumes.
+    * Also runs on a batch Dataset (single group invocation, empty state). */
+  def rotatingDedupByCount(events: DataFrame, keyCol: String, valueCol: String,
+                           estElements: Long = 100000L, fpr: Double = 1e-4,
+                           maxQueueSize: Int = 4): Dataset[RotatingDedupEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (est, f, mq) = (estElements, fpr, maxQueueSize)
+    events
+      .select(col(keyCol).cast("string").as("key"), col(valueCol).cast("string").as("value"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], RotatingDedupEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Array[Byte]]) =>
+          val rbf =
+            if (state.exists) RotatingBloomFilter.fromBytes(state.get, mq)
+            else RotatingBloomFilter(est, f, mq)
+          // materialize before state.update — the iterator is lazy
+          val out = rows.map { case (_, v) =>
+            val seen = rbf.check(v)
+            rbf.add(v) // check-then-insert + count-based rotation inside
+            RotatingDedupEvent(key, v, !seen)
+          }.toVector
+          state.update(rbf.toBytes)
+          out.iterator
+      }
+  }
 }

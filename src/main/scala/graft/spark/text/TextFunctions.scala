@@ -21,6 +21,27 @@ object TextFunctions extends Serializable {
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style, simplified to stay
+    * lookahead-free so DuckDB's RE2 evaluates it identically to Java regex):
+    * contraction suffixes, letter runs, digit runs, runs of other symbols.
+    * Whitespace is an explicit class — Java's `\s` includes `\x0B` while
+    * RE2's does not, so `\s` would silently diverge between engine and
+    * oracle. Both engines use leftmost-first alternation, so `'s` wins over
+    * the symbol-run class. */
+  val bpePattern: String = "'(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^ \\t\\n\\r\\f\\p{L}\\p{N}]+"
+
+  /** Same pattern with DuckDB string-literal quoting (for oracle SQL). */
+  val bpePatternSql: String = "''(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^ \\t\\n\\r\\f\\p{L}\\p{N}]+"
+
+  /** BPE-ish tokens as an array column — pure built-in `regexp_extract_all`,
+    * whole-stage codegen'd (no UDF). */
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  /** BPE-ish token count per document (the unit LLM data pipelines budget
+    * by); empty text → 0, null → null (matches `len(regexp_extract_all(…))`
+    * in DuckDB). */
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[!-/:-@\\[-`{-~]", ""))
 

@@ -313,3 +313,102 @@ class LangFixtureSpec extends AnyFunSuite {
       s"${r.getString(0)}: ${r.getLong(2)}/50"))
   }
 }
+
+/** BPE-ish regex pre-tokenizer: hand-computed goldens + codegen check. */
+class BpeTokenSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import graft.spark.text.TextFunctions
+
+  test("token counts match hand-tokenized goldens") {
+    import spark.implicits._
+    val cases = Seq(
+      // it | 's | a | test | - | case | , | 42 | tokens | !
+      ("it's a test-case, 42 tokens!", 10),
+      // they | 're | won | 't | ... | " | ok | "  (contractions split,
+      // symbol runs coalesce, quote breaks on the letter boundary)
+      ("they're won't... \"ok\"", 8),
+      ("héllo wörld 北京 москва", 4),
+      ("a1b2", 4), // a|1|b|2 (letter/digit runs alternate)
+      ("", 0),
+      ("   ", 0))
+    val df = cases.toDF("text", "expected")
+      .select(col("expected"), TextFunctions.bpeTokenCount(col("text")).as("got"),
+        TextFunctions.bpeTokens(col("text")).as("toks"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(0), s"${r.getSeq[String](2)}")
+    }
+  }
+
+  test("stays inside whole-stage codegen (no UDF eval boundary)") {
+    val df = spark.range(0, 10, 1, 2)
+      .select(concat(lit("word"), col("id"), lit(" x it's")).as("text"))
+      .select(TextFunctions.bpeTokenCount(col("text")).as("n"))
+    assert(df.collect().forall(_.getInt(0) == 5)) // wordN -> word|N, x, it, 's
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
+
+/** Count-based rotating-Bloom streaming dedup: custom per-key state via
+  * flatMapGroupsWithState (the RBF rotates on ELEMENT COUNT, which windowed
+  * aggregation cannot express). */
+class RotatingDedupStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("cross-batch state dedups; roll-off re-admits; matches sequential RBF") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val out = graft.spark.streaming.StreamingSketches.rotatingDedupByCount(
+      mem.toDF().toDF("key", "value"), "key", "value",
+      estElements = 2L, fpr = 0.01, maxQueueSize = 2)
+    val q = out.toDF().writeStream.format("memory").queryName("rbf_dedup_sink")
+      .outputMode("append").start()
+    // one value per micro-batch -> deterministic order; est=2, maxQueue=2:
+    // v1..v5 fill blooms [v1 v2][v3 v4][v5..] -- the 3rd rotation pops v1/v2
+    val feed = Seq("v1", "v2", "v3", "v4", "v4", "v5", "v1")
+    try {
+      feed.foreach { v => mem.addData(("k", v)); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("rbf_dedup_sink")
+      .select(col("value"), col("first_seen")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    // sequential reference core fed the same order
+    val rbf = graft.core.RotatingBloomFilter(2L, 0.01, maxQueueSize = 2)
+    val expected = feed.map { v =>
+      val seen = rbf.check(v); rbf.add(v); (v, !seen)
+    }
+    assert(got.toSeq == expected)
+    // the semantic milestones, explicitly:
+    assert(expected(4) == ("v4", false), "duplicate inside window is suppressed")
+    assert(expected(6) == ("v1", true), "v1 rolled off the 2-deep queue -> re-admitted")
+  }
+
+  test("large window: streamed first-seen count == exact distinct per key") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val out = graft.spark.streaming.StreamingSketches.rotatingDedupByCount(
+      mem.toDF().toDF("key", "value"), "key", "value",
+      estElements = 10000L, fpr = 1e-4, maxQueueSize = 4)
+    val q = out.toDF().writeStream.format("memory").queryName("rbf_dedup_sink2")
+      .outputMode("append").start()
+    try {
+      // 3 batches, values overlap across batches, 2 keys
+      (0 until 3).foreach { b =>
+        mem.addData((0 until 200).map(i => (s"k${i % 2}", s"u${(i + b * 50) % 150}")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("rbf_dedup_sink2")
+      .groupBy("key")
+      .agg(sum(when(col("first_seen"), 1L).otherwise(0L)).as("n_first"),
+        countDistinct(col("value")).as("n_distinct"), count(lit(1)).as("n"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"${r.getString(0)}: first-seen != distinct")
+      assert(r.getLong(3) == 300L)
+    }
+  }
+}
