@@ -192,16 +192,24 @@ object Dedup extends Serializable {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Within-bucket (id, sim) pair generation; ids and sims are parallel
-    * collect_lists from the same aggregate, so indices correspond. */
-  private def bucketSimPairsUdf(maxBucket: Int): UserDefinedFunction =
+  /** Within-bucket (id, sim) pair generation with the hamming filter PUSHED
+    * INSIDE: a bucket of B rows inspects B²/2 pairs but only emits the ones
+    * within `maxHamming` — the far-pair majority dies before the dedup
+    * `distinct()` exchange instead of being shuffled 20-combos-deep and
+    * filtered after. ids and sims are parallel collect_lists from the same
+    * aggregate, so indices correspond. */
+  private def bucketSimPairsUdf(maxBucket: Int, maxHamming: Int): UserDefinedFunction =
     udf((ids: Seq[Long], sims: Seq[Long]) => {
       val z = ids.zip(sims).sortBy(_._1).take(maxBucket).toArray
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
       var i = 0
       while (i < z.length) {
         var j = i + 1
-        while (j < z.length) { out += ((z(i)._1, z(j)._1, z(i)._2, z(j)._2)); j += 1 }
+        while (j < z.length) {
+          val h = java.lang.Long.bitCount(z(i)._2 ^ z(j)._2)
+          if (h <= maxHamming) out += ((z(i)._1, z(j)._1, h))
+          j += 1
+        }
         i += 1
       }
       out
@@ -226,12 +234,8 @@ object Dedup extends Serializable {
       .groupBy(col("combo"), col("key"))
       .agg(collect_list(col("doc_id")).as("ids"), collect_list(col("sim")).as("sims"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketSimPairsUdf(maxBucket)(col("ids"), col("sims"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
-        col("p._3").as("sim_a"), col("p._4").as("sim_b"))
+      .select(explode(bucketSimPairsUdf(maxBucket, maxHamming)(col("ids"), col("sims"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

@@ -67,7 +67,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val tree = df.queryExecution.executedPlan.toString
     val kernelPasses = "simhash64".r.findAllIn(tree).length
     assert(kernelPasses == 1, s"expected 1 simhash pass, got $kernelPasses:\n$tree")
-    assert(tree.contains("bit_count"), tree) // codegen'd hamming verify
+    // hamming filter is pushed inside the pair-generation UDF (before the
+    // distinct exchange) — no post-distinct bit_count Filter may reappear
+    assert(!tree.contains("bit_count"), tree)
+    // exactly 2 exchanges: the (combo,key) bucket groupBy + the pair distinct
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(tree).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$tree")
   }
 
   test("pagesSketchBattery: native aggs, partial -> exchange -> final") {
