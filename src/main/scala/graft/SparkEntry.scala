@@ -68,6 +68,7 @@ object SparkEntry {
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
     "q_frames" -> ((s, _) => VerifiedQueries.framesVerified(s, 2000L)),
+    "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
   )
 
@@ -233,6 +234,18 @@ object SparkEntry {
         "CAST(CASE WHEN range % 3 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_frames, " +
         "CAST(CASE WHEN range % 3 = 0 THEN 49 WHEN range % 3 = 1 THEN 48 ELSE 45 END " +
         "AS BIGINT) AS frame_bytes FROM range(0, 2000)"),
+    // clip i is a square wave (AudioHeaders.mkWav): channels/rate/amplitude/
+    // period are closed forms in i, so every real-parsed column is too —
+    // zero crossings = (480-1)//period, peak = rms = amplitude
+    "q_audio" ->
+      ("SELECT range AS clip_id, CAST(1 + range % 2 AS INT) AS channels, " +
+        "CAST(8000 * (1 + range % 3) AS INT) AS sample_rate, " +
+        "CAST(480 AS BIGINT) AS n_frames, " +
+        "CAST(480000 // (8000 * (1 + range % 3)) AS BIGINT) AS duration_ms, " +
+        "CAST(479 // (2 + range % 31) AS BIGINT) AS zero_crossings, " +
+        "CAST(1000 + (range % 100) * 300 AS INT) AS peak, " +
+        "CAST(1000 + (range % 100) * 300 AS BIGINT) AS rms " +
+        "FROM range(0, 2000)"),
     // literals generated by `runMain graft.tools.PagesTruth 20000` —
     // deterministic ground truth of the synthetic pages table (seed 42)
     "q_pages_battery" ->

@@ -528,6 +528,29 @@ object VerifiedQueries {
       .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("frame_bytes"))
   }
 
+  /** Audio plumbing, driver-checkable end to end: deterministic REAL-format
+    * WAV clips (square waves — [[graft.spark.multimodal.AudioHeaders.mkWav]]),
+    * parsed by the real RIFF/WAVE chunk walker and feature-extracted by the
+    * real PCM16 kernel; every emitted column has a closed form in the clip id
+    * that the DuckDB oracle recomputes (channels/rate from the id, zero
+    * crossings = (frames-1)/period, peak = rms = amplitude). */
+  def audioVerified(spark: SparkSession, nClips: Long): DataFrame = {
+    import spark.implicits._
+    import graft.spark.multimodal.{AudioHeaders, Multimodal}
+    val clips = spark.range(nClips)
+      .map(i => (i, AudioHeaders.mkWav(i)))
+      .toDF("clip_id", "payload")
+    Multimodal.enrichAudio(clips, "payload")
+      .select(col("clip_id"),
+        col("audio_meta.channels").as("channels"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.n_frames").as("n_frames"),
+        col("audio_meta.duration_ms").as("duration_ms"),
+        col("pcm_features.zero_crossings").as("zero_crossings"),
+        col("pcm_features.peak").as("peak"),
+        col("pcm_features.rms").as("rms"))
+  }
+
   // ---------- ANN ----------
 
   /** Exact brute-force cosine top-5 (query set = vec_id < 10), emitted with

@@ -89,6 +89,34 @@ object Multimodal {
     }
   })
 
+  /** Audio metadata decode: REAL RIFF/WAVE chunk parsing (see
+    * [[AudioHeaders]]); non-WAV payloads fall back to a DISCLOSED STUB
+    * derivation, mirroring the image path. */
+  val decodeAudioMeta = udf((payload: Array[Byte]) => {
+    if (payload == null || payload.isEmpty) null
+    else AudioHeaders.parse(payload) match {
+      case Some(m) => (m.format, m.channels, m.sampleRate, m.bitsPerSample,
+        m.nFrames, m.durationMs)
+      case None => // STUB fallback: deterministic fake metadata
+        val h = Fnv.fnv1a64(payload, 0)
+        val rate = 8000 * (1 + Math.floorMod(h, 3L).toInt)
+        val frames = 256L + Math.floorMod(h >>> 8, 1024L)
+        ("pcm-stub", 1, rate, 16, frames, frames * 1000L / rate)
+    }
+  })
+
+  /** REAL audio feature extraction for 16-bit PCM WAV payloads — zero
+    * crossings, peak amplitude, floor-RMS over channel 0 are plain
+    * arithmetic on the sample words, no codec involved. Null for payloads
+    * that are not integer-PCM WAV. */
+  val audioFeatures = udf((payload: Array[Byte]) => {
+    if (payload == null) null
+    else AudioHeaders.pcm16Features(payload) match {
+      case Some(f) => (f.zeroCrossings, f.peak, f.rms)
+      case None => null
+    }
+  })
+
   // ==== real plumbing ====
 
   /** Attach image metadata + features to a table with a binary column.
@@ -100,6 +128,17 @@ object Multimodal {
       .withColumn("image_meta", decodeImageMeta(col(payloadCol))
         .cast("struct<width:int,height:int,channels:int,format:string>"))
       .withColumn("features", extractFeatures(dim)(col(payloadCol)))
+  }
+
+  /** Attach audio metadata + PCM features to a table with a binary column,
+    * with the same size-bucket skew spreading as [[enrichImages]]. */
+  def enrichAudio(df: DataFrame, payloadCol: String, sizeBuckets: Int = 32): DataFrame = {
+    df.repartition(sizeBuckets, pmod(xxhash64(col(payloadCol)), lit(sizeBuckets)))
+      .withColumn("audio_meta", decodeAudioMeta(col(payloadCol))
+        .cast("struct<format:string,channels:int,sample_rate:int,bits:int," +
+          "n_frames:bigint,duration_ms:bigint>"))
+      .withColumn("pcm_features", audioFeatures(col(payloadCol))
+        .cast("struct<zero_crossings:bigint,peak:int,rms:bigint>"))
   }
 
   /** Explode sampled frames to rows: (doc_id, frame_idx, frame BINARY). */
