@@ -69,6 +69,7 @@ object SparkEntry {
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
     "q_frames" -> ((s, _) => VerifiedQueries.framesVerified(s, 2000L)),
     "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
+    "q_video" -> ((s, _) => VerifiedQueries.videoVerified(s, 2000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
   )
 
@@ -245,6 +246,14 @@ object SparkEntry {
         "CAST(479 // (2 + range % 31) AS BIGINT) AS zero_crossings, " +
         "CAST(1000 + (range % 100) * 300 AS INT) AS peak, " +
         "CAST(1000 + (range % 100) * 300 AS BIGINT) AS rms " +
+        "FROM range(0, 2000)"),
+    // clip i's mvhd/tkhd carry closed-form width/height/duration/tracks
+    // (VideoHeaders.mkMp4)
+    "q_video" ->
+      ("SELECT range AS clip_id, CAST(160 + (range % 16) * 16 AS INT) AS width, " +
+        "CAST(90 + ((range // 16) % 16) * 16 AS INT) AS height, " +
+        "CAST(1000 + (range % 240) * 250 AS BIGINT) AS duration_ms, " +
+        "CAST(1 + range % 2 AS INT) AS n_tracks, 'mp4' AS format " +
         "FROM range(0, 2000)"),
     // literals generated by `runMain graft.tools.PagesTruth 20000` —
     // deterministic ground truth of the synthetic pages table (seed 42)

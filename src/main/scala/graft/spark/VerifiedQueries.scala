@@ -551,6 +551,26 @@ object VerifiedQueries {
         col("pcm_features.rms").as("rms"))
   }
 
+  /** Video container plumbing, driver-checkable: deterministic REAL MP4
+    * fixtures (ftyp/moov/mvhd/trak/tkhd — [[graft.spark.multimodal.VideoHeaders.mkMp4]])
+    * parsed by the real ISO-BMFF box walker; width/height/duration/tracks all
+    * have closed forms in the clip id for the DuckDB oracle. */
+  def videoVerified(spark: SparkSession, nClips: Long): DataFrame = {
+    import spark.implicits._
+    import graft.spark.multimodal.{Multimodal, VideoHeaders}
+    val clips = spark.range(nClips)
+      .map(i => (i, VideoHeaders.mkMp4(i)))
+      .toDF("clip_id", "payload")
+    clips.withColumn("video_meta", Multimodal.decodeVideoMeta(col("payload"))
+        .cast("struct<width:int,height:int,duration_ms:bigint,n_tracks:int,format:string>"))
+      .select(col("clip_id"),
+        col("video_meta.width").as("width"),
+        col("video_meta.height").as("height"),
+        col("video_meta.duration_ms").as("duration_ms"),
+        col("video_meta.n_tracks").as("n_tracks"),
+        col("video_meta.format").as("format"))
+  }
+
   // ---------- ANN ----------
 
   /** Exact brute-force cosine top-5 (query set = vec_id < 10), emitted with

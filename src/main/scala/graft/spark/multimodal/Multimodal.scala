@@ -105,6 +105,21 @@ object Multimodal {
     }
   })
 
+  /** Video container metadata decode: REAL MP4/ISO-BMFF box parsing (see
+    * [[VideoHeaders]]); non-MP4 payloads fall back to a DISCLOSED STUB
+    * derivation. Frame decode itself still needs a codec — the frame-sampling
+    * shape is covered by [[sampleFrames]]/[[explodeFrames]]. */
+  val decodeVideoMeta = udf((payload: Array[Byte]) => {
+    if (payload == null || payload.isEmpty) null
+    else VideoHeaders.parse(payload) match {
+      case Some(m) => (m.width, m.height, m.durationMs, m.nTracks, m.format)
+      case None => // STUB fallback: deterministic fake metadata
+        val h = Fnv.fnv1a64(payload, 0)
+        val w = 160 + (Math.floorMod(h, 12L) * 160).toInt
+        (w, w * 9 / 16, 1000L + Math.floorMod(h >>> 8, 600L) * 1000L, 1, "video-stub")
+    }
+  })
+
   /** REAL audio feature extraction for 16-bit PCM WAV payloads — zero
     * crossings, peak amplitude, floor-RMS over channel 0 are plain
     * arithmetic on the sample words, no codec involved. Null for payloads
