@@ -31,6 +31,8 @@ object SparkEntry {
     "q_quality" -> (SparkQueries.qualityStats(_, _)),
     "q_bpe_tokens" -> (SparkQueries.bpeTokenStats(_, _)),
     "q_fingerprint_md5" -> (SparkQueries.fingerprintMd5(_, _)),
+    "q_repetition" -> (SparkQueries.repetitionStats(_, _)),
+    "q_pii" -> (SparkQueries.piiStats(_, _)),
     "q_heavy_domains_exact" -> (SparkQueries.heavyDomainsExact(_, _)),
     "q_events_hourly" -> (SparkQueries.eventsHourly(_, _)),
     "q_lineitem_pricing" -> (SparkQueries.lineitemPricing(_, _)),
@@ -114,6 +116,28 @@ object SparkEntry {
         "FROM documents) GROUP BY lang"),
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_repetition" ->
+      ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dup_lines, " +
+        "CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup_lines, " +
+        "CAST(SUM(len(g) - len(list_distinct(g))) AS BIGINT) AS total_dup_bigrams FROM (" +
+        "SELECT lang, dl, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g " +
+        "FROM (SELECT lang, " +
+        "len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))) AS dl, " +
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t " +
+        "FROM documents)) GROUP BY lang"),
+    "q_pii" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(regexp_extract_all(p, '" + graft.spark.text.TextFunctions.emailPattern +
+        "'))) AS BIGINT) AS n_emails, " +
+        "CAST(SUM(len(regexp_extract_all(p, '" + graft.spark.text.TextFunctions.ipv4Pattern +
+        "'))) AS BIGINT) AS n_ipv4, " +
+        "CAST(SUM(length(p) - length(regexp_replace(regexp_replace(p, '" +
+        graft.spark.text.TextFunctions.emailPattern + "', '<EMAIL>', 'g'), '" +
+        graft.spark.text.TextFunctions.ipv4Pattern + "', '<IP>', 'g'))) AS BIGINT) " +
+        "AS redacted_delta FROM (" +
+        "SELECT lang, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' " +
+        "ELSE '' END AS p FROM documents) GROUP BY lang"),
     "q_heavy_domains_exact" ->
       ("SELECT lang, source, n_docs, rk FROM (" +
         "SELECT lang, source, COUNT(*) AS n_docs, " +

@@ -67,6 +67,39 @@ object SparkQueries {
       .groupBy(col("lang"))
       .agg(sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"), count(lit(1)).as("n_docs"))
 
+  /** Gopher-style repetition metrics (duplicate lines / repeated word
+    * bigrams) — pure built-in array expressions, no UDF, no explode. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.dupLineCount(col("text")).cast("long").as("dl"),
+        TextFunctions.dupBigramCount(col("text")).cast("long").as("db"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dup_lines"),
+        sum(when(col("dl") > 0, 1L).otherwise(0L)).as("docs_with_dup_lines"),
+        sum(col("db")).as("total_dup_bigrams"))
+
+  /** PII detection + redaction accounting. The documents fixture carries no
+    * PII, so deterministic synthetic PII is appended per doc (same transform
+    * on the oracle side); the regex kernels then run over real text + the
+    * plants and both engines must count/redact identically. */
+  def piiStats(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(lit("")))
+    tbl(spark, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.emailCount(planted).cast("long").as("ne"),
+        TextFunctions.ipv4Count(planted).cast("long").as("ni"),
+        (length(planted) - length(TextFunctions.redactPii(planted))).cast("long").as("delta"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ne")).as("n_emails"),
+        sum(col("ni")).as("n_ipv4"), sum(col("delta")).as("redacted_delta"))
+  }
+
   /** Document fingerprinting, md5 mode (content-hash fingerprint). */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))

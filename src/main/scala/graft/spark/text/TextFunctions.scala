@@ -61,6 +61,53 @@ object TextFunctions extends Serializable {
       (tokenCount(textCol) >= 3)
   }
 
+  // ---- repetition metrics (Gopher-style repetitive-content filters) ----
+  // Pure built-in expressions (codegen'd): integer counts only, so the
+  // DuckDB oracle reproduces them bit-exactly.
+
+  /** Non-empty whitespace tokens as an array column. */
+  def tokenArray(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** Duplicate-line count: lines minus distinct lines (split on `\n`). High
+    * values flag boilerplate/navigation-heavy pages. */
+  def dupLineCount(c: Column): Column = {
+    val ls = split(c, "\n")
+    size(ls) - size(array_distinct(ls))
+  }
+
+  /** Word bigrams via `zip_with` of the token array against its own tail —
+    * no UDF, no explode. */
+  def wordBigrams(c: Column): Column = {
+    val t = tokenArray(c)
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n), (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Repeated-bigram count: total minus distinct word bigrams (the
+    * "duplicate n-gram fraction" numerator of Gopher's repetition filters,
+    * kept integer for oracle exactness). */
+  def dupBigramCount(c: Column): Column = {
+    val g = wordBigrams(c)
+    size(g) - size(array_distinct(g))
+  }
+
+  // ---- PII detection / redaction ----
+  // Patterns are deliberately lookaround-free and ASCII-classed so Java
+  // regex (engine) and RE2 (DuckDB oracle) match identically.
+
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def emailCount(c: Column): Column = size(regexp_extract_all(c, lit(emailPattern), lit(0)))
+  def ipv4Count(c: Column): Column = size(regexp_extract_all(c, lit(ipv4Pattern), lit(0)))
+
+  /** Redact emails and IPv4 literals (both engines apply the same two
+    * passes, so redacted lengths agree exactly). */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, lit(emailPattern), lit("<EMAIL>")),
+      lit(ipv4Pattern), lit("<IP>"))
+
   // ---- language ID: stopword/script n-gram heuristic (UDF) ----
 
   private val stopwords: Map[String, Set[String]] = Map(
