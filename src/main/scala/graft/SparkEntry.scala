@@ -37,6 +37,7 @@ object SparkEntry {
     "q_events_hourly" -> (SparkQueries.eventsHourly(_, _)),
     "q_lineitem_pricing" -> (SparkQueries.lineitemPricing(_, _)),
     "q_bloom_semijoin" -> (SparkQueries.bloomSemiJoin(_, _)),
+    "q_bucketed_join" -> (SparkQueries.bucketedJoin(_, _)),
     // membership: sketch-probe -> exact-verify (no false negatives => exact)
     "q_bloom_members" -> (SparkQueries.bloomMembers(_, _)),
     "q_cuckoo_members" -> (SparkQueries.cuckooMembers(_, _)),
@@ -153,6 +154,10 @@ object SparkEntry {
       ("SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders WHERE o_custkey IN " +
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
         "GROUP BY o_orderpriority"),
+    "q_bucketed_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, " +
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
     "q_bloom_members" ->
       "SELECT doc_id FROM documents WHERE lang = 'en'",
     "q_cuckoo_members" ->

@@ -100,6 +100,26 @@ object SparkQueries {
         sum(col("ni")).as("n_ipv4"), sum(col("delta")).as("redacted_delta"))
   }
 
+  /** Equi-join through the bucketed-table layout (graft.spark.io.Bucketing):
+    * both sides are written hash-bucketed by the join key, so the sort-merge
+    * join runs with no Exchange on either side (BucketingSpec pins the plan
+    * shape) — the co-located-join answer for joins repeated at 100 TB. The
+    * merge hint keeps the small side from broadcasting so the bucketed path
+    * is the one actually exercised. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.io.Bucketing
+    Bucketing.writeBucketed(
+      tbl(spark, dir, "customer").select(col("c_custkey").as("k"), col("c_mktsegment")),
+      "graft_bkt_customer", "k", 16)
+    Bucketing.writeBucketed(
+      tbl(spark, dir, "orders").select(col("o_custkey").as("k")),
+      "graft_bkt_orders", "k", 16)
+    Bucketing.readTable(spark, "graft_bkt_orders")
+      .join(Bucketing.readTable(spark, "graft_bkt_customer").hint("merge"), "k")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), countDistinct(col("k")).as("n_custs"))
+  }
+
   /** Document fingerprinting, md5 mode (content-hash fingerprint). */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))

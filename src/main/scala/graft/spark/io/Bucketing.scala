@@ -1,0 +1,31 @@
+package graft.spark.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins — the 100 TB answer to "this
+  * join shuffles both sides every night": pay one hash-partitioned write per
+  * table, then every subsequent equi-join or aggregation on the bucket key
+  * runs shuffle-free (Spark's bucketed scan reports its hash partitioning to
+  * the planner, so the Exchange is elided; BucketingSpec pins the plan
+  * shape).
+  *
+  * Locally the catalog is Spark's embedded one and buckets are parquet files
+  * under the warehouse dir; on a cluster the same calls target the
+  * production catalog (the TableIO Iceberg seam applies — Iceberg's
+  * bucket-transform partitioning is the equivalent layout).
+  */
+object Bucketing {
+
+  /** Write df hash-bucketed (and sorted within buckets) by keyCol. Joins
+    * between tables written with the SAME key and bucket count co-locate. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}
