@@ -21,16 +21,12 @@ import graft.core.SplitMix64
   */
 object Ann extends Serializable {
 
-  /** Cosine similarity between two float-array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
-  }
+  /** Cosine similarity between two float-array columns (double math) — the
+    * codegen'd [[graft.spark.fns.CosineF32Expr]] kernel, bit-identical to
+    * the previous zip_with/aggregate chain but with no per-element lambda
+    * interpretation (HOFs don't codegen) in the O(corpus × queries) loops. */
+  def cosine(a: Column, b: Column): Column =
+    graft.spark.fns.VecExpressions.cosineF32(a, b)
 
   /** Exact top-k neighbors for each query row.
     * queries: (query_id, q_embedding), corpus: (vec_id, embedding). */

@@ -64,8 +64,12 @@ object AudioHeaders extends Serializable {
         dataOff = body
         dataLen = math.min(len, (b.length - body).toLong).toInt
       }
-      // chunks are word-aligned: odd lengths carry a pad byte
-      i = body + len.toInt + (len.toInt & 1)
+      // chunks are word-aligned: odd lengths carry a pad byte. Clamp the
+      // step to the remaining bytes BEFORE narrowing: a corrupt u32 length
+      // near 2^32 would overflow toInt to a negative step and stall the walk
+      // (an executor-hanging infinite loop on malformed input).
+      val step = math.min(len, (b.length - body).toLong).toInt
+      i = body + step + (step & 1)
     }
     if (!fmtOk || dataOff < 0) None
     else {

@@ -56,6 +56,21 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(f.zeroCrossings == 2 && f.peak == 16 && f.rms == 11)
   }
 
+  test("corrupt chunk length near 2^32 terminates the walk (no hang)") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    // fmt is valid but a junk chunk claims size 0xFFFFFFFE, hiding data
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16)
+    val junk = "JUNK".getBytes ++ le32(0xfffffffeL) ++ new Array[Byte](8)
+    val data = "data".getBytes ++ le32(4) ++ new Array[Byte](4)
+    val body = fmt ++ junk ++ data
+    val wav = "RIFF".getBytes ++ le32(4L + body.length) ++ "WAVE".getBytes ++ body
+    // data is unreachable behind the corrupt chunk -> None, but must return
+    assert(AudioHeaders.parse(wav).isEmpty)
+  }
+
   test("non-WAV payloads fall back to None (stub path in Multimodal)") {
     assert(AudioHeaders.parse(AudioHeaders.mkOpaque(7L)).isEmpty)
     assert(AudioHeaders.parse(null).isEmpty)
