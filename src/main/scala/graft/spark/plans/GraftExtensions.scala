@@ -193,6 +193,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("kll_native takes (col[, k])")
       }))
 
+    e.injectFunction((FunctionIdentifier("cosine_f32"),
+      info("cosine_f32", "cosine_f32(a, b) - codegen'd cosine over float arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.spark.fns.CosineF32Expr(a, b)
+        case _ => throw new IllegalArgumentException("cosine_f32 takes (a, b)")
+      }))
+
     e.injectFunction((FunctionIdentifier("heavy_hitters_native"),
       info("heavy_hitters_native",
         "heavy_hitters_native(key, count, k[, width, depth]) - native top-k map"),

@@ -120,6 +120,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val kll = graft.ext.Kll.fromBytes(row.getAs[Array[Byte]]("kll"))
       assert(math.abs(kll.quantile(0.5) - 50.0) <= 5.0)
       assert(row.getMap[String, Long](5).nonEmpty)
+
+      // scalar kernel injection: cosine_f32 straight from SQL
+      val cos = spark.sql(
+        """SELECT cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(cos == 1.0)
     }
   }
 
