@@ -19,10 +19,23 @@ object Bucketing {
   /** Write df hash-bucketed (and sorted within buckets) by keyCol. Joins
     * between tables written with the SAME key and bucket count co-locate. */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
-                    numBuckets: Int, mode: String = "overwrite"): Unit =
+                    numBuckets: Int, mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the embedded in-memory catalog forgets table METADATA between JVMs but
+    // leaves the warehouse DIRECTORY behind, so a fresh session's saveAsTable
+    // fails with LOCATION_ALREADY_EXISTS — clear the stale location too
+    // (unqualified names land in the default database: <warehouse>/<table>)
+    if (!table.contains(".")) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(mode).format("parquet")
       .bucketBy(numBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
