@@ -62,6 +62,7 @@ object SparkEntry {
     "q_qf_hashes" -> (VerifiedQueries.qfHashesVerified(_, _)),
     // dedup / ANN / text / multimodal
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
+    "q_dedup_clusters" -> (SparkQueries.dedupClusters(_, _)),
     "q_simhash_pairs" -> (VerifiedQueries.simhashPairsVerified(_, _)),
     "q_embed_neardup" -> (SparkQueries.embeddingNearDup(_, _)),
     "q_ann_topk" -> (VerifiedQueries.annBruteForceVerified(_, _)),
@@ -221,6 +222,16 @@ object SparkEntry {
         "true AS dedup_ok FROM events GROUP BY event_type"),
     "q_minhash_pairs" ->
       (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
+    // connected components over the same exact-Jaccard edge set, by
+    // recursive min-root closure (tiny clusters at this SF keep the
+    // recursive walk bounded)
+    "q_dedup_clusters" ->
+      (jaccardPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5), " +
+        "eb AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e), " +
+        "walk(node, root) AS (SELECT DISTINCT a AS node, a AS root FROM eb " +
+        "UNION SELECT eb.b, w.root FROM walk w JOIN eb ON w.node = eb.a) " +
+        "SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS rep FROM walk GROUP BY node"),
     "q_simhash_pairs" ->
       (jaccardPairsCte +
         "SELECT id_a, id_b, true AS consistent_ok FROM pairs WHERE jaccard >= 0.5"),

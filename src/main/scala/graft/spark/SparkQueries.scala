@@ -316,6 +316,13 @@ object SparkQueries {
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "doc_id", "text",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
 
+  /** Near-dup CLUSTERS: minhash pairs -> connected components -> (doc_id,
+    * cluster rep = min doc id). The dedup decision stage; "keep one per
+    * cluster" is doc_id == rep. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      minhashPairs(spark, dir).select(col("id_a"), col("id_b")))
+
   /** SimHash near-duplicate pairs (hamming <= 3 over 64-bit signatures). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)

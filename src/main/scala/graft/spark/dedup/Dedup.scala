@@ -134,6 +134,56 @@ object Dedup extends Serializable {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list — the stage that turns
+    * pairs into a DEDUP DECISION: every doc gets the min doc id of its
+    * near-dup cluster as `rep`, so "keep one per cluster" is
+    * `filter(doc_id === rep)`.
+    *
+    * Algorithm: min-label propagation (each round a node adopts the min rep
+    * among itself and its neighbors — one narrow (id, rep) shuffle) plus
+    * pointer halving (rep := rep's rep, one more narrow self-join), giving
+    * O(log diameter) rounds instead of O(diameter) on chains. Each round
+    * materializes via localCheckpoint to keep the plan flat (on a cluster,
+    * use a reliable checkpoint dir). Scale shape: every round is
+    * O(|edges| + |nodes|) shuffled bytes over two-column rows, never text —
+    * the DataFrame rendering of the alternating-star CC family (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+    *
+    * Input columns: (id_a, id_b). Output: (doc_id, rep) for every doc that
+    * appears in at least one pair. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      // 1) neighbor-min: adopt the smallest rep among self + neighbors
+      val nmin = edges
+        .join(labels.select(col("id").as("src"), col("rep").as("srep")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("srep")).as("nrep"))
+      val stepped = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      // 2) pointer halving: rep := rep(rep) — collapses label chains
+      val repOf = stepped.select(col("id").as("rep_key"), col("rep").as("rep2"))
+      val halved = stepped.join(repOf, stepped("rep") === repOf("rep_key"), "left")
+        .select(stepped("id"), coalesce(col("rep2"), stepped("rep")).as("rep"))
+        .localCheckpoint(true)
+      done = halved.as("n").join(labels.as("o"), "id")
+        .filter(col("n.rep") =!= col("o.rep")).isEmpty
+      labels = halved
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
   // 6 simhash blocks over 64 bits: lens 11,11,11,11,10,10 at these offsets
   private val blockOffsets = Array(0, 11, 22, 33, 44, 54)
 
