@@ -32,6 +32,7 @@ object SparkEntry {
     "q_bpe_tokens" -> (SparkQueries.bpeTokenStats(_, _)),
     "q_fingerprint_md5" -> (SparkQueries.fingerprintMd5(_, _)),
     "q_repetition" -> (SparkQueries.repetitionStats(_, _)),
+    "q_gopher" -> (SparkQueries.gopherStats(_, _)),
     "q_pii" -> (SparkQueries.piiStats(_, _)),
     "q_heavy_domains_exact" -> (SparkQueries.heavyDomainsExact(_, _)),
     "q_events_hourly" -> (SparkQueries.eventsHourly(_, _)),
@@ -127,6 +128,27 @@ object SparkEntry {
         "len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))) AS dl, " +
         "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t " +
         "FROM documents)) GROUP BY lang"),
+    "q_gopher" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN nw >= 10 AND nw <= 100000 AND nw * 3 <= chars " +
+        "AND chars <= nw * 10 AND ne * 10 <= nl * 3 AND nb * 10 <= nl * 9 " +
+        "AND na * 10 >= nw * 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass, " +
+        "CAST(SUM(ne) AS BIGINT) AS total_ellipsis_lines, " +
+        "CAST(SUM(nb) AS BIGINT) AS total_bullet_lines, " +
+        "CAST(SUM(na) AS BIGINT) AS total_alpha_words FROM (" +
+        "SELECT lang, len(t) AS nw, length(array_to_string(t, '')) AS chars, " +
+        "len(ls) AS nl, " +
+        "len(list_filter(ls, x -> ends_with(x, '...'))) AS ne, " +
+        "len(list_filter(ls, x -> starts_with(ltrim(x), '- ') OR " +
+        "starts_with(ltrim(x), '* ') OR starts_with(ltrim(x), '•'))) AS nb, " +
+        "len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS na FROM (" +
+        "SELECT lang, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t, " +
+        "string_split(text, chr(10)) AS ls FROM (" +
+        "SELECT lang, text || CASE WHEN doc_id % 7 = 0 THEN '" +
+        graft.spark.SparkQueries.gopherBulletPlant +
+        "' WHEN doc_id % 7 = 1 THEN '" + graft.spark.SparkQueries.gopherEllipsisPlant +
+        "' WHEN doc_id % 7 = 2 THEN '" + graft.spark.SparkQueries.gopherNumericPlant +
+        "' ELSE '' END AS text FROM documents))) GROUP BY lang"),
     "q_pii" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(len(regexp_extract_all(p, '" + graft.spark.text.TextFunctions.emailPattern +

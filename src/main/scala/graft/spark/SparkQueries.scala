@@ -80,6 +80,39 @@ object SparkQueries {
         sum(when(col("dl") > 0, 1L).otherwise(0L)).as("docs_with_dup_lines"),
         sum(col("db")).as("total_dup_bigrams"))
 
+  /** Deterministic boilerplate plants shared with the q_gopher oracle:
+    * 10 bullet lines flip the <=90%-bullet-lines rule on a 1-line doc;
+    * one ellipsis line flips <=30%; 200 numeric tokens flip the
+    * alpha-word and mean-word-length rules. */
+  val gopherBulletPlant: String = "\n- item" * 10
+  val gopherEllipsisPlant: String = "\nread more..."
+  val gopherNumericPlant: String = " " + "7 " * 200
+
+  /** Gopher-rule quality gate (word-count/mean-length bounds, ellipsis and
+    * bullet line fractions, alpha-word fraction) — integer-exact cross
+    * multiplications, so the pass decision itself is oracle-checkable. */
+  def gopherStats(spark: SparkSession, dir: String): DataFrame = {
+    // the fixture docs are single-line clean text, so every gate branch
+    // would be vacuously true; plant deterministic boilerplate per doc-id
+    // class (same transform on the oracle side) so the FAIL branches of the
+    // bullet/ellipsis/alpha rules carry real decisions
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(SparkQueries.gopherBulletPlant))
+        .when(col("doc_id") % 7 === 1, lit(SparkQueries.gopherEllipsisPlant))
+        .when(col("doc_id") % 7 === 2, lit(SparkQueries.gopherNumericPlant))
+        .otherwise(lit("")))
+    tbl(spark, dir, "documents")
+      .select(col("lang"),
+        when(TextFunctions.gopherPass(planted, minWords = 10), 1L).otherwise(0L).as("p"),
+        TextFunctions.ellipsisLineCount(planted).cast("long").as("ne"),
+        TextFunctions.bulletLineCount(planted).cast("long").as("nb"),
+        TextFunctions.alphaWordCount(planted).cast("long").as("na"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_gopher_pass"),
+        sum(col("ne")).as("total_ellipsis_lines"), sum(col("nb")).as("total_bullet_lines"),
+        sum(col("na")).as("total_alpha_words"))
+  }
+
   /** PII detection + redaction accounting. The documents fixture carries no
     * PII, so deterministic synthetic PII is appended per doc (same transform
     * on the oracle side); the regex kernels then run over real text + the

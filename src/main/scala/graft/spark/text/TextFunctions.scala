@@ -92,6 +92,44 @@ object TextFunctions extends Serializable {
     size(g) - size(array_distinct(g))
   }
 
+  // ---- Gopher quality rules (Rae et al. 2021 §A1.1, integer-exact) ----
+  // Every fraction test is rewritten as cross-multiplied integer compares so
+  // the DuckDB oracle reproduces the pass decision bit-exactly.
+
+  /** Total characters across tokens (= mean word length numerator), as a
+    * pure built-in: concat the tokens and take the length. */
+  def tokenCharCount(c: Column): Column = length(concat_ws("", tokenArray(c)))
+
+  /** Lines ending in an ellipsis (boilerplate "read more..." signal). */
+  def ellipsisLineCount(c: Column): Column =
+    size(filter(split(c, "\n"), l => endswith(l, lit("..."))))
+
+  /** Lines starting with a bullet marker. */
+  def bulletLineCount(c: Column): Column =
+    size(filter(split(c, "\n"), l =>
+      startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* ")) ||
+        startswith(ltrim(l), lit("•"))))
+
+  /** Tokens containing at least one ASCII letter. */
+  def alphaWordCount(c: Column): Column =
+    size(filter(tokenArray(c), t => t.rlike("[A-Za-z]")))
+
+  /** The Gopher repetition-independent quality gate, integer-exact:
+    * word count in [minWords, maxWords]; mean word length in [3, 10]
+    * (3·nw <= chars <= 10·nw); <= 30% of lines end in ellipsis;
+    * <= 90% of lines start with a bullet; >= 80% of words contain a letter.
+    * (The stopword rule is reported separately — it is language-bound.) */
+  def gopherPass(c: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val nw = size(tokenArray(c))
+    val chars = tokenCharCount(c)
+    val nlines = size(split(c, "\n"))
+    (nw >= minWords) && (nw <= maxWords) &&
+      (nw * 3 <= chars) && (chars <= nw * 10) &&
+      (ellipsisLineCount(c) * 10 <= nlines * 3) &&
+      (bulletLineCount(c) * 10 <= nlines * 9) &&
+      (alphaWordCount(c) * 10 >= nw * 8)
+  }
+
   // ---- PII detection / redaction ----
   // Patterns are deliberately lookaround-free and ASCII-classed so Java
   // regex (engine) and RE2 (DuckDB oracle) match identically.

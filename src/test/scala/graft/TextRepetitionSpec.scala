@@ -55,6 +55,23 @@ class TextRepetitionSpec extends AnyFunSuite {
     assert(r(3).getInt(1) == 1)
   }
 
+  test("gopher gate rules flip on the planted boilerplate shapes") {
+    import spark.implicits._
+    val goodText = Array.fill(20)("words").mkString(" ")           // 20 x 5 chars
+    val rows = Seq(
+      ("good", goodText),
+      ("bullets", goodText + graft.spark.SparkQueries.gopherBulletPlant),
+      ("ellipsis", goodText + graft.spark.SparkQueries.gopherEllipsisPlant),
+      ("numeric", goodText + graft.spark.SparkQueries.gopherNumericPlant),
+      ("short", "too few words"),
+      ("longwords", Array.fill(15)("x" * 30).mkString(" ")))       // mean len 30 > 10
+    val got = rows.toDF("name", "text")
+      .select($"name", TextFunctions.gopherPass($"text", minWords = 10).as("p"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("good" -> true, "bullets" -> false, "ellipsis" -> false,
+      "numeric" -> false, "short" -> false, "longwords" -> false))
+  }
+
   test("repetition metrics stay whole-stage-codegen'd (no UDF in the plan)") {
     import spark.implicits._
     val plan = Seq("a b a b").toDF("text")
