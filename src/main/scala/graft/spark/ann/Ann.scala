@@ -40,19 +40,27 @@ object Ann extends Serializable {
   }
 
   /** Deterministic random-hyperplane signature: bit i = sign(dot(v, plane_i)),
-    * planes drawn from splitmix64(seed, i, dim). */
-  def hyperplaneSig(numBits: Int, dim: Int, seed: Long = 42L): UserDefinedFunction =
+    * planes drawn from splitmix64(seed, i, dim). The plane matrix is
+    * generated ONCE at construction and captured in the closure (the
+    * previous version re-ran the RNG per ROW — O(bits·dim) splitmix calls
+    * for every vector); values and accumulation order are unchanged, so
+    * signatures are bit-identical. */
+  def hyperplaneSig(numBits: Int, dim: Int, seed: Long = 42L): UserDefinedFunction = {
+    val planes: Array[Array[Double]] = Array.tabulate(numBits) { b =>
+      val rng = new SplitMix64(seed + b * 1315423911L)
+      // uniform in [-1,1) from the top 53 bits
+      Array.fill(dim)((rng.nextLong() >>> 11) * (1.0 / (1L << 52)) - 1.0)
+    }
     udf((v: Seq[Float]) => {
       var sig = 0L
       var b = 0
       while (b < numBits) {
-        val rng = new SplitMix64(seed + b * 1315423911L)
+        val p = planes(b)
         var dot = 0.0
         var i = 0
-        while (i < math.min(dim, v.length)) {
-          // uniform in [-1,1) from the top 53 bits
-          val plane = (rng.nextLong() >>> 11) * (1.0 / (1L << 52)) - 1.0
-          dot += v(i) * plane
+        val n = math.min(dim, v.length)
+        while (i < n) {
+          dot += v(i) * p(i)
           i += 1
         }
         if (dot > 0) sig |= (1L << b)
@@ -60,6 +68,7 @@ object Ann extends Serializable {
       }
       sig
     })
+  }
 
   private def cosineLocal(a: Seq[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
