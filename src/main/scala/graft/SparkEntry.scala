@@ -27,6 +27,8 @@ object SparkEntry {
     // exact-oracle scan/agg/join queries
     "q_docs_stats" -> (SparkQueries.docsStats(_, _)),
     "q_dedup_exact" -> (SparkQueries.dedupExact(_, _)),
+    "q_decontaminate" -> (SparkQueries.decontaminateStats(_, _)),
+    "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
     "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
     "q_quality" -> (SparkQueries.qualityStats(_, _)),
     "q_bpe_tokens" -> (SparkQueries.bpeTokenStats(_, _)),
@@ -97,6 +99,36 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT lang, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts " +
         "FROM documents GROUP BY lang"),
+    // benchmark set = shingles of docs with doc_id % 17 = 0; contaminated =
+    // any shared 3-token shingle (same shingle formula as jaccardPairsCte)
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, lang, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, lang, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s FROM toks), " +
+        "bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0), " +
+        "ds AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+        "cont AS (SELECT DISTINCT ds.doc_id FROM ds JOIN bench USING (g)) " +
+        "SELECT sh.lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) " +
+        "AS n_contaminated FROM sh LEFT JOIN cont ON sh.doc_id = cont.doc_id " +
+        "GROUP BY sh.lang"),
+    "q_line_dedup" ->
+      ("WITH p AS (SELECT lang, text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || '" +
+        graft.spark.SparkQueries.lineDedupPlantA + "' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN chr(10) || '" +
+        graft.spark.SparkQueries.lineDedupPlantB + "' ELSE '' END AS text " +
+        "FROM documents), " +
+        "l AS (SELECT lang, unnest(string_split(text, chr(10))) AS line FROM p), " +
+        "nb AS (SELECT lang, line FROM l WHERE trim(line) <> ''), " +
+        "f AS (SELECT line, true AS b FROM nb GROUP BY line HAVING COUNT(*) >= 4) " +
+        "SELECT lang, COUNT(*) AS n_lines, " +
+        "CAST(SUM(CASE WHEN f.b THEN 1 ELSE 0 END) AS BIGINT) AS boilerplate_lines, " +
+        "CAST(SUM(CASE WHEN f.b THEN length(nb.line) ELSE 0 END) AS BIGINT) " +
+        "AS chars_removed FROM nb LEFT JOIN f USING (line) GROUP BY lang"),
     "q_token_stats" ->
       ("SELECT lang, CAST(SUM(toks) AS BIGINT) AS total_tokens, " +
         "CAST(MAX(toks) AS BIGINT) AS max_tokens, COUNT(*) AS n_docs FROM (" +

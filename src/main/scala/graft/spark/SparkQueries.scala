@@ -43,6 +43,47 @@ object SparkQueries {
       .groupBy(col("lang"))
       .agg(countDistinct(col("digest")).as("n_distinct_texts"))
 
+  /** Benchmark decontamination (the flagship corpus-level Bloom use-case):
+    * a deterministic doc-id class stands in for the benchmark corpus; every
+    * doc sharing a 3-token shingle with it is flagged. Bloom prunes
+    * map-side, the exact semi-join verifies candidates only — so the per-lang
+    * counts are exact and oracle-checkable while the Bloom filter carries
+    * the real pruning decision. */
+  def decontaminateStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.Corpus
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    Corpus.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0).select(col("text")),
+        "doc_id", "text", bloomCapacity = 200000L, passthrough = Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+  }
+
+  // shared boilerplate lines planted for the corpus-frequency line dedup
+  // (apostrophe-free so they embed in the DuckDB oracle SQL literally)
+  val lineDedupPlantA = "Sign up for our newsletter to get updates"
+  val lineDedupPlantB = "(c) example.com - all rights reserved"
+
+  /** Corpus-frequency line dedup (CCNet-style boilerplate removal): lines
+    * occurring >= 4 times across the corpus are boilerplate. The fixture
+    * docs are unique word-salad, so deterministic shared lines are planted
+    * per doc-id class (same transform on the oracle side); natural
+    * duplicate-doc lines participate too. */
+  def lineDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.Corpus
+    val planted = tbl(spark, dir, "documents").select(col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit("\n" + lineDedupPlantA)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\n" + lineDedupPlantB)).otherwise(lit("")))
+        .as("text"))
+    Corpus.lineFrequencyFlags(planted, "text", minCount = 4L, passthrough = Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("boilerplate"), 1L).otherwise(0L)).as("boilerplate_lines"),
+        sum(when(col("boilerplate"), length(col("line")).cast("long")).otherwise(0L))
+          .as("chars_removed"))
+  }
+
   /** Token counting over the documents table (pure built-in expressions). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")

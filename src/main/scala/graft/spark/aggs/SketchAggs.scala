@@ -13,8 +13,9 @@ import graft.hash.Fnv1aHasher
   * `functions.udaf(...)` (see [[SketchUdafs]]). Spark lowers these to
   * `ScalaAggregator`, a `TypedImperativeAggregate`: the mutable sketch object
   * lives in the hash-aggregate buffer per partition (zero per-row
-  * serialization), is kryo-serialized only across the partial→final shuffle
-  * boundary, and `merge` is exactly the reference's union/join semantics —
+  * serialization), crosses the partial→final shuffle boundary in the
+  * REFERENCE export format (the [[SketchEncoders]] TransformingEncoder
+  * codecs), and `merge` is exactly the reference's union/join semantics —
   * associative + commutative, so partition count and ordering cannot change
   * the result (property-tested in SparkAggSpec).
   *

@@ -1,0 +1,108 @@
+package graft.spark.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.spark.aggs.SketchUdafs
+
+/** Corpus-level text-pipeline operators: decisions that depend on the WHOLE
+  * corpus (or a second corpus), not a single document — the stages an LLM
+  * training-data pipeline runs after per-doc filtering.
+  *
+  * Scale shape (the part that matters at 10^12 docs):
+  *   - decontamination probes every doc's n-grams against a BROADCAST Bloom
+  *     filter of the benchmark set (the benchmark is small by definition);
+  *     only bloom-hit candidates — a vanishing fraction at corpus scale —
+  *     pay the explode + exact semi-join. Bloom has no false negatives, so
+  *     the verified output is exact;
+  *   - corpus-frequency line dedup shuffles 8-byte line hashes, never line
+  *     text; the heavy (boilerplate) hash set is count-thresholded and
+  *     therefore small enough to broadcast back (a key reaching the
+  *     threshold needs `minCount` raw occurrences, so there are at most
+  *     total_lines / minCount of them).
+  */
+object Corpus {
+
+  /** Distinct n-token shingle array of `text` — same formula as the Dedup
+    * jaccard verify and the DuckDB oracle CTE (lowercase, \s+ split, drop
+    * empties; fewer than n tokens collapses to the single joined-token
+    * shingle), computed by the codegen'd [[graft.spark.fns.ShinglesExpr]]
+    * kernel (CorpusSpec pins parity with the built-in-expression formula). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.spark.fns.TextExpressions.shinglesNative(text, n)
+
+  /** The shingle formula as pure built-in expressions — the parity oracle
+    * for the kernel (and the shape a user without the extension jar would
+    * write). */
+  def shinglesBuiltin(text: Column, n: Int = 3): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** Benchmark decontamination (GPT-3 appendix C / Dolma style): flag every
+    * document sharing at least one `n`-token shingle with the benchmark
+    * corpus.
+    *
+    * `docs` carries (idCol BIGINT, textCol); `bench` carries (textCol).
+    * Returns (doc_id, passthrough..., contaminated BOOLEAN) for every doc —
+    * exact, because the Bloom probe only PRUNES (no false negatives) and
+    * candidates are verified with a distinct semi-join against the true
+    * shingle set. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    bloomCapacity: Long = 1000000L, fpr: Double = 0.001,
+                    passthrough: Seq[String] = Nil): DataFrame = {
+    import graft.spark.fns.TextExpressions
+    val base = docs.select(col(idCol).cast("long").as("doc_id") +:
+      col(textCol).as("__text") +: passthrough.map(col): _*)
+    // materialize the (small) benchmark shingle set once: it feeds both the
+    // bloom build and the broadcast verify join
+    val benchShingles = bench
+      .select(explode(shingles(col(textCol), n)).as("s"))
+      .distinct().localCheckpoint(true)
+    // one pass over the benchmark set -> one Bloom filter
+    val bloomBytes = benchShingles
+      .agg(SketchUdafs.bloom(bloomCapacity, fpr)(col("s")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    // map-side prune, fully inside whole-stage codegen: the fused kernel
+    // tokenizes + probes with early exit, materializing no shingle array;
+    // docs with zero bloom-hit shingles never reach the join
+    val candidates = base.filter(
+      TextExpressions.bloomShingleHitNative(bloomBytes, n, col("__text")))
+    val contaminated = candidates
+      .select(col("doc_id"), explode(shingles(col("__text"), n)).as("s"))
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    base.select(col("doc_id") +: passthrough.map(col): _*)
+      .join(broadcast(contaminated.withColumn("c", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id") +: passthrough.map(col) :+
+        coalesce(col("c"), lit(false)).as("contaminated"): _*)
+  }
+
+  /** Corpus-frequency line dedup (CCNet / RefinedWeb boilerplate removal):
+    * a line occurring at least `minCount` times ACROSS the corpus is
+    * boilerplate.
+    *
+    * `docs` carries (textCol, plus any passthrough columns). Returns one row
+    * per non-blank line: (passthrough..., line, boilerplate BOOLEAN) — the
+    * caller filters or aggregates. Grouping key is the 64-bit xxhash of the
+    * line (8-byte shuffle rows; the text itself never crosses the
+    * frequency-count exchange). */
+  def lineFrequencyFlags(docs: DataFrame, textCol: String, minCount: Long,
+                         passthrough: Seq[String]): DataFrame = {
+    val lines = docs
+      .select(passthrough.map(col) :+ explode(split(col(textCol), "\n")).as("line"): _*)
+      .filter(trim(col("line")) =!= "")
+      .withColumn("h", xxhash64(col("line")))
+    val heavy = lines.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("h"), lit(true).as("b"))
+    lines
+      .join(broadcast(heavy), Seq("h"), "left")
+      .select(passthrough.map(col) :+ col("line") :+
+        coalesce(col("b"), lit(false)).as("boilerplate"): _*)
+  }
+}

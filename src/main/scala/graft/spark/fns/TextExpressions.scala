@@ -4,8 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.hash.Fnv
@@ -126,6 +126,74 @@ object TextKernels extends Serializable {
     sig
   }
 
+  /** Token (start, end) offsets over an ALREADY-lowercased text (the
+    * shingle-string kernels lowercase with String.toLowerCase first, for
+    * byte parity with the jaccard-verify UDF and the DuckDB oracle's
+    * lower()). */
+  private def wsBounds(text: String): (Array[Int], Int) = {
+    val n = text.length
+    val bounds = new Array[Int](2 * (n / 2 + 2))
+    var ntoks = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      if (i < n) {
+        bounds(2 * ntoks) = i
+        while (i < n && !isWs(text.charAt(i))) i += 1
+        bounds(2 * ntoks + 1) = i
+        ntoks += 1
+      }
+    }
+    (bounds, ntoks)
+  }
+
+  private def shingleStr(text: String, bounds: Array[Int], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var t = from
+    while (t < until) {
+      if (t > from) sb.append(' ')
+      sb.append(text, bounds(2 * t), bounds(2 * t + 1))
+      t += 1
+    }
+    sb.toString
+  }
+
+  /** Distinct n-token shingles of the lowercased text — the oracle formula
+    * (lower, \s+ split, single-space join; fewer than n tokens collapses to
+    * the single joined-token shingle) as one codegen-callable kernel. */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val (bounds, ntoks) = wsBounds(text)
+    if (ntoks < n)
+      new GenericArrayData(Array[Any](UTF8String.fromString(shingleStr(text, bounds, 0, ntoks))))
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var w = 0
+      while (w + n <= ntoks) { seen.add(shingleStr(text, bounds, w, w + n)); w += 1 }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Fused shingle -> Bloom probe: true iff ANY n-token shingle of the text
+    * hits the filter. Early-exits on the first hit and materializes no
+    * shingle array — the full-corpus decontamination prune stays inside
+    * whole-stage codegen. */
+  def shingleAnyInBloom(s: UTF8String, n: Int, filter: graft.core.BloomFilter): Boolean = {
+    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val (bounds, ntoks) = wsBounds(text)
+    if (ntoks < n) return filter.check(shingleStr(text, bounds, 0, ntoks))
+    var w = 0
+    while (w + n <= ntoks) {
+      if (filter.check(shingleStr(text, bounds, w, w + n))) return true
+      w += 1
+    }
+    false
+  }
+
   /** Fused LSH path: minhash signature -> per-band fnv fold, returning only
     * the `bands` band hashes — the 64-long signature never reaches the plan,
     * so the exploded/shuffled relation stays narrow. */
@@ -201,6 +269,44 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Codegen'd distinct n-token shingle array of a string column. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.fns.TextKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
+/** Codegen'd fused shingle -> Bloom-filter probe of a string column (the
+  * decontamination prune; the filter rides the plan as a shared reference
+  * object, like [[graft.spark.fns.BloomMightContainExpr]]). */
+case class BloomShingleHitExpr(child: Expression, n: Int, filter: graft.core.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleAnyInBloom(input.asInstanceOf[UTF8String], n, filter)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftDecontBloom", filter,
+      classOf[graft.core.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"graft.spark.fns.TextKernels.shingleAnyInBloom($c, $n, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_shingle_hit"
+}
+
 object TextExpressions {
   def simhash64Native(c: Column): Column =
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c)))
@@ -212,4 +318,11 @@ object TextExpressions {
   def minhashSigNative(c: Column, shingleSize: Int, numHashes: Int): Column =
     GraftColumnBridge.column(
       MinHashSigExpr(GraftColumnBridge.expression(c), shingleSize, numHashes))
+
+  def shinglesNative(c: Column, n: Int): Column =
+    GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(c), n))
+
+  def bloomShingleHitNative(bloomBytes: Array[Byte], n: Int, text: Column): Column =
+    GraftColumnBridge.column(BloomShingleHitExpr(GraftColumnBridge.expression(text), n,
+      graft.core.BloomFilter.fromBytes(bloomBytes)))
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.dedup.Corpus
+
+/** Corpus-level operators: benchmark decontamination (bloom-pruned,
+  * exact-verified) and corpus-frequency line dedup. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("corpus")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("decontaminate flags exactly the docs sharing a shingle with the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a completely different sentence about nothing at all here"),
+      (2L, "we see the quick brown fox again in this doc"),    // shares "the quick brown"
+      (3L, "short doc"),                                       // < 3 tokens -> whole-text shingle
+      (4L, "entirely novel words that overlap with no benchmark text ever"),
+      (5L, "what does the fox say")
+    ).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox is a benchmark sentence", "short doc")
+      .toDF("text")
+    val got = Corpus.decontaminate(docs, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false))
+  }
+
+  test("decontaminate is exact under a deliberately tiny (high-fpr) bloom") {
+    import spark.implicits._
+    // capacity 10 for ~60 shingles drives the fpr way up: false positives
+    // must die in the verify join, and bloom-no-false-negatives keeps recall
+    val docs = (0L until 30L)
+      .map(i => (i, s"token$i alpha$i beta$i gamma$i delta$i epsilon$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq("token7 alpha7 beta7 gamma7 delta7 epsilon7").toDF("text")
+    val got = Corpus.decontaminate(docs, bench, "doc_id", "text",
+        bloomCapacity = 10L, fpr = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(7L))
+    assert(got.count(_._2) == 1)
+  }
+
+  test("lineFrequencyFlags thresholds on corpus-wide line counts") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "unique one\nshared line\n  "),
+      ("a", "unique two\nshared line"),
+      ("b", "shared line\nunique three"),
+      ("b", "unique four\nrare pair"),
+      ("b", "rare pair")
+    ).toDF("lang", "text")
+    val rows = Corpus.lineFrequencyFlags(docs, "text", minCount = 3L, Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    // blank-only line dropped; "shared line" (3x) boilerplate; "rare pair" (2x) not
+    assert(rows.length == 9)
+    assert(rows.filter(_._2 == "shared line").forall(_._3))
+    assert(rows.filter(_._2 == "rare pair").forall(!_._3))
+    assert(rows.filter(_._2.startsWith("unique")).forall(!_._3))
+  }
+
+  test("shingles kernel matches the built-in-expression formula (incl. edge cases)") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick  brown\tfox\njumps over the lazy dog",
+      "ONE", "", "   ", "two words", "a b c",
+      "répété répété RÉPÉTÉ unicode tokens répété here now",
+      "а б в г Д Е",  // cyrillic
+      "dup dup dup dup dup dup",                     // all shingles identical
+      "xy mixed\fws\rhere ok fine then"
+    ).toDF("text")
+    val got = texts.select(
+      sort_array(graft.spark.dedup.Corpus.shingles(col("text"))).as("k"),
+      sort_array(graft.spark.dedup.Corpus.shinglesBuiltin(col("text"))).as("b"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
+  test("decontaminate result is invariant to partition count") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 4 == 0) "common phrase shared by many docs here"
+                    else s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq("common phrase shared by many docs indeed").toDF("text")
+    def run(parts: Int) = Corpus.decontaminate(docs.repartition(parts), bench,
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(run(1) == run(7))
+    assert(run(1).count(_._2) == 10)
+  }
+}
