@@ -29,6 +29,8 @@ object SparkEntry {
     "q_dedup_exact" -> (SparkQueries.dedupExact(_, _)),
     "q_decontaminate" -> (SparkQueries.decontaminateStats(_, _)),
     "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
+    "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
+    "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
     "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
     "q_quality" -> (SparkQueries.qualityStats(_, _)),
     "q_bpe_tokens" -> (SparkQueries.bpeTokenStats(_, _)),
@@ -99,6 +101,21 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT lang, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts " +
         "FROM documents GROUP BY lang"),
+    "q_domain_cap" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM (" +
+        "SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang, source " +
+        "ORDER BY md5(text), doc_id) AS rk FROM documents) GROUP BY lang"),
+    "q_token_budget" ->
+      ("WITH d AS (SELECT lang, doc_id, md5(text) AS p, " +
+        "CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks FROM documents), " +
+        "w AS (SELECT lang, toks, SUM(toks) OVER (PARTITION BY lang " +
+        "ORDER BY p, doc_id ROWS UNBOUNDED PRECEDING) AS c FROM d) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN c <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(CASE WHEN c <= 2000 THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept " +
+        "FROM w GROUP BY lang"),
     // benchmark set = shingles of docs with doc_id % 17 = 0; contaminated =
     // any shared 3-token shingle (same shingle formula as jaccardPairsCte)
     "q_decontaminate" ->

@@ -84,6 +84,34 @@ object SparkQueries {
           .as("chars_removed"))
   }
 
+  /** Per-domain doc cap (data-mixing stage): keep at most 5 docs per
+    * (lang, source), deterministic priority = content md5. The window
+    * partitions are individual domains — small at any corpus scale. */
+  def domainCapStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.sample.Sampling
+    Sampling.groupCapFlags(
+        tbl(spark, dir, "documents")
+          .select(col("lang"), col("source"), col("doc_id"), md5(col("text")).as("p")),
+        Seq("lang", "source"), col("p"), col("doc_id"), cap = 5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Per-lang token budget (data-mixing stage): keep docs in content-hash
+    * order while the running token sum stays <= 2000 — computed by the
+    * two-level bucket cut (only the boundary bucket is ever sorted), result
+    * identical to the naive windowed definition the oracle runs. */
+  def tokenBudgetStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.sample.Sampling
+    val d = tbl(spark, dir, "documents").select(col("lang"), col("doc_id"),
+      md5(col("text")).as("p"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    Sampling.tokenBudgetKeepFlags(d, "lang", "toks", "p", "doc_id", budget = 2000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("toks")).otherwise(0L)).as("tokens_kept"))
+  }
+
   /** Token counting over the documents table (pure built-in expressions). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")

@@ -1,0 +1,90 @@
+package graft.spark.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixing / sampling operators — the stage after filtering and dedup
+  * where a training-data pipeline decides WHAT of the surviving corpus to
+  * keep: per-domain caps and per-language token budgets, deterministically
+  * (priority = a content hash), so reruns and resumes pick identical docs.
+  *
+  * Scale shape: the naive definition of a token budget is a per-language
+  * total sort + running sum — a single-reducer sort per language at 10^12
+  * docs. [[tokenBudgetKeep]] computes the SAME result with a two-level cut:
+  * docs are bucketed by their priority-hash prefix (256 buckets), per-bucket
+  * token totals (a tiny aggregate) locate the boundary bucket per group, and
+  * only the boundary bucket's docs — 1/256 of one group — are ever sorted.
+  * Every other bucket is kept or dropped wholesale by a broadcast decision.
+  */
+object Sampling {
+
+  /** Keep at most `cap` docs per group, in (priority, tie) order — the
+    * per-domain cap. Window partitions are (group) — i.e. individual
+    * domains, which stay small at corpus scale by definition of the cap's
+    * purpose. Returns the input rows plus a `kept` boolean. */
+  def groupCapFlags(df: DataFrame, groupCols: Seq[String], priority: Column,
+                    tie: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(priority, tie)
+    df.withColumn("kept", row_number().over(w) <= cap)
+  }
+
+  /** Keep docs per `groupCol` while the running token sum (in (priorityCol,
+    * tieCol) order, inclusive of the current doc) stays <= `budget`.
+    * Result is EXACTLY the naive windowed-prefix-sum definition, computed
+    * without ever totally sorting a group:
+    *
+    *  1. bucket = first 2 hex chars of `priorityCol` (a lexicographic prefix
+    *     of the priority order, so bucket order refines doc order);
+    *  2. per-(group, bucket) token totals -> driver (|groups| * 256 rows);
+    *  3. running bucket totals classify each bucket: KEEP-ALL when
+    *     offset + total <= budget, DROP-ALL when offset > budget (any doc's
+    *     inclusive prefix sum there already exceeds the budget), else the
+    *     single boundary bucket per group;
+    *  4. only boundary-bucket docs get the window prefix-sum, with the
+    *     bucket's offset added.
+    *
+    * `priorityCol` must be a hex-string content hash (e.g. md5 of the
+    * text); `tieCol` breaks exact-duplicate priorities deterministically.
+    * Returns the input rows plus a `kept` boolean. */
+  def tokenBudgetKeepFlags(df: DataFrame, groupCol: String, tokensCol: String,
+                           priorityCol: String, tieCol: String, budget: Long): DataFrame = {
+    val bucketed = df.withColumn("__bkt", substring(col(priorityCol), 1, 2))
+    val totals = bucketed.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col(tokensCol)).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // running offsets per group, buckets in priority (lexicographic) order
+    val keepAllB = List.newBuilder[(String, String)]
+    val boundaryB = List.newBuilder[(String, String, Long)]
+    totals.groupBy(_._1).foreach { case (g, rows) =>
+      var offset = 0L
+      rows.toList.sortBy(_._2).foreach { case (_, bkt, t) =>
+        if (offset + t <= budget) keepAllB += ((g, bkt))           // KEEP-ALL
+        else if (offset <= budget) boundaryB += ((g, bkt, offset)) // boundary
+        // else DROP-ALL: any inclusive prefix sum there exceeds the budget
+        offset += t
+      }
+    }
+    val keepAll = keepAllB.result()
+    val boundary = boundaryB.result()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keepAllDf = broadcast(keepAll.toDF(groupCol, "__bkt").withColumn("__ka", lit(true)))
+    val boundaryDf = broadcast(boundary.toDF(groupCol, "__bkt", "__off"))
+    val w = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col(priorityCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = bucketed
+      .join(keepAllDf, Seq(groupCol, "__bkt"), "left")
+      .join(boundaryDf, Seq(groupCol, "__bkt"), "left")
+    // the window's input is FILTERED to boundary-bucket rows first — the
+    // sort-exchange only ever sees ~1/256 of one group; everything else is
+    // decided by the broadcast joins with no shuffle at all
+    val wholesale = joined.filter(col("__off").isNull)
+      .withColumn("kept", coalesce(col("__ka"), lit(false)))
+    val boundaryRows = joined.filter(col("__off").isNotNull)
+      .withColumn("kept", (col("__off") + sum(col(tokensCol)).over(w)) <= budget)
+    wholesale.unionByName(boundaryRows).drop("__bkt", "__ka", "__off")
+  }
+}
