@@ -31,6 +31,7 @@ object SparkEntry {
     "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
     "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
     "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
+    "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
     "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
     "q_quality" -> (SparkQueries.qualityStats(_, _)),
     "q_bpe_tokens" -> (SparkQueries.bpeTokenStats(_, _)),
@@ -94,6 +95,22 @@ object SparkEntry {
       "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) " +
       "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
 
+  /** DuckDB CTEs deriving per-doc distinct n-token shingles, the benchmark
+    * set (doc_id % 17 = 0) and the contaminated doc set — shared by the
+    * decontamination oracles. Names: sh(doc_id, lang, s), cont(doc_id). */
+  private def decontCte(n: Int): String = {
+    val gram = (0 until n).map(o => if (o == 0) "t[i]" else s"t[i+$o]").mkString(" || ' ' || ")
+    "dtok AS (SELECT doc_id, lang, " +
+      "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t " +
+      "FROM documents), " +
+      s"sh AS (SELECT doc_id, lang, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(1, len(t) - ${n - 2}), " +
+      s"i -> $gram)) END AS s FROM dtok), " +
+      "bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0), " +
+      "dsx AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
+      "cont AS (SELECT DISTINCT dsx.doc_id FROM dsx JOIN bench USING (g))"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_docs_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
@@ -101,6 +118,29 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT lang, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts " +
         "FROM documents GROUP BY lang"),
+    // the composed curation pipeline: every stage re-derived in SQL
+    "q_pipeline" ->
+      ("WITH base AS (SELECT doc_id, lang, source, text, md5(text) AS digest, " +
+        "CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks, " +
+        "length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, lang, source, text, digest, toks FROM base " +
+        "WHERE n >= 20 AND n <= 20000 AND punct * 1000 <= n * 300 AND toks >= 3), " +
+        "d AS (SELECT doc_id, lang, source, text, digest, toks FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rk FROM q) " +
+        "WHERE rk = 1), " +
+        decontCte(8) + ", " +
+        "c AS (SELECT d.* FROM d LEFT JOIN cont ON d.doc_id = cont.doc_id " +
+        "WHERE cont.doc_id IS NULL), " +
+        "e AS (SELECT doc_id, lang, source, digest, toks FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source " +
+        "ORDER BY digest, doc_id) AS rk FROM c) WHERE rk <= 5), " +
+        "f AS (SELECT lang, toks, SUM(toks) OVER (PARTITION BY lang " +
+        "ORDER BY digest, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM e) " +
+        "SELECT lang, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS tokens_kept " +
+        "FROM f WHERE cum <= 2000 GROUP BY lang"),
     "q_domain_cap" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM (" +
@@ -116,18 +156,10 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN c <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "CAST(SUM(CASE WHEN c <= 2000 THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept " +
         "FROM w GROUP BY lang"),
-    // benchmark set = shingles of docs with doc_id % 17 = 0; contaminated =
-    // any shared 3-token shingle (same shingle formula as jaccardPairsCte)
+    // benchmark set = 8-token shingles of docs with doc_id % 17 = 0;
+    // contaminated = any shared shingle (long n-grams, GPT-3 App. C style)
     "q_decontaminate" ->
-      ("WITH toks AS (SELECT doc_id, lang, " +
-        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t " +
-        "FROM documents), " +
-        "sh AS (SELECT doc_id, lang, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-        "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s FROM toks), " +
-        "bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0), " +
-        "ds AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
-        "cont AS (SELECT DISTINCT ds.doc_id FROM ds JOIN bench USING (g)) " +
+      ("WITH " + decontCte(8) + " " +
         "SELECT sh.lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) " +
         "AS n_contaminated FROM sh LEFT JOIN cont ON sh.doc_id = cont.doc_id " +

@@ -53,7 +53,7 @@ object SparkQueries {
     import graft.spark.dedup.Corpus
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
     Corpus.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0).select(col("text")),
-        "doc_id", "text", bloomCapacity = 200000L, passthrough = Seq("lang"))
+        "doc_id", "text", n = 8, bloomCapacity = 200000L, passthrough = Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
@@ -110,6 +110,20 @@ object SparkQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), col("toks")).otherwise(0L)).as("tokens_kept"))
+  }
+
+  /** The end-to-end curation pipeline (quality -> exact dedup ->
+    * decontaminate -> domain cap -> token budget) as ONE declarative
+    * DataFrame — every stage is re-derived independently by the DuckDB
+    * oracle, so this checks the COMPOSITION, not just the parts. */
+  def pipelineStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.pipeline.DataPipeline
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val bench = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
+    DataPipeline.curate(docs, bench)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
   }
 
   /** Token counting over the documents table (pure built-in expressions). */

@@ -1,0 +1,170 @@
+package graft.spark.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.spark.dedup.Corpus
+import graft.spark.sample.Sampling
+import graft.spark.text.TextFunctions
+
+/** End-to-end training-data curation: the library's operators composed into
+  * the pipeline a user actually runs —
+  *
+  *   quality gate -> exact dedup -> benchmark decontamination ->
+  *   per-domain cap -> per-lang token budget -> sharded output
+  *
+  * Two surfaces:
+  *   - [[curate]]: the whole pipeline as ONE declarative DataFrame (no
+  *     intermediate materialization; Catalyst sees every stage). The
+  *     q_pipeline driver query checks it end-to-end against a DuckDB oracle
+  *     that re-derives every stage in SQL.
+  *   - [[CuratePipeline]]: a spark-submit main that materializes each stage
+  *     to parquet with per-stage lineage metrics and stage-level resume
+  *     (a killed run re-executes only the stages whose outputs are missing).
+  *
+  * Scale shape: every stage is a shape already proven individually — the
+  * quality gate is a codegen'd filter, exact dedup shuffles (digest) only,
+  * decontamination is bloom-prune + broadcast verify, the domain cap windows
+  * tiny per-domain partitions, and the token budget sorts only the boundary
+  * bucket.
+  */
+object DataPipeline {
+
+  /** The composed pipeline. `docs` carries (doc_id, lang, source, text);
+    * `benchDocs` carries (text). Returns kept docs as
+    * (doc_id, lang, source, digest, toks). */
+  def curate(docs: DataFrame, benchDocs: DataFrame,
+             domainCap: Int = 5, tokenBudget: Long = 2000L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
+      md5(col("text")).as("digest"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    // 1. per-doc quality gate (pure codegen'd expressions)
+    val quality = base.filter(TextFunctions.isQuality(col("text")))
+    // 2. exact dedup: keep the min doc_id per content digest
+    val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+    val deduped = quality
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1).drop("__rk")
+    // 3. benchmark decontamination (drop any doc sharing an 8-token
+    // shingle — long n-grams so incidental vocabulary overlap does not
+    // count as contamination, GPT-3 App. C style)
+    val clean = Corpus.decontaminate(deduped, benchDocs, "doc_id", "text", n = 8,
+        passthrough = Seq("lang", "source", "digest", "toks"))
+      .filter(!col("contaminated")).drop("contaminated")
+    // 4. per-domain cap, priority = content digest
+    val capped = Sampling.groupCapFlags(clean, Seq("lang", "source"),
+        col("digest"), col("doc_id"), domainCap)
+      .filter(col("kept")).drop("kept")
+    // 5. per-lang token budget (two-level boundary-bucket cut)
+    Sampling.tokenBudgetKeepFlags(capped, "lang", "toks", "digest", "doc_id", tokenBudget)
+      .filter(col("kept")).drop("kept")
+      .select(col("doc_id"), col("lang"), col("source"), col("digest"), col("toks"))
+  }
+
+  /** Deterministic shard assignment for training output: shard =
+    * pmod(xxhash64(digest), nShards) — content-addressed, so reruns and
+    * resumes land every doc in the same shard. */
+  def withShard(kept: DataFrame, nShards: Int): DataFrame =
+    kept.withColumn("shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
+}
+
+/** spark-submit entry point with stage-level checkpoint/resume + metrics.
+  *
+  * Usage: CuratePipeline <documentsParquet> <workDir> [nShards]
+  *
+  * Each stage writes its surviving rows to <workDir>/<stage>/ and appends a
+  * lineage row (job stage, rows_in, rows_out, wall ms, finished ts) to
+  * <workDir>/metrics/. A rerun skips every stage whose output already has a
+  * _SUCCESS marker — kill it anywhere and rerun to resume.
+  */
+object CuratePipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CuratePipeline <documentsParquet> <workDir> [nShards]")
+    val docsPath = args(0)
+    val workDir = args(1)
+    val nShards = if (args.length > 2) args(2).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, docsPath, workDir, nShards)
+    spark.stop()
+  }
+
+  private def done(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def metric(spark: SparkSession, workDir: String, stage: String,
+                     rowsIn: Long, rowsOut: Long, wallMs: Long): Unit = {
+    import spark.implicits._
+    Seq((stage, rowsIn, rowsOut, wallMs, System.currentTimeMillis()))
+      .toDF("stage", "rows_in", "rows_out", "wall_ms", "finished_ts")
+      .write.mode(SaveMode.Append).parquet(s"$workDir/metrics")
+  }
+
+  /** Returns the per-stage (rowsIn, rowsOut) it executed (skipped stages
+    * excluded) — for tests; the durable record is <workDir>/metrics. */
+  def run(spark: SparkSession, docsPath: String, workDir: String,
+          nShards: Int): Seq[(String, Long, Long)] = {
+    val executed = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val docs = spark.read.parquet(docsPath)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val bench = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
+
+    /** Materialize one stage with resume + metrics. */
+    def stage(name: String, in: => DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+      val out = s"$workDir/$name"
+      if (done(spark, out)) {
+        println(s"[curate] $name: resume (already materialized)")
+      } else {
+        val t0 = System.currentTimeMillis()
+        val inDf = in
+        val rowsIn = inDf.count()
+        f(inDf).write.mode(SaveMode.Overwrite).parquet(out)
+        val result = spark.read.parquet(out)
+        val rowsOut = result.count()
+        metric(spark, workDir, name, rowsIn, rowsOut, System.currentTimeMillis() - t0)
+        executed += ((name, rowsIn, rowsOut))
+        println(s"[curate] $name: $rowsIn -> $rowsOut")
+      }
+      spark.read.parquet(out)
+    }
+
+    val base = stage("s1_base", docs) { d =>
+      d.select(col("doc_id"), col("lang"), col("source"), col("text"),
+        md5(col("text")).as("digest"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    }
+    val quality = stage("s2_quality", base)(
+      _.filter(TextFunctions.isQuality(col("text"))))
+    val deduped = stage("s3_dedup", quality) { d =>
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      d.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1).drop("__rk")
+    }
+    val clean = stage("s4_decontaminate", deduped) { d =>
+      Corpus.decontaminate(d, bench, "doc_id", "text", n = 8,
+          passthrough = Seq("lang", "source", "digest", "toks"))
+        .filter(!col("contaminated")).drop("contaminated")
+    }
+    val capped = stage("s5_domain_cap", clean) { d =>
+      Sampling.groupCapFlags(d, Seq("lang", "source"), col("digest"), col("doc_id"), 5)
+        .filter(col("kept")).drop("kept")
+    }
+    val budgeted = stage("s6_token_budget", capped) { d =>
+      Sampling.tokenBudgetKeepFlags(d, "lang", "toks", "digest", "doc_id", 2000L)
+        .filter(col("kept")).drop("kept")
+    }
+    stage("s7_shards", budgeted) { d =>
+      DataPipeline.withShard(
+        d.select(col("doc_id"), col("lang"), col("source"), col("digest"), col("toks")),
+        nShards)
+    }
+    executed.toSeq
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.pipeline.{CuratePipeline, DataPipeline}
+
+/** End-to-end curation: the materialized stage-by-stage main must produce
+  * exactly the composed declarative pipeline, and a killed run resumes
+  * without recomputing finished stages or changing the result. */
+class DataPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("datapipeline")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def finalRows(dir: String): Set[(Long, String, Long)] =
+    spark.read.parquet(s"$dir/s7_shards")
+      .select(col("doc_id"), col("lang"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("staged main == composed curate(), and resume recomputes nothing") {
+    val work = Files.createTempDirectory("graft_curate").toString
+    val executed1 = CuratePipeline.run(spark, s"$sfDir/documents.parquet", work, nShards = 8)
+    assert(executed1.map(_._1) == Seq("s1_base", "s2_quality", "s3_dedup",
+      "s4_decontaminate", "s5_domain_cap", "s6_token_budget", "s7_shards"))
+    // monotone non-increasing survivors across filter stages
+    val byName = executed1.map { case (n, _, out) => n -> out }.toMap // rows_out per stage
+    assert(byName("s2_quality") <= byName("s1_base"))
+    assert(byName("s3_dedup") <= byName("s2_quality"))
+    assert(byName("s4_decontaminate") <= byName("s3_dedup"))
+    assert(byName("s5_domain_cap") <= byName("s4_decontaminate"))
+    assert(byName("s6_token_budget") <= byName("s5_domain_cap"))
+
+    // the staged result equals the one-shot declarative composition
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val bench = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
+    val composed = DataPipeline.withShard(DataPipeline.curate(docs, bench), 8)
+      .select(col("doc_id"), col("lang"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val staged = finalRows(work)
+    assert(staged == composed)
+    assert(staged.nonEmpty)
+
+    // simulate a mid-run kill: drop the outputs of the last two stages
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$work/s6_token_budget")).deleteRecursively()
+    new Directory(new java.io.File(s"$work/s7_shards")).deleteRecursively()
+    val executed2 = CuratePipeline.run(spark, s"$sfDir/documents.parquet", work, nShards = 8)
+    assert(executed2.map(_._1) == Seq("s6_token_budget", "s7_shards"))
+    assert(finalRows(work) == staged)
+
+    // a fully-complete workdir reruns nothing
+    val executed3 = CuratePipeline.run(spark, s"$sfDir/documents.parquet", work, nShards = 8)
+    assert(executed3.isEmpty)
+
+    // metrics table carries one lineage row per executed stage
+    val metrics = spark.read.parquet(s"$work/metrics")
+    assert(metrics.count() == 9) // 7 first run + 2 resumed
+    assert(metrics.filter(col("rows_out") > col("rows_in")).count() == 0)
+    new Directory(new java.io.File(work)).deleteRecursively()
+  }
+
+  test("shard assignment is content-addressed and covers all shards") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .withColumn("digest", md5(col("text")))
+    val s1 = DataPipeline.withShard(df, 8).select(col("doc_id"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s2 = DataPipeline.withShard(df.repartition(7), 8).select(col("doc_id"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 == s2)
+    assert(s1.values.toSet == (0L until 8L).toSet)
+  }
+}
