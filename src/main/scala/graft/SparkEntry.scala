@@ -77,6 +77,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
+    "q_image_decode" -> ((s, _) => VerifiedQueries.imageDecodeVerified(s, 1500L)),
     "q_frames" -> ((s, _) => VerifiedQueries.framesVerified(s, 2000L)),
     "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
     "q_video" -> ((s, _) => VerifiedQueries.videoVerified(s, 2000L)),
@@ -370,6 +371,21 @@ object SparkEntry {
         "CAST(CASE WHEN range % 3 = 2 THEN 1 ELSE 3 END AS INT) AS channels, " +
         "CASE WHEN range % 3 = 0 THEN 'png' WHEN range % 3 = 1 THEN 'jpeg' " +
         "ELSE 'gif' END AS format, true AS feat_norm_ok FROM range(0, 2000)"),
+    // real PNG round-trip: pixel (x,y,c) of img i = (3x+5y+7c+i) mod 256,
+    // so the decoded pixel sum is pure arithmetic (bounded cross-join +
+    // dimension filters; max dim 38 < 40)
+    "q_image_decode" ->
+      ("SELECT r.range AS img_id, " +
+        "CAST(8 + (r.range % 16) * 2 AS INT) AS width, " +
+        "CAST(8 + ((r.range // 16) % 16) * 2 AS INT) AS height, " +
+        "CAST(CASE WHEN r.range % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels, " +
+        "CAST(SUM((3 * x.range + 5 * y.range + 7 * c.range + r.range) % 256) AS BIGINT) " +
+        "AS px_sum " +
+        "FROM range(0, 1500) r, range(40) x, range(40) y, range(3) c " +
+        "WHERE x.range < 8 + (r.range % 16) * 2 " +
+        "AND y.range < 8 + ((r.range // 16) % 16) * 2 " +
+        "AND c.range < CASE WHEN r.range % 2 = 0 THEN 3 ELSE 1 END " +
+        "GROUP BY r.range"),
     // payload = format header + 64 body bytes; 16-byte frames, every 2nd:
     // png 97 bytes -> frames 0,2,4,6 (16+16+16+1); jpeg 91 -> 0,2,4 (48);
     // gif 77 -> 0,2,4 (16+16+13)

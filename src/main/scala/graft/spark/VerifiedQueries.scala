@@ -410,6 +410,22 @@ object VerifiedQueries {
           lit(0.0), (acc, x) => acc + x) - 1.0) < 0.001).as("feat_norm_ok"))
   }
 
+  /** REAL PNG decode end to end: every image is an actual zlib-deflated PNG
+    * (PngCodec.mkRealPng), decoded back through chunk walk + inflate +
+    * scanline unfiltering; the emitted dimensions and pixel sum have closed
+    * forms in img_id that the DuckDB oracle recomputes arithmetically. */
+  def imageDecodeVerified(spark: SparkSession, nImages: Long): DataFrame = {
+    import spark.implicits._
+    import graft.spark.multimodal.PngCodec
+    spark.range(nImages).map { i =>
+      val d = PngCodec.decode(PngCodec.mkRealPng(i))
+      var s = 0L
+      var j = 0
+      while (j < d.pixels.length) { s += (d.pixels(j) & 0xff); j += 1 }
+      (i, d.width, d.height, d.channels, s)
+    }.toDF("img_id", "width", "height", "channels", "px_sum")
+  }
+
   // ---------- streaming ----------
 
   /** Structured-Streaming end to end, driver-checkable: the events table is
