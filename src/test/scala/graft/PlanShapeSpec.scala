@@ -87,6 +87,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial-agg -> exchange -> final-agg:\n$plan")
   }
 
+  test("decontaminate: codegen'd bloom prune on the scan, ONE explode, broadcast verify") {
+    val plan = formatted(SparkQueries.decontaminateStats(spark, dir))
+    // the fused kernel filters full-corpus rows BEFORE any shingle array
+    // exists — so the plan has exactly one Generate (candidates only)
+    assert(plan.contains("bloom_shingle_hit("), plan)
+    assert("\\bGenerate\\b".r.findAllIn(plan).length == 2, // tree line + detail section
+      s"expected exactly one Generate node (explode on candidates only):\n$plan")
+    assert(plan.contains("BroadcastHashJoin LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin LeftOuter"), plan)
+  }
+
+  test("lineDedup: count shuffle on 8-byte hashes, heavy set broadcast back") {
+    val plan = formatted(SparkQueries.lineDedupStats(spark, dir))
+    assert(plan.contains("xxhash64"), plan)
+    assert(plan.contains("BroadcastHashJoin LeftOuter"), plan)
+    val shuffles = "\\+- Exchange\\b".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected count shuffle + final agg shuffle only:\n$plan")
+  }
+
+  test("tokenBudget: single Sort/Window confined to the boundary branch of a Union") {
+    val plan = formatted(SparkQueries.tokenBudgetStats(spark, dir))
+    assert(plan.contains("Union"), plan)
+    // exactly one sort and one window in the whole plan — the wholesale
+    // branch is decided by broadcast joins alone
+    assert("\\+- Sort\\b".r.findAllIn(plan).length == 1, s"one Sort expected:\n$plan")
+    assert("\\+- Window\\b".r.findAllIn(plan).length == 1, s"one Window expected:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 3, plan)
+  }
+
   test("salted two-level: two aggregation exchanges, no Expand") {
     val pages = graft.spark.io.PagesGen.pages(spark, 100, numPartitions = 2)
     val df = graft.spark.aggs.SaltedAgg.hllBloomTwoLevel(
