@@ -375,7 +375,7 @@ object SparkEntry {
     // so the decoded pixel sum is pure arithmetic (bounded cross-join +
     // dimension filters; max dim 38 < 40)
     "q_image_decode" ->
-      ("SELECT r.range AS img_id, " +
+      ("SELECT r.range AS img_id, 'png' AS format, " +
         "CAST(8 + (r.range % 16) * 2 AS INT) AS width, " +
         "CAST(8 + ((r.range // 16) % 16) * 2 AS INT) AS height, " +
         "CAST(CASE WHEN r.range % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels, " +
@@ -385,6 +385,16 @@ object SparkEntry {
         "WHERE x.range < 8 + (r.range % 16) * 2 " +
         "AND y.range < 8 + ((r.range // 16) % 16) * 2 " +
         "AND c.range < CASE WHEN r.range % 2 = 0 THEN 3 ELSE 1 END " +
+        "GROUP BY r.range " +
+        "UNION ALL " +
+        "SELECT r.range + 1500 AS img_id, 'gif' AS format, " +
+        "CAST(8 + (r.range % 16) * 2 AS INT) AS width, " +
+        "CAST(8 + ((r.range // 16) % 16) * 2 AS INT) AS height, " +
+        "CAST(1 AS INT) AS channels, " +
+        "CAST(SUM((3 * x.range + 5 * y.range + r.range) % 256) AS BIGINT) AS px_sum " +
+        "FROM range(0, 1500) r, range(40) x, range(40) y " +
+        "WHERE x.range < 8 + (r.range % 16) * 2 " +
+        "AND y.range < 8 + ((r.range // 16) % 16) * 2 " +
         "GROUP BY r.range"),
     // payload = format header + 64 body bytes; 16-byte frames, every 2nd:
     // png 97 bytes -> frames 0,2,4,6 (16+16+16+1); jpeg 91 -> 0,2,4 (48);

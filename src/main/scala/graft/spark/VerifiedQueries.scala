@@ -416,14 +416,22 @@ object VerifiedQueries {
     * forms in img_id that the DuckDB oracle recomputes arithmetically. */
   def imageDecodeVerified(spark: SparkSession, nImages: Long): DataFrame = {
     import spark.implicits._
-    import graft.spark.multimodal.PngCodec
-    spark.range(nImages).map { i =>
+    import graft.spark.multimodal.{GifCodec, PngCodec}
+    val pngs = spark.range(nImages).map { i =>
       val d = PngCodec.decode(PngCodec.mkRealPng(i))
       var s = 0L
       var j = 0
       while (j < d.pixels.length) { s += (d.pixels(j) & 0xff); j += 1 }
-      (i, d.width, d.height, d.channels, s)
-    }.toDF("img_id", "width", "height", "channels", "px_sum")
+      (i.toLong, "png", d.width, d.height, d.channels, s)
+    }
+    val gifs = spark.range(nImages).map { i =>
+      val d = GifCodec.decode(GifCodec.mkRealGif(i))
+      var s = 0L
+      var j = 0
+      while (j < d.indices.length) { s += (d.indices(j) & 0xff); j += 1 }
+      (i + nImages, "gif", d.width, d.height, 1, s)
+    }
+    pngs.union(gifs).toDF("img_id", "format", "width", "height", "channels", "px_sum")
   }
 
   // ---------- streaming ----------
