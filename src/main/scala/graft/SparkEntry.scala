@@ -54,6 +54,7 @@ object SparkEntry {
     "q_hll_native" -> (VerifiedQueries.hllDistinctNativeVerified(_, _)),
     "q_salted_hll" -> (VerifiedQueries.saltedDistinctUsersVerified(_, _)),
     "q_cms_heavy_hitters" -> (VerifiedQueries.cmsHeavyHittersVerified(_, _)),
+    "q_vocab_hh" -> (VerifiedQueries.vocabHeavyHittersVerified(_, _)),
     "q_cms_point" -> (VerifiedQueries.cmsPointVerified(_, _)),
     "q_cms_modes" -> (VerifiedQueries.cmsModesVerified(_, _)),
     "q_bloom_algebra" -> (VerifiedQueries.bloomAlgebraVerified(_, _)),
@@ -290,6 +291,13 @@ object SparkEntry {
     "q_cms_point" ->
       ("SELECT event_type, COUNT(*) AS true_count, true AS ge_ok, true AS close_ok " +
         "FROM events GROUP BY event_type"),
+    "q_vocab_hh" ->
+      ("SELECT lang, tok AS top_token, CAST(n AS BIGINT) AS true_count, " +
+        "true AS hh_found_ok, true AS est_close_ok FROM (" +
+        "SELECT lang, tok, COUNT(*) AS n, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tok) AS rk FROM (" +
+        "SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+        "x -> x <> '')) AS tok FROM documents) GROUP BY lang, tok) WHERE rk = 1"),
     "q_cms_modes" ->
       ("SELECT event_type, COUNT(*) AS true_count, true AS min_ge_ok, " +
         "true AS mean_ge_ok, true AS meanmin_close_ok FROM events GROUP BY event_type"),

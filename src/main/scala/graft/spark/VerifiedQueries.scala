@@ -95,6 +95,29 @@ object VerifiedQueries {
           col("true_count") * 1.05 + 2).as("est_close_ok"))
   }
 
+  /** Token-level vocabulary mining: the HeavyHitters sketch over EXPLODED
+    * word tokens (~120x more rows than docs — the token-granularity regime a
+    * webtext pipeline actually runs sketches at), probe -> exact-verify: the
+    * exact per-lang top token must be in the sketch's top set with an
+    * estimate in [true, true * 1.05 + 2]. */
+  def vocabHeavyHittersVerified(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(spark, dir, "documents")
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    val top1 = counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("lang"), col("tok").as("top_token"), col("n").as("true_count"))
+    val sketch = toks.groupBy(col("lang"))
+      .agg(SketchUdafs.heavyHitters(5, 8192, 5)(col("tok"), lit(1L)).as("hh"))
+    top1.join(sketch, "lang")
+      .select(col("lang"), col("top_token"), col("true_count"),
+        (element_at(col("hh"), col("top_token")).isNotNull &&
+          element_at(col("hh"), col("top_token")) >= col("true_count")).as("hh_found_ok"),
+        (element_at(col("hh"), col("top_token")) <=
+          col("true_count") * 1.05 + 2).as("est_close_ok"))
+  }
+
   /** Bloom set algebra driver-visible: union / intersection cardinality
     * estimates and the jaccard index of the en/es doc-id filters, checked
     * against exact set arithmetic (the two id sets are disjoint). */
