@@ -55,6 +55,7 @@ object SparkEntry {
     "q_salted_hll" -> (VerifiedQueries.saltedDistinctUsersVerified(_, _)),
     "q_cms_heavy_hitters" -> (VerifiedQueries.cmsHeavyHittersVerified(_, _)),
     "q_vocab_hh" -> (VerifiedQueries.vocabHeavyHittersVerified(_, _)),
+    "q_sketch_cube" -> (VerifiedQueries.sketchCubeVerified(_, _)),
     "q_cms_point" -> (VerifiedQueries.cmsPointVerified(_, _)),
     "q_cms_modes" -> (VerifiedQueries.cmsModesVerified(_, _)),
     "q_bloom_algebra" -> (VerifiedQueries.bloomAlgebraVerified(_, _)),
@@ -291,6 +292,9 @@ object SparkEntry {
     "q_cms_point" ->
       ("SELECT event_type, COUNT(*) AS true_count, true AS ge_ok, true AS close_ok " +
         "FROM events GROUP BY event_type"),
+    "q_sketch_cube" ->
+      ("SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact, " +
+        "true AS hll_ok, true AS p50_ok, true AS p95_ok FROM documents GROUP BY lang"),
     "q_vocab_hh" ->
       ("SELECT lang, tok AS top_token, CAST(n AS BIGINT) AS true_count, " +
         "true AS hh_found_ok, true AS est_close_ok FROM (" +

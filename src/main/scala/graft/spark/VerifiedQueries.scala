@@ -118,6 +118,42 @@ object VerifiedQueries {
           col("true_count") * 1.05 + 2).as("est_close_ok"))
   }
 
+  /** Sketch-cube rollup: per-(lang, source) HLL + KLL sketches materialized
+    * as a table of BYTES (localCheckpoint = the stored cube), then per-lang
+    * answers computed purely by MERGING stored sketches — documents are
+    * never rescanned. This is the pre-aggregated-cube pattern that makes
+    * sketches reaggregable at 100 TB: any rollup of the cube (source ->
+    * lang -> global) is a merge of finished sketch bytes. Verified: merged
+    * HLL within bound of the exact per-lang distinct; merged-KLL p50/p95
+    * rank-checked against the raw data. */
+  def sketchCubeVerified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.aggs.SaltedAgg
+    val docs = tbl(spark, dir, "documents")
+      .select(col("lang"), col("source"), col("text"), col("n_chars").cast("double").as("v"))
+    val cube = docs.groupBy(col("lang"), col("source"))
+      .agg(SketchUdafs.hll(14)(col("text")).as("hll"),
+        SketchUdafs.kll(200)(col("v")).as("kll"))
+      .localCheckpoint(true)
+    val est = cube.groupBy(col("lang"))
+      .agg(SaltedAgg.hllUnion(col("hll")).as("hll"),
+        SaltedAgg.kllMerge(col("kll")).as("kll"))
+      .select(col("lang"),
+        SketchFunctions.hllEstimate(col("hll")).as("hll_est"),
+        SketchFunctions.kllQuantiles(col("kll"), array(lit(0.5), lit(0.95))).as("qs"))
+      .select(col("lang"), col("hll_est"),
+        element_at(col("qs"), 1).as("p50_est"), element_at(col("qs"), 2).as("p95_est"))
+    val qchecks = quantileRankChecks(docs.select(col("lang"), col("v")), "lang", "v",
+      est.select(col("lang"), col("p50_est"), col("p95_est")),
+      Seq(("p50", 0.5), ("p95", 0.95)), relTol = 0.05)
+    docs.groupBy(col("lang"))
+      .agg(countDistinct(col("text")).as("n_exact"))
+      .join(broadcast(est.select(col("lang"), col("hll_est"))), "lang")
+      .join(broadcast(qchecks), "lang")
+      .select(col("lang"), col("n_exact"),
+        withinBound(col("hll_est"), col("n_exact"), 0.03, 2).as("hll_ok"),
+        col("p50_ok"), col("p95_ok"))
+  }
+
   /** Bloom set algebra driver-visible: union / intersection cardinality
     * estimates and the jaccard index of the en/es doc-id filters, checked
     * against exact set arithmetic (the two id sets are disjoint). */
