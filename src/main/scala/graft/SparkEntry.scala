@@ -84,6 +84,7 @@ object SparkEntry {
     "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
     "q_video" -> ((s, _) => VerifiedQueries.videoVerified(s, 2000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
+    "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
   )
 
   /** Shared CTE: exact 3-token-shingle Jaccard pairs over documents (the
@@ -436,6 +437,15 @@ object SparkEntry {
         "CAST(1000 + (range % 240) * 250 AS BIGINT) AS duration_ms, " +
         "CAST(1 + range % 2 AS INT) AS n_tracks, 'mp4' AS format " +
         "FROM range(0, 2000)"),
+    // WARC round-trip over the same 20000-page fixture: per-lang page counts
+    // are the PagesTruth literals; both verification flags must be true
+    "q_warc_roundtrip" ->
+      ("SELECT * FROM (VALUES " +
+        "('de', CAST(3700 AS BIGINT), true, true), ('en', 7488, true, true), " +
+        "('es', 1423, true, true), ('fr', 2341, true, true), " +
+        "('ja', 1079, true, true), ('pt', 900, true, true), " +
+        "('ru', 1206, true, true), ('zh', 1863, true, true)) " +
+        "AS t(lang, n_pages, text_identical_ok, counts_ok)"),
     // literals generated by `runMain graft.tools.PagesTruth 20000` —
     // deterministic ground truth of the synthetic pages table (seed 42)
     "q_pages_battery" ->

@@ -493,6 +493,35 @@ object VerifiedQueries {
     pngs.union(gifs).toDF("img_id", "format", "width", "height", "channels", "px_sum")
   }
 
+  /** WARC container round-trip + the north rule's per-row invariant: pages
+    * serialize into WARC/1.0 blobs (one per partition, map-side), parse
+    * back, and the html -> text extraction must be BYTE-identical to the
+    * reference text per url. Verified structurally: every distinct
+    * (url, md5(text)) of the source survives the round-trip, and record /
+    * distinct-url counts match. Oracle: per-lang literals (PagesTruth,
+    * seed 42). */
+  def warcRoundtripVerified(spark: SparkSession, nPages: Long): DataFrame = {
+    import graft.spark.io.{PagesGen, Warc}
+    val extract = udf((b: Array[Byte]) => Warc.extractText(b))
+    val pages = PagesGen.pages(spark, nPages)
+    val orig = pages.select(col("lang"), col("url"), md5(col("text")).as("d"))
+    val origDistinct = orig.distinct().localCheckpoint(true)
+    val parsed = Warc.fromWarcBlobs(Warc.toWarcBlobs(pages))
+      .select(col("url"), extract(col("html")).as("t2"))
+    val parsedCount = parsed.count()
+    val parsedDistinct = parsed.select(col("url"), md5(col("t2")).as("d")).distinct()
+    val countsOk = parsedCount == nPages &&
+      parsedDistinct.count() == origDistinct.count()
+    val matched = origDistinct.join(parsedDistinct, Seq("url", "d"), "left_semi")
+    val totals = orig.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("url")).as("n_urls"))
+    val ok = matched.groupBy(col("lang")).agg(count(lit(1)).as("n_roundtrip"))
+    totals.join(ok, "lang")
+      .select(col("lang"), col("n_pages"),
+        (col("n_urls") === col("n_roundtrip")).as("text_identical_ok"),
+        lit(countsOk).as("counts_ok"))
+  }
+
   // ---------- streaming ----------
 
   /** Structured-Streaming end to end, driver-checkable: the events table is

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.io.Warc
+import graft.spark.io.Warc.WarcRecord
+
+/** WARC/1.0 framing + the byte-identical html -> text extractor. */
+class WarcSpec extends AnyFunSuite {
+
+  test("write/parse round-trip preserves every payload octet") {
+    val recs = Seq(
+      WarcRecord("https://a.example.com/1", "2026-01-01T00:00:00Z",
+        "<html><body>hello world</body></html>".getBytes(UTF_8)),
+      WarcRecord("https://b.example.com/2", "2026-01-01T00:00:01Z",
+        Array.tabulate[Byte](512)(i => i.toByte)), // binary incl. CRLF bytes
+      WarcRecord("https://c.example.com/3", "2026-01-01T00:00:02Z",
+        "<html><body>юникод 中文 κείμενο</body></html>".getBytes(UTF_8)),
+      WarcRecord("https://d.example.com/4", "2026-01-01T00:00:03Z",
+        Array.emptyByteArray))
+    val out = Warc.parse(Warc.write(recs.iterator)).toSeq
+    assert(out.map(_.url) == recs.map(_.url))
+    assert(out.map(_.ts) == recs.map(_.ts))
+    out.zip(recs).foreach { case (o, r) =>
+      assert(java.util.Arrays.equals(o.payload, r.payload), r.url)
+    }
+  }
+
+  test("extractText is byte-identical for UTF-8 multibyte content") {
+    val texts = Seq("hello", "", "юникод 中文 κείμενο ©®", "a\nb\r\nc", "x" * 10000)
+    texts.foreach { t =>
+      val html = ("<html><body>" + t + "</body></html>").getBytes(UTF_8)
+      assert(Warc.extractText(html) == t)
+    }
+    assert(Warc.extractText("<div>no wrapper</div>".getBytes(UTF_8)) == null)
+    assert(Warc.extractText(null) == null)
+  }
+
+  test("unknown headers are tolerated; malformed framing throws") {
+    val blob = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <x>\r\n" +
+      "WARC-Target-URI: u\r\nWARC-Date: d\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
+      .getBytes(UTF_8)
+    val r = Warc.parse(blob).toSeq
+    assert(r.head.url == "u" && new String(r.head.payload, UTF_8) == "abc")
+    intercept[IllegalArgumentException](
+      Warc.parse("HTTP/1.0\r\n\r\n".getBytes(UTF_8)).toSeq)
+    intercept[IllegalArgumentException]( // declared length longer than blob
+      Warc.parse(("WARC/1.0\r\nWARC-Target-URI: u\r\nWARC-Date: d\r\n" +
+        "Content-Length: 99\r\n\r\nabc\r\n\r\n").getBytes(UTF_8)).toSeq)
+  }
+}
