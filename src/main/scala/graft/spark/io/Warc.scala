@@ -88,6 +88,31 @@ object Warc extends Serializable {
     }
   }
 
+  /** gzip-member framing (how Common Crawl actually ships: warc.gz is a
+    * concatenation of one gzip member PER RECORD, which is what makes the
+    * file seekable/splittable at segment boundaries). */
+  def writeGzip(records: Iterator[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(write(Iterator(r)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** Parse a concatenated-gzip-member WARC blob (GZIPInputStream reads
+    * across member boundaries when fed the full stream). */
+  def parseGzip(blob: Array[Byte]): Iterator[WarcRecord] = {
+    val gz = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = gz.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
+    parse(out.toByteArray)
+  }
+
   /** The reference extractor (PagesGen builds html as exactly
     * `<html><body>` + text + `</body></html>`): byte-level strip of the
     * wrapper, operating on OCTETS so the extracted text is byte-identical

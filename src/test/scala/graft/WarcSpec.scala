@@ -38,6 +38,18 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.extractText(null) == null)
   }
 
+  test("gzip-member framing round-trips (one member per record, concatenated)") {
+    val recs = (0 until 20).map(i => WarcRecord(s"https://g.example.com/$i",
+      "2026-01-01T00:00:00Z", s"<html><body>doc $i body</body></html>".getBytes(UTF_8)))
+    val gz = Warc.writeGzip(recs.iterator)
+    // really multiple gzip members: the magic appears once per record
+    val magics = gz.sliding(2).count(p => (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+    assert(magics >= 20, s"expected one gzip member per record, saw $magics magics")
+    val out = Warc.parseGzip(gz).toSeq
+    assert(out.map(_.url) == recs.map(_.url))
+    out.zip(recs).foreach { case (o, r) => assert(java.util.Arrays.equals(o.payload, r.payload)) }
+  }
+
   test("unknown headers are tolerated; malformed framing throws") {
     val blob = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <x>\r\n" +
       "WARC-Target-URI: u\r\nWARC-Date: d\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
