@@ -32,6 +32,7 @@ object SparkEntry {
     "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
     "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
     "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
+    "q_normalize" -> (SparkQueries.normalizeStats(_, _)),
     "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
     "q_quality" -> (SparkQueries.qualityStats(_, _)),
     "q_bpe_tokens" -> (SparkQueries.bpeTokenStats(_, _)),
@@ -145,6 +146,15 @@ object SparkEntry {
         "ORDER BY digest, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM e) " +
         "SELECT lang, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS tokens_kept " +
         "FROM f WHERE cum <= 2000 GROUP BY lang"),
+    "q_normalize" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN p = nfc_normalize(p) THEN 0 ELSE 1 END) AS BIGINT) " +
+        "AS n_changed, " +
+        "CAST(SUM(length(p)) AS BIGINT) AS chars_before, " +
+        "CAST(SUM(length(nfc_normalize(p))) AS BIGINT) AS chars_after FROM (" +
+        "SELECT lang, text || CASE WHEN doc_id % 4 = 0 " +
+        "THEN ' marke' || chr(769) || 'd' ELSE '' END AS p FROM documents) " +
+        "GROUP BY lang"),
     "q_domain_cap" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM (" +

@@ -126,6 +126,25 @@ object SparkQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
   }
 
+  /** Unicode NFC normalization accounting (text-cleaning stage). The fixture
+    * is already NFC, so decomposed combining sequences are planted per
+    * doc-id class (same transform on the oracle side); the codegen'd
+    * normalizer and DuckDB's nfc_normalize must then agree on change counts
+    * and post-normalization lengths. */
+  def normalizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.fns.TextExpressions
+    val planted = concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(" marke\u0301d")).otherwise(lit("")))
+    tbl(spark, dir, "documents")
+      .select(col("lang"), planted.as("p"))
+      .select(col("lang"), col("p"), TextExpressions.nfcNormalize(col("p")).as("q"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p") === col("q"), 0L).otherwise(1L)).as("n_changed"),
+        sum(length(col("p")).cast("long")).as("chars_before"),
+        sum(length(col("q")).cast("long")).as("chars_after"))
+  }
+
   /** Token counting over the documents table (pure built-in expressions). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")

@@ -307,6 +307,27 @@ case class BloomShingleHitExpr(child: Expression, n: Int, filter: graft.core.Blo
   override def prettyName: String = "bloom_shingle_hit"
 }
 
+/** Codegen'd Unicode NFC normalization (java.text.Normalizer — the standard
+  * canonical-composition cleanup step; DuckDB's nfc_normalize is the oracle
+  * counterpart). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 object TextExpressions {
   def simhash64Native(c: Column): Column =
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c)))
@@ -321,6 +342,9 @@ object TextExpressions {
 
   def shinglesNative(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(c), n))
+
+  def nfcNormalize(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(c)))
 
   def bloomShingleHitNative(bloomBytes: Array[Byte], n: Int, text: Column): Column =
     GraftColumnBridge.column(BloomShingleHitExpr(GraftColumnBridge.expression(text), n,
