@@ -33,6 +33,7 @@ object SparkEntry {
     "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
     "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
     "q_normalize" -> (SparkQueries.normalizeStats(_, _)),
+    "q_seq_pack" -> (SparkQueries.seqPackStats(_, _)),
     "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
     "q_quality" -> (SparkQueries.qualityStats(_, _)),
     "q_bpe_tokens" -> (SparkQueries.bpeTokenStats(_, _)),
@@ -146,6 +147,14 @@ object SparkEntry {
         "ORDER BY digest, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM e) " +
         "SELECT lang, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS tokens_kept " +
         "FROM f WHERE cum <= 2000 GROUP BY lang"),
+    "q_seq_pack" ->
+      ("WITH d AS (SELECT lang, doc_id, md5(text) AS p, " +
+        "CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks FROM documents), " +
+        "w AS (SELECT lang, toks, SUM(toks) OVER (PARTITION BY lang " +
+        "ORDER BY p, doc_id ROWS UNBOUNDED PRECEDING) - toks AS ce FROM d) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(MAX(ce // 512) + 1 AS BIGINT) AS n_bins, " +
+        "CAST(SUM(toks) AS BIGINT) AS total_tokens FROM w GROUP BY lang"),
     "q_normalize" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(CASE WHEN p = nfc_normalize(p) THEN 0 ELSE 1 END) AS BIGINT) " +

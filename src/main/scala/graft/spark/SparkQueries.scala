@@ -126,6 +126,24 @@ object SparkQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
   }
 
+  /** Sequence packing (training-prep stage): docs in content-hash order are
+    * concatenated conceptually and cut into 512-token bins; a doc's bin is
+    * floor(exclusive_prefix_tokens / 512). The prefix sum is the
+    * distributed bucket-offset scan (Sampling.groupPrefixSums) — no
+    * per-group single-reducer sort — and must equal the naive window the
+    * oracle runs. */
+  def seqPackStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.sample.Sampling
+    val d = tbl(spark, dir, "documents").select(col("lang"), col("doc_id"),
+      md5(col("text")).as("p"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    Sampling.groupPrefixSums(d, "lang", "toks", "p", "doc_id")
+      .select(col("lang"), col("toks"), floor(col("cum_excl") / 512).as("bin"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin")) + 1).cast("long").as("n_bins"),
+        sum(col("toks")).as("total_tokens"))
+  }
+
   /** Unicode NFC normalization accounting (text-cleaning stage). The fixture
     * is already NFC, so decomposed combining sequences are planted per
     * doc-id class (same transform on the oracle side); the codegen'd

@@ -29,6 +29,42 @@ object Sampling {
     df.withColumn("kept", row_number().over(w) <= cap)
   }
 
+  /** Exclusive prefix sum of `tokensCol` per `groupCol` in (priorityCol,
+    * tieCol) order — the distributed scan: docs bucket by their
+    * priority-hash prefix, per-bucket totals (a tiny aggregate) become
+    * broadcast bucket offsets, and each bucket computes its own local
+    * window. The sort-exchange is keyed by (group, bucket) — 256x finer
+    * than a per-group sort, so no group ever needs a single-reducer sort.
+    * Adds a `cum_excl` column; result equals the naive per-group window
+    * exactly. `priorityCol` must be a hex content hash. */
+  def groupPrefixSums(df: DataFrame, groupCol: String, tokensCol: String,
+                      priorityCol: String, tieCol: String): DataFrame = {
+    val bucketed = df.withColumn("__bkt", substring(col(priorityCol), 1, 2))
+    val totals = bucketed.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col(tokensCol)).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val offsetsB = List.newBuilder[(String, String, Long)]
+    totals.groupBy(_._1).foreach { case (g, rows) =>
+      var offset = 0L
+      rows.toList.sortBy(_._2).foreach { case (_, bkt, t) =>
+        offsetsB += ((g, bkt, offset))
+        offset += t
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(offsetsB.result().toDF(groupCol, "__bkt", "__off"))
+    val w = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col(priorityCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(offsets, Seq(groupCol, "__bkt"), "inner")
+      .withColumn("cum_excl",
+        col("__off") + sum(col(tokensCol)).over(w) - col(tokensCol))
+      .drop("__bkt", "__off")
+  }
+
   /** Keep docs per `groupCol` while the running token sum (in (priorityCol,
     * tieCol) order, inclusive of the current doc) stays <= `budget`.
     * Result is EXACTLY the naive windowed-prefix-sum definition, computed

@@ -61,6 +61,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == naive(mkDf(rows), 300L))
   }
 
+  test("distributed prefix sum equals the naive per-group window") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map(id => (s"g${id % 3}", id, rnd.nextInt(40).toLong))
+    val df = mkDf(rows)
+    val naiveW = Window.partitionBy(col("g")).orderBy(col("p"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("ce", sum(col("toks")).over(naiveW) - col("toks"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("ce")).toMap
+    for (parts <- Seq(1, 9)) {
+      val fast = Sampling.groupPrefixSums(df.repartition(parts), "g", "toks", "p", "id")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum_excl")).toMap
+      assert(fast == naive, s"parts=$parts")
+    }
+  }
+
   test("groupCapFlags keeps exactly cap docs per group in priority order") {
     import spark.implicits._
     val df = (0L until 90L).map(id => (s"d${id % 3}", id)).toDF("g", "id")
