@@ -213,5 +213,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ =>
           throw new IllegalArgumentException("heavy_hitters_native takes (key, count, k[, w, d])")
       }))
+
+    e.injectFunction((FunctionIdentifier("shingles"),
+      info("shingles", "shingles(text[, n]) - distinct n-token shingles (default 3)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.ShinglesExpr(t, 3)
+        case Seq(t, n) => graft.spark.fns.ShinglesExpr(t, intArg(n, "shingles", "n"))
+        case _ => throw new IllegalArgumentException("shingles takes (text[, n])")
+      }))
+
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.NfcNormalizeExpr(t)
+        case _ => throw new IllegalArgumentException("nfc_normalize takes (text)")
+      }))
+
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash over whitespace tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.SimHash64Expr(t)
+        case _ => throw new IllegalArgumentException("simhash64 takes (text)")
+      }))
   }
 }

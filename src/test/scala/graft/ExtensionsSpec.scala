@@ -127,6 +127,16 @@ class ExtensionsSpec extends AnyFunSuite {
           |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
         .head().getDouble(0)
       assert(cos == 1.0)
+
+      // text kernels straight from SQL
+      val sh = spark.sql("SELECT sort_array(shingles('A quick brown fox')) AS s")
+        .head().getSeq[String](0)
+      assert(sh == Seq("a quick brown", "quick brown fox"))
+      val nfc = spark.sql("SELECT nfc_normalize('marke\u0301d') AS t").head().getString(0)
+      assert(nfc == "mark\u00e9d")
+      val sim = spark.sql("SELECT simhash64('hello world') AS h").head().getLong(0)
+      assert(sim == graft.spark.fns.TextKernels.simhash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
     }
   }
 
