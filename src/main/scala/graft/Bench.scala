@@ -71,10 +71,23 @@ object Bench {
     results("pages_sketch_battery") = pagesSec
     val pagesRate = benchPages / pagesSec
 
+    // round-2 pipeline operators, timed separately so `value` stays
+    // comparable with earlier rounds' 15-query total
+    val extra = scala.collection.mutable.LinkedHashMap[String, Double]()
+    Seq[(String, (SparkSession, String) => DataFrame)](
+      "q_decontaminate" -> (SparkQueries.decontaminateStats(_, _)),
+      "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
+      "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
+      "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
+    ).foreach { case (name, fn) =>
+      extra(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val xs = extra.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pages_per_sec":$pagesRate%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extra_queries":$xs,"pages_per_sec":$pagesRate%.0f,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copy so the driver's parse can't miss it in sbt noise
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json)

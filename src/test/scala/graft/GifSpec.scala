@@ -60,6 +60,24 @@ class GifSpec extends AnyFunSuite {
       assert(d.indices(y * d.width + x) == ((3 * x + 5 * y + 21) % 256).toByte)
   }
 
+  test("single-byte corruption never hangs: throws or decodes to the right shape") {
+    val good = GifCodec.mkRealGif(9L)
+    val d0 = GifCodec.decode(good)
+    val rnd = new scala.util.Random(3)
+    (0 until 200).foreach { _ =>
+      val bad = good.clone()
+      val i = rnd.nextInt(bad.length)
+      bad(i) = (bad(i) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val d = GifCodec.decode(bad)
+        assert(d.indices.length == d.width * d.height) // shape stays consistent
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => () // rejected
+      }
+    }
+    assert(java.util.Arrays.equals(GifCodec.decode(good).indices, d0.indices))
+  }
+
   test("malformed inputs are rejected") {
     intercept[IllegalArgumentException](GifCodec.decode(Array.fill[Byte](20)(3)))
     val good = GifCodec.encode(4, 4, new Array[Byte](16), GifCodec.grayPalette)

@@ -51,6 +51,24 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("single-byte corruption never hangs: throws or decodes to the right shape") {
+    val good = PngCodec.mkRealPng(4L)
+    val rnd = new scala.util.Random(8)
+    (0 until 200).foreach { _ =>
+      val bad = good.clone()
+      val i = rnd.nextInt(bad.length)
+      bad(i) = (bad(i) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val d = PngCodec.decode(bad)
+        assert(d.pixels.length == d.width * d.height * d.channels)
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException | _: java.util.zip.DataFormatException |
+             _: RuntimeException => ()
+      }
+    }
+  }
+
   test("malformed inputs are rejected, not mis-decoded") {
     val good = PngCodec.encode(8, 8, 1, mkPixels(8, 8, 1, 2))
     intercept[IllegalArgumentException](PngCodec.decode(good.take(40)))        // truncated
