@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  private def requireStringCol(df: DataFrame, name: String): Unit =
+    require(df.schema(name).dataType == org.apache.spark.sql.types.StringType,
+      s"column '$name' must be STRING (got ${df.schema(name).dataType.simpleString}); " +
+        "group and priority columns are string-keyed (priority = a hex content hash)")
+
   /** Keep at most `cap` docs per group, in (priority, tie) order — the
     * per-domain cap. Window partitions are (group) — i.e. individual
     * domains, which stay small at corpus scale by definition of the cap's
@@ -39,6 +44,7 @@ object Sampling {
     * exactly. `priorityCol` must be a hex content hash. */
   def groupPrefixSums(df: DataFrame, groupCol: String, tokensCol: String,
                       priorityCol: String, tieCol: String): DataFrame = {
+    requireStringCol(df, groupCol); requireStringCol(df, priorityCol)
     val bucketed = df.withColumn("__bkt", substring(col(priorityCol), 1, 2))
     val totals = bucketed.groupBy(col(groupCol), col("__bkt"))
       .agg(sum(col(tokensCol)).as("t"))
@@ -85,6 +91,7 @@ object Sampling {
     * Returns the input rows plus a `kept` boolean. */
   def tokenBudgetKeepFlags(df: DataFrame, groupCol: String, tokensCol: String,
                            priorityCol: String, tieCol: String, budget: Long): DataFrame = {
+    requireStringCol(df, groupCol); requireStringCol(df, priorityCol)
     val bucketed = df.withColumn("__bkt", substring(col(priorityCol), 1, 2))
     val totals = bucketed.groupBy(col(groupCol), col("__bkt"))
       .agg(sum(col(tokensCol)).as("t"))
