@@ -29,6 +29,7 @@ object SparkEntry {
     "q_dedup_exact" -> (SparkQueries.dedupExact(_, _)),
     "q_decontaminate" -> (SparkQueries.decontaminateStats(_, _)),
     "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
+    "q_line_clean" -> (SparkQueries.lineCleanStats(_, _)),
     "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
     "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
     "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
@@ -147,6 +148,27 @@ object SparkEntry {
         "ORDER BY digest, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM e) " +
         "SELECT lang, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS tokens_kept " +
         "FROM f WHERE cum <= 2000 GROUP BY lang"),
+    // same plants as q_line_dedup; cleaned texts must match byte-for-byte
+    // (distinct-digest compare); docs reduced to nothing clean to '' (the
+    // coalesce covers DuckDB's NULL array_to_string on empty lists)
+    "q_line_clean" ->
+      ("WITH p AS (SELECT lang, text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || '" +
+        graft.spark.SparkQueries.lineDedupPlantA + "' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN chr(10) || '" +
+        graft.spark.SparkQueries.lineDedupPlantB + "' ELSE '' END AS text " +
+        "FROM documents), " +
+        "lines AS (SELECT unnest(string_split(text, chr(10))) AS line FROM p), " +
+        "hv AS (SELECT coalesce(list(line), []) AS hl FROM (" +
+        "SELECT line FROM lines WHERE trim(line) <> '' " +
+        "GROUP BY line HAVING COUNT(*) >= 4)) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN c <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+        "CAST(SUM(length(c)) AS BIGINT) AS chars_after, " +
+        "CAST(COUNT(DISTINCT md5(c)) AS BIGINT) AS n_distinct_clean FROM (" +
+        "SELECT lang, text, coalesce(array_to_string(list_filter(" +
+        "string_split(text, chr(10)), x -> trim(x) = '' OR NOT list_contains(hl, x)), " +
+        "chr(10)), '') AS c FROM p, hv) GROUP BY lang"),
     "q_seq_pack" ->
       ("WITH d AS (SELECT lang, doc_id, md5(text) AS p, " +
         "CASE WHEN trim(text) = '' THEN 0 " +

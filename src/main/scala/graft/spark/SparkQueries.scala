@@ -84,6 +84,26 @@ object SparkQueries {
           .as("chars_removed"))
   }
 
+  /** The transform stage of line dedup: texts REBUILT with boilerplate
+    * lines removed (order preserved), verified by changed-doc counts,
+    * post-clean char volume and distinct cleaned digests — both engines
+    * must produce byte-identical cleaned texts. Same plants as
+    * q_line_dedup. */
+  def lineCleanStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.Corpus
+    val planted = tbl(spark, dir, "documents").select(col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit("\n" + lineDedupPlantA)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\n" + lineDedupPlantB)).otherwise(lit("")))
+        .as("text"))
+    Corpus.removeBoilerplate(planted, "text", minCount = 4L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text_clean") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("text_clean")).cast("long")).as("chars_after"),
+        countDistinct(md5(col("text_clean"))).as("n_distinct_clean"))
+  }
+
   /** Per-domain doc cap (data-mixing stage): keep at most 5 docs per
     * (lang, source), deterministic priority = content md5. The window
     * partitions are individual domains — small at any corpus scale. */

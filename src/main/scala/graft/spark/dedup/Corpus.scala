@@ -82,6 +82,33 @@ object Corpus {
         coalesce(col("c"), lit(false)).as("contaminated"): _*)
   }
 
+  /** The REMOVE stage of corpus-frequency line dedup: rebuild each doc's
+    * text with boilerplate lines (non-blank, corpus frequency >= minCount)
+    * dropped, order preserved, without ever exploding-and-reassembling rows:
+    * the thresholded heavy set (64-bit line hashes) broadcasts to a per-row
+    * kernel that filters lines in place. Blank-only lines are never
+    * boilerplate (they are document structure). Adds `text_clean`. */
+  def removeBoilerplate(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    import graft.hash.Fnv
+    val spark = docs.sparkSession
+    val heavy = docs
+      .select(explode(split(col(textCol), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .select(graft.spark.fns.SketchExpressions.fnv1a64Native(col("line")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("h")).collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(heavy)
+    // blank test must equal SQL trim(x) = '' (spaces only — NOT Java trim,
+    // which also strips tabs/CR)
+    val clean = udf((text: String) =>
+      if (text == null) null
+      else text.split("\n", -1)
+        .filter(l => l.forall(_ == ' ') || !bc.value.contains(Fnv.fnv1a64(l, 0)))
+        .mkString("\n"))
+    docs.withColumn("text_clean", clean(col(textCol)))
+  }
+
   /** Corpus-frequency line dedup (CCNet / RefinedWeb boilerplate removal):
     * a line occurring at least `minCount` times ACROSS the corpus is
     * boilerplate.

@@ -83,6 +83,23 @@ class CorpusSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
   }
 
+  test("removeBoilerplate rebuilds text byte-identically with heavy lines dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      "keep one\nshared line\nkeep two",
+      "shared line\nkeep three\n   \nshared line",
+      "shared line\nunique tail",
+      "all alone here"
+    ).toDF("text")
+    val got = graft.spark.dedup.Corpus.removeBoilerplate(docs, "text", minCount = 3L)
+      .select(col("text_clean")).collect().map(_.getString(0)).toSet
+    assert(got == Set(
+      "keep one\nkeep two",
+      "keep three\n   ",      // blank-only line preserved, order kept
+      "unique tail",
+      "all alone here"))
+  }
+
   test("decontaminate result is invariant to partition count") {
     import spark.implicits._
     val docs = (0L until 40L)
