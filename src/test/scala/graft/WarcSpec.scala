@@ -50,6 +50,24 @@ class WarcSpec extends AnyFunSuite {
     out.zip(recs).foreach { case (o, r) => assert(java.util.Arrays.equals(o.payload, r.payload)) }
   }
 
+  test("single-byte corruption never hangs: throws or parses shape-consistently") {
+    val recs = (0 until 10).map(i => WarcRecord(s"https://f.example.com/$i",
+      "2026-01-01T00:00:00Z", s"<html><body>fuzz doc $i</body></html>".getBytes(UTF_8)))
+    val good = Warc.write(recs.iterator)
+    val rnd = new scala.util.Random(5)
+    (0 until 200).foreach { _ =>
+      val bad = good.clone()
+      val i = rnd.nextInt(bad.length)
+      bad(i) = (bad(i) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val out = Warc.parse(bad).toSeq
+        out.foreach(r => assert(r.payload != null))
+      } catch {
+        case _: RuntimeException | _: ArrayIndexOutOfBoundsException => () // rejected
+      }
+    }
+  }
+
   test("unknown headers are tolerated; malformed framing throws") {
     val blob = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <x>\r\n" +
       "WARC-Target-URI: u\r\nWARC-Date: d\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
