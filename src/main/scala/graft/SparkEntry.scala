@@ -83,6 +83,7 @@ object SparkEntry {
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
     "q_image_decode" -> ((s, _) => VerifiedQueries.imageDecodeVerified(s, 1500L)),
+    "q_image_resize" -> ((s, _) => VerifiedQueries.imageResizeVerified(s, 1500L)),
     "q_frames" -> ((s, _) => VerifiedQueries.framesVerified(s, 2000L)),
     "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
     "q_video" -> ((s, _) => VerifiedQueries.videoVerified(s, 2000L)),
@@ -449,6 +450,17 @@ object SparkEntry {
         "FROM range(0, 1500) r, range(40) x, range(40) y " +
         "WHERE x.range < 8 + (r.range % 16) * 2 " +
         "AND y.range < 8 + ((r.range // 16) % 16) * 2 " +
+        "GROUP BY r.range"),
+    // 8x8 nearest-neighbor thumbnail of the decoded PNG: source pixel =
+    // (floor(x*w/8), floor(y*h/8)), fixture formula applies directly
+    "q_image_resize" ->
+      ("SELECT r.range AS img_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, " +
+        "CAST(CASE WHEN r.range % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels, " +
+        "CAST(SUM((3 * ((x.range * (8 + (r.range % 16) * 2)) // 8) " +
+        "+ 5 * ((y.range * (8 + ((r.range // 16) % 16) * 2)) // 8) " +
+        "+ 7 * c.range + r.range) % 256) AS BIGINT) AS thumb_sum " +
+        "FROM range(0, 1500) r, range(8) x, range(8) y, range(3) c " +
+        "WHERE c.range < CASE WHEN r.range % 2 = 0 THEN 3 ELSE 1 END " +
         "GROUP BY r.range"),
     // payload = format header + 64 body bytes; 16-byte frames, every 2nd:
     // png 97 bytes -> frames 0,2,4,6 (16+16+16+1); jpeg 91 -> 0,2,4 (48);

@@ -493,6 +493,22 @@ object VerifiedQueries {
     pngs.union(gifs).toDF("img_id", "format", "width", "height", "channels", "px_sum")
   }
 
+  /** REAL decode + REAL resize: each PNG decodes through the full zlib path
+    * and resamples to an 8x8 thumbnail (nearest neighbor); the thumbnail's
+    * pixel sum is closed-form in img_id (floor source mapping over the
+    * fixture formula), recomputed arithmetically by the oracle. */
+  def imageResizeVerified(spark: SparkSession, nImages: Long): DataFrame = {
+    import spark.implicits._
+    import graft.spark.multimodal.PngCodec
+    spark.range(nImages).map { i =>
+      val d = PngCodec.resizeNearest(PngCodec.decode(PngCodec.mkRealPng(i)), 8, 8)
+      var s = 0L
+      var j = 0
+      while (j < d.pixels.length) { s += (d.pixels(j) & 0xff); j += 1 }
+      (i.toLong, d.width, d.height, d.channels, s)
+    }.toDF("img_id", "width", "height", "channels", "thumb_sum")
+  }
+
   /** WARC container round-trip + the north rule's per-row invariant: pages
     * serialize into WARC/1.0 blobs (one per partition, map-side), parse
     * back, and the html -> text extraction must be BYTE-identical to the

@@ -178,6 +178,32 @@ object PngCodec extends Serializable {
     Decoded(width, height, channels, pixels)
   }
 
+  /** Nearest-neighbor resample of decoded pixels (the thumbnail/feature
+    * resize step): output (x, y) takes source (x*W/outW, y*H/outH) — pure
+    * integer floor mapping, so resized statistics of closed-form fixtures
+    * stay closed-form. */
+  def resizeNearest(d: Decoded, outW: Int, outH: Int): Decoded = {
+    require(outW > 0 && outH > 0, "bad target size")
+    val out = new Array[Byte](outW * outH * d.channels)
+    var y = 0
+    while (y < outH) {
+      val sy = y * d.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * d.width / outW
+        var c = 0
+        while (c < d.channels) {
+          out((y * outW + x) * d.channels + c) =
+            d.pixels((sy * d.width + sx) * d.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(outW, outH, d.channels, out)
+  }
+
   // ---- deterministic real-PNG fixture (closed-form pixels) ----
 
   /** Deterministic REAL png: img i has width 8 + (i % 16) * 2, height

@@ -69,6 +69,21 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest-neighbor resize picks floor-mapped source pixels") {
+    val (w, h, ch) = (20, 12, 3)
+    val px = mkPixels(w, h, ch, 9)
+    val d = PngCodec.decode(PngCodec.encode(w, h, ch, px))
+    val r = PngCodec.resizeNearest(d, 8, 8)
+    assert(r.width == 8 && r.height == 8 && r.channels == ch)
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until ch) {
+      val sx = x * w / 8; val sy = y * h / 8
+      assert(r.pixels((y * 8 + x) * ch + c) == px((sy * w + sx) * ch + c), s"($x,$y,$c)")
+    }
+    // identity resize is a no-op
+    val same = PngCodec.resizeNearest(d, w, h)
+    assert(java.util.Arrays.equals(same.pixels, px))
+  }
+
   test("malformed inputs are rejected, not mis-decoded") {
     val good = PngCodec.encode(8, 8, 1, mkPixels(8, 8, 1, 2))
     intercept[IllegalArgumentException](PngCodec.decode(good.take(40)))        // truncated
