@@ -522,7 +522,8 @@ object VerifiedQueries {
     val pages = PagesGen.pages(spark, nPages)
     val orig = pages.select(col("lang"), col("url"), md5(col("text")).as("d"))
     val origDistinct = orig.distinct().localCheckpoint(true)
-    val parsed = Warc.fromWarcBlobs(Warc.toWarcBlobs(pages))
+    // gzip = one member per record (the warc.gz shipping shape)
+    val parsed = Warc.fromWarcBlobs(Warc.toWarcBlobs(pages, gzip = true), gzip = true)
       .select(col("url"), extract(col("html")).as("t2"))
     val parsedCount = parsed.count()
     val parsedDistinct = parsed.select(col("url"), md5(col("t2")).as("d")).distinct()

@@ -133,8 +133,9 @@ object Warc extends Serializable {
     new String(html, pre.length, html.length - pre.length - post.length, UTF_8)
   }
 
-  /** pages (url, warc_ts, html, ...) -> one WARC blob per partition. */
-  def toWarcBlobs(pages: DataFrame): DataFrame = {
+  /** pages (url, warc_ts, html, ...) -> one WARC blob per partition
+    * (gzip = one gzip member per record, the warc.gz shipping format). */
+  def toWarcBlobs(pages: DataFrame, gzip: Boolean = false): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.select(col("url"), date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts"),
@@ -142,17 +143,18 @@ object Warc extends Serializable {
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val blob = write(it.map { case (u, t, h) => WarcRecord(u, t, h) })
+        val recs = it.map { case (u, t, h) => WarcRecord(u, t, h) }
+        val blob = if (gzip) writeGzip(recs) else write(recs)
         if (blob.isEmpty) Iterator.empty else Iterator((pid, blob))
       }.toDF("blob_id", "warc")
   }
 
   /** WARC blobs -> (url, warc_ts STRING, html BINARY) records. */
-  def fromWarcBlobs(blobs: DataFrame): DataFrame = {
+  def fromWarcBlobs(blobs: DataFrame, gzip: Boolean = false): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("warc")).as[Array[Byte]]
-      .flatMap(b => parse(b).map(r => (r.url, r.ts, r.payload)))
+      .flatMap(b => (if (gzip) parseGzip(b) else parse(b)).map(r => (r.url, r.ts, r.payload)))
       .toDF("url", "warc_ts", "html")
   }
 }
