@@ -116,6 +116,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(plan).length >= 3, plan)
   }
 
+  test("sketch-cube rollup: per-lang merge reads the stored cube, never parquet") {
+    import org.apache.spark.sql.functions._
+    import graft.spark.aggs.{SaltedAgg, SketchUdafs}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("source"), col("text"))
+    val cube = docs.groupBy(col("lang"), col("source"))
+      .agg(SketchUdafs.hll(14)(col("text")).as("hll"))
+      .localCheckpoint(true)
+    val rolled = cube.groupBy(col("lang")).agg(SaltedAgg.hllUnion(col("hll")).as("hll"))
+    val plan = formatted(rolled)
+    assert(!plan.contains("Scan parquet"), s"rollup must not rescan the source:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
+
   test("salted two-level: two aggregation exchanges, no Expand") {
     val pages = graft.spark.io.PagesGen.pages(spark, 100, numPartitions = 2)
     val df = graft.spark.aggs.SaltedAgg.hllBloomTwoLevel(
