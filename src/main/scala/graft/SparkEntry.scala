@@ -84,6 +84,7 @@ object SparkEntry {
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
     "q_image_decode" -> ((s, _) => VerifiedQueries.imageDecodeVerified(s, 1500L)),
     "q_image_resize" -> ((s, _) => VerifiedQueries.imageResizeVerified(s, 1500L)),
+    "q_jpeg_decode" -> ((s, _) => VerifiedQueries.jpegDecodeVerified(s, 1000L)),
     "q_frames" -> ((s, _) => VerifiedQueries.framesVerified(s, 2000L)),
     "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
     "q_video" -> ((s, _) => VerifiedQueries.videoVerified(s, 2000L)),
@@ -451,6 +452,12 @@ object SparkEntry {
         "WHERE x.range < 8 + (r.range % 16) * 2 " +
         "AND y.range < 8 + ((r.range // 16) % 16) * 2 " +
         "GROUP BY r.range"),
+    // from-scratch T.81 decode cross-checked in-query vs the JDK's
+    // independent ImageIO decoder (dims by fixture formula, tolerance <= 2)
+    "q_jpeg_decode" ->
+      ("SELECT range AS img_id, CAST(8 + (range % 16) * 2 AS INT) AS width, " +
+        "CAST(8 + ((range // 16) % 16) * 2 AS INT) AS height, " +
+        "true AS agree_ok FROM range(0, 1000)"),
     // 8x8 nearest-neighbor thumbnail of the decoded PNG: source pixel =
     // (floor(x*w/8), floor(y*h/8)), fixture formula applies directly
     "q_image_resize" ->

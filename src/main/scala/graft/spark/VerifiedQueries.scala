@@ -509,6 +509,29 @@ object VerifiedQueries {
     }.toDF("img_id", "width", "height", "channels", "thumb_sum")
   }
 
+  /** From-scratch baseline JPEG decode (T.81 huffman + IDCT), cross-checked
+    * IN-QUERY against the JDK's independent ImageIO decoder: dims must
+    * match the fixture formula exactly and per-pixel deviation must stay
+    * within the spec's IDCT tolerance. */
+  def jpegDecodeVerified(spark: SparkSession, nImages: Long): DataFrame = {
+    import spark.implicits._
+    import graft.spark.multimodal.JpegCodec
+    spark.range(nImages).map { i =>
+      val bytes = JpegCodec.mkRealJpeg(i)
+      val mine = JpegCodec.decode(bytes)
+      val ref = JpegCodec.decodeWithImageIO(bytes)
+      var maxDev = 0
+      var j = 0
+      while (j < mine.pixels.length) {
+        val d = math.abs((mine.pixels(j) & 0xff) - (ref.pixels(j) & 0xff))
+        if (d > maxDev) maxDev = d
+        j += 1
+      }
+      (i.toLong, mine.width, mine.height,
+        mine.width == ref.width && mine.height == ref.height && maxDev <= 2)
+    }.toDF("img_id", "width", "height", "agree_ok")
+  }
+
   /** WARC container round-trip + the north rule's per-row invariant: pages
     * serialize into WARC/1.0 blobs (one per partition, map-side), parse
     * back, and the html -> text extraction must be BYTE-identical to the
