@@ -455,9 +455,15 @@ object SparkEntry {
     // from-scratch T.81 decode cross-checked in-query vs the JDK's
     // independent ImageIO decoder (dims by fixture formula, tolerance <= 2)
     "q_jpeg_decode" ->
-      ("SELECT range AS img_id, CAST(8 + (range % 16) * 2 AS INT) AS width, " +
+      ("SELECT range AS img_id, 'gray' AS kind, " +
+        "CAST(8 + (range % 16) * 2 AS INT) AS width, " +
         "CAST(8 + ((range // 16) % 16) * 2 AS INT) AS height, " +
-        "true AS agree_ok FROM range(0, 1000)"),
+        "CAST(1 AS INT) AS channels, true AS agree_ok FROM range(0, 1000) " +
+        "UNION ALL " +
+        "SELECT range + 1000 AS img_id, 'color' AS kind, " +
+        "CAST(8 + (range % 16) * 2 AS INT) AS width, " +
+        "CAST(8 + ((range // 16) % 16) * 2 AS INT) AS height, " +
+        "CAST(3 AS INT) AS channels, true AS agree_ok FROM range(0, 1000)"),
     // 8x8 nearest-neighbor thumbnail of the decoded PNG: source pixel =
     // (floor(x*w/8), floor(y*h/8)), fixture formula applies directly
     "q_image_resize" ->

@@ -516,20 +516,34 @@ object VerifiedQueries {
   def jpegDecodeVerified(spark: SparkSession, nImages: Long): DataFrame = {
     import spark.implicits._
     import graft.spark.multimodal.JpegCodec
-    spark.range(nImages).map { i =>
-      val bytes = JpegCodec.mkRealJpeg(i)
+    def check(bytes: Array[Byte], maxTol: Int, meanTol: Double): (Int, Int, Int, Boolean) = {
       val mine = JpegCodec.decode(bytes)
       val ref = JpegCodec.decodeWithImageIO(bytes)
       var maxDev = 0
+      var sum = 0L
       var j = 0
       while (j < mine.pixels.length) {
         val d = math.abs((mine.pixels(j) & 0xff) - (ref.pixels(j) & 0xff))
         if (d > maxDev) maxDev = d
+        sum += d
         j += 1
       }
-      (i.toLong, mine.width, mine.height,
-        mine.width == ref.width && mine.height == ref.height && maxDev <= 2)
-    }.toDF("img_id", "width", "height", "agree_ok")
+      (mine.width, mine.height, mine.channels,
+        mine.width == ref.width && mine.height == ref.height &&
+          mine.channels == ref.channels && maxDev <= maxTol &&
+          sum.toDouble / mine.pixels.length <= meanTol)
+    }
+    val gray = spark.range(nImages).map { i =>
+      val (w, h, c, ok) = check(JpegCodec.mkRealJpeg(i), maxTol = 2, meanTol = 1.0)
+      (i.toLong, "gray", w, h, c, ok)
+    }
+    // color tolerance is looser: the reference decoder upsamples chroma with
+    // a triangle filter, this one nearest (JpegSpec measures the bound)
+    val color = spark.range(nImages).map { i =>
+      val (w, h, c, ok) = check(JpegCodec.mkRealJpegColor(i), maxTol = 4, meanTol = 0.5)
+      (i + nImages, "color", w, h, c, ok)
+    }
+    gray.union(color).toDF("img_id", "kind", "width", "height", "channels", "agree_ok")
   }
 
   /** WARC container round-trip + the north rule's per-row invariant: pages

@@ -14,7 +14,8 @@ package graft.spark.multimodal
   */
 object JpegCodec extends Serializable {
 
-  final case class DecodedJpeg(width: Int, height: Int, pixels: Array[Byte])
+  /** channels: 1 = grayscale plane; 3 = interleaved RGB. */
+  final case class DecodedJpeg(width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
   private val zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -135,10 +136,13 @@ object JpegCodec extends Serializable {
     val acTables = new Array[Huff](4)
     var width = 0
     var height = 0
-    var qsel = 0
+    var nf = 0
     var restartInterval = 0
-    var dcSel = 0
-    var acSel = 0
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
     var scanStart = -1
 
     while (scanStart < 0) {
@@ -182,20 +186,31 @@ object JpegCodec extends Serializable {
             require((jpeg(seg) & 0xff) == 8, "only 8-bit precision")
             height = u16(jpeg, seg + 1)
             width = u16(jpeg, seg + 3)
-            val nf = jpeg(seg + 5) & 0xff
-            require(nf == 1, s"only single-component (grayscale) scans supported, got $nf")
-            val hv = jpeg(seg + 7) & 0xff
-            require(hv == 0x11, "subsampled single component unsupported")
-            qsel = jpeg(seg + 8) & 0xff
+            nf = jpeg(seg + 5) & 0xff
+            require(nf == 1 || nf == 3, s"1 or 3 components supported, got $nf")
+            var c = 0
+            while (c < nf) {
+              val off = seg + 6 + c * 3
+              compH(c) = (jpeg(off + 1) & 0xff) >> 4
+              compV(c) = jpeg(off + 1) & 0x0f
+              compQ(c) = jpeg(off + 2) & 0xff
+              require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
+                s"sampling factor ${compH(c)}x${compV(c)} unsupported")
+              c += 1
+            }
           case 0xc1 | 0xc2 | 0xc3 =>
             throw new IllegalArgumentException("only baseline SOF0 supported")
           case 0xdd => // DRI
             restartInterval = u16(jpeg, seg)
           case 0xda => // SOS
             val ns = jpeg(seg) & 0xff
-            require(ns == 1, "single-component scan expected")
-            dcSel = (jpeg(seg + 2) & 0xff) >> 4
-            acSel = jpeg(seg + 2) & 0x0f
+            require(ns == nf, s"interleaved scan over all $nf components expected")
+            var c = 0
+            while (c < ns) {
+              compDc(c) = (jpeg(seg + 2 + c * 2) & 0xff) >> 4
+              compAc(c) = jpeg(seg + 2 + c * 2) & 0x0f
+              c += 1
+            }
             scanStart = i + 2 + len
           case 0xd9 =>
             throw new IllegalArgumentException("EOI before scan data")
@@ -204,109 +219,179 @@ object JpegCodec extends Serializable {
         if (scanStart < 0) i += 2 + len
       }
     }
-    require(width > 0 && height > 0, "missing SOF0")
-    val q = qtables(qsel)
-    val dcH = dcTables(dcSel)
-    val acH = acTables(acSel)
-    require(q != null && dcH != null && acH != null, "missing tables")
+    require(width > 0 && height > 0 && nf > 0, "missing SOF0")
+    val hMax = (0 until nf).map(compH).max
+    val vMax = (0 until nf).map(compV).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component sample planes (full MCU grid; cropped at the end)
+    val planeW = new Array[Int](nf)
+    val planeH = new Array[Int](nf)
+    val planes = new Array[Array[Byte]](nf)
+    var c = 0
+    while (c < nf) {
+      planeW(c) = mcusX * compH(c) * 8
+      planeH(c) = mcusY * compV(c) * 8
+      planes(c) = new Array[Byte](planeW(c) * planeH(c))
+      require(qtables(compQ(c)) != null && dcTables(compDc(c)) != null &&
+        acTables(compAc(c)) != null, s"missing tables for component $c")
+      c += 1
+    }
 
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val out = new Array[Byte](width * height)
     val br = new BitReader(jpeg, scanStart)
     val coefs = new Array[Int](64)
     val block = new Array[Double](64)
     val tmp = new Array[Double](64)
-    var dcPred = 0
+    val dcPred = new Array[Int](nf)
+
+    def decodeBlock(ci: Int, plane: Array[Byte], pw: Int, ox: Int, oy: Int): Unit = {
+      val q = qtables(compQ(ci))
+      java.util.Arrays.fill(coefs, 0)
+      val t = dcTables(compDc(ci)).decode(br)
+      dcPred(ci) += extend(br.receive(t), t)
+      coefs(0) = dcPred(ci) * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = acTables(compAc(ci)).decode(br)
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 else eob = true
+        } else {
+          k += r
+          require(k < 64, "AC index overflow")
+          coefs(zigzag(k)) = extend(br.receive(s), s) * q(k)
+          k += 1
+        }
+      }
+      // separable IDCT: rows then columns
+      var v0 = 0
+      while (v0 < 8) {
+        var x0 = 0
+        while (x0 < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            s += (if (u == 0) c0 else 1.0) * coefs(v0 * 8 + u) * cosT(x0 * 8 + u)
+            u += 1
+          }
+          tmp(v0 * 8 + x0) = s / 2.0
+          x0 += 1
+        }
+        v0 += 1
+      }
+      var x1 = 0
+      while (x1 < 8) {
+        var y1 = 0
+        while (y1 < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            s += (if (v == 0) c0 else 1.0) * tmp(v * 8 + x1) * cosT(y1 * 8 + v)
+            v += 1
+          }
+          block(y1 * 8 + x1) = s / 2.0
+          y1 += 1
+        }
+        x1 += 1
+      }
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val v = math.round(block(yy * 8 + xx) + 128.0).toInt
+          plane((oy + yy) * pw + ox + xx) = math.max(0, math.min(255, v)).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
     var rst = 0
     var mcu = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.reset(rst)
           rst = (rst + 1) & 7
-          dcPred = 0
+          java.util.Arrays.fill(dcPred, 0)
         }
-        java.util.Arrays.fill(coefs, 0)
-        // DC
-        val t = dcH.decode(br)
-        dcPred += extend(br.receive(t), t)
-        coefs(0) = dcPred * q(0)
-        // AC
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = acH.decode(br)
-          val r = rs >> 4
-          val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else eob = true      // EOB
-          } else {
-            k += r
-            require(k < 64, "AC index overflow")
-            coefs(zigzag(k)) = extend(br.receive(s), s) * q(k)
-            k += 1
-          }
-        }
-        // IDCT (separable): rows then columns
-        var y0 = 0
-        while (y0 < 8) {
-          var x0 = 0
-          while (x0 < 8) {
-            var s = 0.0
-            var u = 0
-            while (u < 8) {
-              val cu = if (u == 0) c0 else 1.0
-              s += cu * coefs(y0 * 8 + u) * cosT(x0 * 8 + u)
-              u += 1
+        var ci = 0
+        while (ci < nf) {
+          var v = 0
+          while (v < compV(ci)) {
+            var h = 0
+            while (h < compH(ci)) {
+              decodeBlock(ci, planes(ci), planeW(ci),
+                (mx * compH(ci) + h) * 8, (my * compV(ci) + v) * 8)
+              h += 1
             }
-            tmp(y0 * 8 + x0) = s / 2.0
-            x0 += 1
+            v += 1
           }
-          y0 += 1
-        }
-        var x1 = 0
-        while (x1 < 8) {
-          var y1 = 0
-          while (y1 < 8) {
-            var s = 0.0
-            var v = 0
-            while (v < 8) {
-              val cv = if (v == 0) c0 else 1.0
-              s += cv * tmp(v * 8 + x1) * cosT(y1 * 8 + v)
-              v += 1
-            }
-            block(y1 * 8 + x1) = s / 2.0
-            y1 += 1
-          }
-          x1 += 1
-        }
-        // level shift, clamp, place (crop at image edges)
-        var yy = 0
-        while (yy < 8) {
-          val py = by * 8 + yy
-          if (py < height) {
-            var xx = 0
-            while (xx < 8) {
-              val px = bx * 8 + xx
-              if (px < width) {
-                val v = math.round(block(yy * 8 + xx) + 128.0).toInt
-                out(py * width + px) = math.max(0, math.min(255, v)).toByte
-              }
-              xx += 1
-            }
-          }
-          yy += 1
+          ci += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    DecodedJpeg(width, height, out)
+
+    if (nf == 1) {
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * planeW(0), out, y * width, width)
+        y += 1
+      }
+      DecodedJpeg(width, height, 1, out)
+    } else {
+      // chroma upsample: triangle filter for the 2x2 (4:2:0) case — the
+      // libjpeg "fancy" weights (9, 3, 3, 1)/16 with edge replication, which
+      // is what the JDK's reader uses, so cross-validation stays within IDCT
+      // tolerance even at sharp chroma edges; other factors sample nearest
+      def sampleChroma(plane: Array[Byte], pw: Int, ph: Int, hC: Int, vC: Int,
+                       x: Int, y: Int): Int = {
+        if (hC == 1 && vC == 1 && hMax == 2 && vMax == 2) {
+          // neighbors replicate at the VALID chroma edge (ceil(dim/2)), not
+          // the MCU-padded plane edge; rounding bias alternates 8/7 by
+          // horizontal phase — both as in the reference triangle filter
+          val validW = (width + 1) / 2
+          val validH = (height + 1) / 2
+          val cx = x >> 1
+          val cy = y >> 1
+          val hx = math.max(0, math.min(validW - 1, cx + (if ((x & 1) == 1) 1 else -1)))
+          val vy = math.max(0, math.min(validH - 1, cy + (if ((y & 1) == 1) 1 else -1)))
+          val bias = if ((x & 1) == 1) 7 else 8
+          (9 * (plane(cy * pw + cx) & 0xff) + 3 * (plane(cy * pw + hx) & 0xff) +
+            3 * (plane(vy * pw + cx) & 0xff) + (plane(vy * pw + hx) & 0xff) + bias) >> 4
+        } else plane((y * vC / vMax) * pw + x * hC / hMax) & 0xff
+      }
+      // YCbCr -> RGB (JFIF / CCIR 601 full range)
+      val out = new Array[Byte](width * height * 3)
+      val y0p = planes(0); val cbp = planes(1); val crp = planes(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = y0p((y * compV(0) / vMax) * planeW(0) + x * compH(0) / hMax) & 0xff
+          val cb = sampleChroma(cbp, planeW(1), planeH(1), compH(1), compV(1), x, y) - 128
+          val cr = sampleChroma(crp, planeW(2), planeH(2), compH(2), compV(2), x, y) - 128
+          val r = math.round(yy + 1.402 * cr).toInt
+          val g = math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt
+          val b = math.round(yy + 1.772 * cb).toInt
+          val o = (y * width + x) * 3
+          out(o) = math.max(0, math.min(255, r)).toByte
+          out(o + 1) = math.max(0, math.min(255, g)).toByte
+          out(o + 2) = math.max(0, math.min(255, b)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      DecodedJpeg(width, height, 3, out)
+    }
   }
 
   // ---- fixture: grayscale JPEGs encoded by the JDK's independent codec ----
@@ -331,20 +416,65 @@ object JpegCodec extends Serializable {
     out.toByteArray
   }
 
-  /** The JDK decoder (the independent cross-check). */
+  /** The JDK decoder (the independent cross-check); emits the same
+    * channel layout as [[decode]]. */
   def decodeWithImageIO(jpeg: Array[Byte]): DecodedJpeg = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
     require(img != null, "ImageIO failed to decode")
     val w = img.getWidth
     val h = img.getHeight
-    val out = new Array[Byte](w * h)
-    val raster = img.getRaster
+    val gray = img.getColorModel.getNumComponents == 1
+    if (gray) {
+      val out = new Array[Byte](w * h)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+        y += 1
+      }
+      DecodedJpeg(w, h, 1, out)
+    } else {
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          out(o) = ((rgb >> 16) & 0xff).toByte
+          out(o + 1) = ((rgb >> 8) & 0xff).toByte
+          out(o + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      DecodedJpeg(w, h, 3, out)
+    }
+  }
+
+  /** Deterministic COLOR JPEG fixture (RGB gradients), ImageIO-encoded as
+    * 4:2:0 YCbCr — exercises the interleaved-MCU + chroma-upsampling +
+    * color-conversion path. */
+  def mkRealJpegColor(i: Long): Array[Byte] = {
+    val w = 8 + (i % 16).toInt * 2
+    val h = 8 + ((i / 16) % 16).toInt * 2
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+      while (x < w) {
+        val r = (3 * x + 5 * y + i) % 256
+        val g = (2 * x + 7 * y + 2 * i) % 256
+        val b = (x + y + 3 * i) % 256
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        x += 1
+      }
       y += 1
     }
-    DecodedJpeg(w, h, out)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
   }
 }

@@ -40,13 +40,33 @@ class JpegSpec extends AnyFunSuite {
     assert(meta.exists(m => m.format == "jpeg" && m.width == 10 && m.height == 12))
   }
 
-  test("non-baseline and color scans are rejected, not mis-decoded") {
-    // color JPEG via ImageIO (3-component YCbCr)
-    val img = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", out)
-    intercept[IllegalArgumentException](JpegCodec.decode(out.toByteArray))
+  test("decodes ImageIO-encoded 4:2:0 COLOR JPEGs close to the reference decoder") {
+    // color tolerance is looser than gray: the JDK reader upsamples chroma
+    // with libjpeg's triangle filter, this decoder uses nearest — on the
+    // smooth gradient fixtures that bounds the difference tightly
+    var worst = 0
+    var worstMean = 0.0
+    (0L until 48L).foreach { i =>
+      val bytes = JpegCodec.mkRealJpegColor(i)
+      val mine = JpegCodec.decode(bytes)
+      val ref = JpegCodec.decodeWithImageIO(bytes)
+      assert(mine.width == ref.width && mine.height == ref.height && mine.channels == 3)
+      val d = maxDev(mine.pixels, ref.pixels)
+      var sum = 0L
+      var j = 0
+      while (j < mine.pixels.length) {
+        sum += math.abs((mine.pixels(j) & 0xff) - (ref.pixels(j) & 0xff)); j += 1
+      }
+      val mean = sum.toDouble / mine.pixels.length
+      worst = math.max(worst, d)
+      worstMean = math.max(worstMean, mean)
+      assert(d <= 4, s"img $i max per-pixel deviation $d")
+      assert(mean <= 0.5, s"img $i mean deviation $mean")
+    }
+    info(f"color: worst max-dev $worst, worst mean-dev $worstMean%.3f across 48 images")
+  }
+
+  test("malformed inputs are rejected, not mis-decoded") {
     intercept[IllegalArgumentException](JpegCodec.decode(Array.fill[Byte](32)(7)))
     intercept[Exception](JpegCodec.decode(JpegCodec.mkRealJpeg(1L).take(60)))
   }
