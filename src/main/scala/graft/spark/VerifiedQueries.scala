@@ -475,22 +475,15 @@ object VerifiedQueries {
     * forms in img_id that the DuckDB oracle recomputes arithmetically. */
   def imageDecodeVerified(spark: SparkSession, nImages: Long): DataFrame = {
     import spark.implicits._
-    import graft.spark.multimodal.{GifCodec, PngCodec}
-    val pngs = spark.range(nImages).map { i =>
-      val d = PngCodec.decode(PngCodec.mkRealPng(i))
-      var s = 0L
-      var j = 0
-      while (j < d.pixels.length) { s += (d.pixels(j) & 0xff); j += 1 }
-      (i.toLong, "png", d.width, d.height, d.channels, s)
-    }
-    val gifs = spark.range(nImages).map { i =>
-      val d = GifCodec.decode(GifCodec.mkRealGif(i))
-      var s = 0L
-      var j = 0
-      while (j < d.indices.length) { s += (d.indices(j) & 0xff); j += 1 }
-      (i + nImages, "gif", d.width, d.height, 1, s)
-    }
-    pngs.union(gifs).toDF("img_id", "format", "width", "height", "channels", "px_sum")
+    import graft.spark.multimodal.{GifCodec, Multimodal, PngCodec}
+    // binary-column table in, decoded stats out — the actual operator shape
+    val payloads = spark.range(nImages).map(i => (i.toLong, PngCodec.mkRealPng(i)))
+      .union(spark.range(nImages).map(i => (i + nImages, GifCodec.mkRealGif(i))))
+      .toDF("img_id", "payload")
+    payloads
+      .withColumn("d", Multimodal.decodeImageStats(col("payload")))
+      .select(col("img_id"), col("d._5").as("format"), col("d._1").as("width"),
+        col("d._2").as("height"), col("d._3").as("channels"), col("d._4").as("px_sum"))
   }
 
   /** REAL decode + REAL resize: each PNG decodes through the full zlib path

@@ -145,6 +145,33 @@ object Multimodal {
       .withColumn("features", extractFeatures(dim)(col(payloadCol)))
   }
 
+  /** REAL image decode as a DataFrame operator: magic-sniffs the payload and
+    * runs the full from-scratch codec (PNG: zlib + unfiltering; GIF: LZW;
+    * JPEG: baseline huffman + IDCT), emitting decoded dims/channels and the
+    * pixel-byte sum (the basic feature downstream kernels build on) — null
+    * for undecodable payloads (metadata-only fallback). */
+  val decodeImageStats = udf((payload: Array[Byte]) => {
+    def sum(a: Array[Byte]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < a.length) { s += (a(i) & 0xff); i += 1 }
+      s
+    }
+    try {
+      if (payload == null || payload.length < 4) null
+      else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P') {
+        val d = PngCodec.decode(payload)
+        (d.width, d.height, d.channels, sum(d.pixels), "png")
+      } else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') {
+        val d = GifCodec.decode(payload)
+        (d.width, d.height, 1, sum(d.indices), "gif")
+      } else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+        val d = JpegCodec.decode(payload)
+        (d.width, d.height, d.channels, sum(d.pixels), "jpeg")
+      } else null
+    } catch { case _: Exception => null }
+  })
+
   /** Attach audio metadata + PCM features to a table with a binary column,
     * with the same size-bucket skew spreading as [[enrichImages]]. */
   def enrichAudio(df: DataFrame, payloadCol: String, sizeBuckets: Int = 32): DataFrame = {
