@@ -138,6 +138,7 @@ object JpegCodec extends Serializable {
     var height = 0
     var nf = 0
     var restartInterval = 0
+    val compId = new Array[Int](3)
     val compH = new Array[Int](3)
     val compV = new Array[Int](3)
     val compQ = new Array[Int](3)
@@ -191,6 +192,7 @@ object JpegCodec extends Serializable {
             var c = 0
             while (c < nf) {
               val off = seg + 6 + c * 3
+              compId(c) = jpeg(off) & 0xff
               compH(c) = (jpeg(off + 1) & 0xff) >> 4
               compV(c) = jpeg(off + 1) & 0x0f
               compQ(c) = jpeg(off + 2) & 0xff
@@ -207,6 +209,8 @@ object JpegCodec extends Serializable {
             require(ns == nf, s"interleaved scan over all $nf components expected")
             var c = 0
             while (c < ns) {
+              require((jpeg(seg + 1 + c * 2) & 0xff) == compId(c),
+                "scan component order must match the frame header")
               compDc(c) = (jpeg(seg + 2 + c * 2) & 0xff) >> 4
               compAc(c) = jpeg(seg + 2 + c * 2) & 0x0f
               c += 1
