@@ -5,8 +5,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 /** A real PNG codec — pure JDK (java.util.zip), no external libraries:
   * encode writes signature + IHDR + one IDAT + IEND with correct CRCs and a
   * zlib-deflated filtered pixel stream; decode walks the chunks, inflates
-  * the concatenated IDAT data and reverses all five scanline filters (None/
-  * Sub/Up/Average/Paeth, PNG spec §9). Supported pixel layouts: 8-bit
+  * the concatenated IDAT data, reverses all five scanline filters (None/
+  * Sub/Up/Average/Paeth, PNG spec §9) and de-interlaces Adam7 streams
+  * (§8.2, one filtered sub-image per pass). Supported pixel layouts: 8-bit
   * grayscale (color type 0), truecolor (2), gray+alpha (4), RGBA (6) —
   * palette (3) and sub-byte depths are out of scope for the pipeline's
   * feature kernels and rejected explicitly.
@@ -122,7 +123,7 @@ object PngCodec extends Serializable {
     val bitDepth = png(24) & 0xff; val colorType = png(25) & 0xff
     val interlace = png(28) & 0xff
     require(bitDepth == 8, s"unsupported bit depth $bitDepth")
-    require(interlace == 0, "interlaced PNG unsupported")
+    require(interlace == 0 || interlace == 1, s"bad interlace method $interlace")
     val channels = channelsOf(colorType)
     // concatenate IDAT chunk data
     val zdata = new java.io.ByteArrayOutputStream()
@@ -136,10 +137,23 @@ object PngCodec extends Serializable {
       else if (typ == "IEND") sawEnd = true
       i += 8 + len + 4
     }
+    // expected inflated size: one filtered sub-image per Adam7 pass (or one
+    // for non-interlaced)
+    val passes: Seq[(Int, Int, Int, Int)] = // (x0, y0, dx, dy), spec §8.2
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (width - x0 + dx - 1) / dx), math.max(0, (height - y0 + dy - 1) / dy))
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0 else ph * (1 + pw * channels)
+    }.sum
     val inflater = new Inflater()
     inflater.setInput(zdata.toByteArray)
-    val stride = width * channels
-    val raw = new Array[Byte](height * (1 + stride))
+    val raw = new Array[Byte](rawLen)
     var off = 0
     while (!inflater.finished() && off < raw.length) {
       val n = inflater.inflate(raw, off, raw.length - off)
@@ -148,32 +162,66 @@ object PngCodec extends Serializable {
     }
     inflater.end()
     require(off == raw.length, s"short pixel stream: $off of ${raw.length}")
-    // reverse scanline filters (spec §9: bpp = channels at bit depth 8)
-    val pixels = new Array[Byte](height * stride)
+
+    // reverse scanline filters (spec §9; bpp = channels at bit depth 8) for
+    // one filtered sub-image starting at raw[from], writing into dst
     val bpp = channels
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (1 + stride)) & 0xff
-      val rowIn = y * (1 + stride) + 1
-      val rowOut = y * stride
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowIn + x) & 0xff
-        val left = if (x >= bpp) pixels(rowOut + x - bpp) & 0xff else 0
-        val up = if (y > 0) pixels(rowOut - stride + x) & 0xff else 0
-        val ul = if (y > 0 && x >= bpp) pixels(rowOut - stride + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + ((left + up) >> 1)
-          case 4 => cur + paeth(left, up, ul)
-          case t => throw new IllegalArgumentException(s"bad filter type $t at row $y")
+    def unfilter(from: Int, pw: Int, ph: Int, dst: Array[Byte]): Int = {
+      val stride = pw * channels
+      var y = 0
+      while (y < ph) {
+        val ft = raw(from + y * (1 + stride)) & 0xff
+        val rowIn = from + y * (1 + stride) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xff
+          val left = if (x >= bpp) dst(rowOut + x - bpp) & 0xff else 0
+          val up = if (y > 0) dst(rowOut - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) dst(rowOut - stride + x - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + ((left + up) >> 1)
+            case 4 => cur + paeth(left, up, ul)
+            case t => throw new IllegalArgumentException(s"bad filter type $t at row $y")
+          }
+          dst(rowOut + x) = (v & 0xff).toByte
+          x += 1
         }
-        pixels(rowOut + x) = (v & 0xff).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      from + ph * (1 + stride)
+    }
+
+    val pixels = new Array[Byte](height * width * channels)
+    if (interlace == 0) {
+      unfilter(0, width, height, pixels)
+    } else {
+      var from = 0
+      passes.foreach { case p @ (x0, y0, dx, dy) =>
+        val (pw, ph) = passDims(p)
+        if (pw > 0 && ph > 0) {
+          val sub = new Array[Byte](ph * pw * channels)
+          from = unfilter(from, pw, ph, sub)
+          var r = 0
+          while (r < ph) {
+            var cpx = 0
+            while (cpx < pw) {
+              val oy = y0 + r * dy
+              val ox = x0 + cpx * dx
+              var c = 0
+              while (c < channels) {
+                pixels((oy * width + ox) * channels + c) = sub((r * pw + cpx) * channels + c)
+                c += 1
+              }
+              cpx += 1
+            }
+            r += 1
+          }
+        }
+      }
     }
     Decoded(width, height, channels, pixels)
   }

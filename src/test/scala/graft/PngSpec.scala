@@ -84,12 +84,34 @@ class PngSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(same.pixels, px))
   }
 
+  test("Adam7 interlaced PNGs decode byte-exactly (vs the JDK's independent codec)") {
+    for ((w, h) <- Seq((1, 1), (7, 5), (8, 8), (20, 14), (33, 9))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (3 * x + 5 * y + w) % 256)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wr.dispose()
+      val bytes = bos.toByteArray
+      assert((bytes(28) & 0xff) == 1, "fixture must actually be interlaced")
+      val d = PngCodec.decode(bytes)
+      assert(d.width == w && d.height == h && d.channels == 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((d.pixels(y * w + x) & 0xff) == (3 * x + 5 * y + w) % 256,
+          s"($x,$y) of $w x $h")  // PNG is lossless: EXACT equality
+    }
+  }
+
   test("malformed inputs are rejected, not mis-decoded") {
     val good = PngCodec.encode(8, 8, 1, mkPixels(8, 8, 1, 2))
     intercept[IllegalArgumentException](PngCodec.decode(good.take(40)))        // truncated
     intercept[IllegalArgumentException](PngCodec.decode(Array.fill[Byte](64)(1))) // not png
-    val interlaced = good.clone(); interlaced(28) = 1
-    intercept[IllegalArgumentException](PngCodec.decode(interlaced))
     val depth16 = good.clone(); depth16(24) = 16
     intercept[IllegalArgumentException](PngCodec.decode(depth16))
     // short IDAT stream (IDAT declared but bytes missing at the zlib level)
