@@ -8,9 +8,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * the concatenated IDAT data, reverses all five scanline filters (None/
   * Sub/Up/Average/Paeth, PNG spec §9) and de-interlaces Adam7 streams
   * (§8.2, one filtered sub-image per pass). Supported pixel layouts: 8-bit
-  * grayscale (color type 0), truecolor (2), gray+alpha (4), RGBA (6) —
-  * palette (3) and sub-byte depths are out of scope for the pipeline's
-  * feature kernels and rejected explicitly.
+  * grayscale (color type 0), truecolor (2), palette-indexed (3, expanded
+  * through PLTE to RGB), gray+alpha (4), RGBA (6); sub-byte depths are
+  * rejected explicitly.
   *
   * This upgrades the multimodal image path from "real header parse + stub
   * body" to a REAL decode: the q_image_decode driver query decodes actual
@@ -124,9 +124,11 @@ object PngCodec extends Serializable {
     val interlace = png(28) & 0xff
     require(bitDepth == 8, s"unsupported bit depth $bitDepth")
     require(interlace == 0 || interlace == 1, s"bad interlace method $interlace")
-    val channels = channelsOf(colorType)
-    // concatenate IDAT chunk data
+    val indexed = colorType == 3
+    val channels = if (indexed) 1 else channelsOf(colorType)
+    // concatenate IDAT chunk data; grab PLTE for indexed images
     val zdata = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var i = 8 + 4 + 4 + 13 + 4
     var sawEnd = false
     while (i + 8 <= png.length && !sawEnd) {
@@ -134,9 +136,14 @@ object PngCodec extends Serializable {
       val typ = new String(png, i + 4, 4, "US-ASCII")
       require(i + 8 + len + 4 <= png.length, s"truncated chunk $typ")
       if (typ == "IDAT") zdata.write(png, i + 8, len)
+      else if (typ == "PLTE") {
+        require(len % 3 == 0 && len <= 768, s"bad PLTE length $len")
+        palette = java.util.Arrays.copyOfRange(png, i + 8, i + 8 + len)
+      }
       else if (typ == "IEND") sawEnd = true
       i += 8 + len + 4
     }
+    require(!indexed || palette != null, "indexed PNG without PLTE")
     // expected inflated size: one filtered sub-image per Adam7 pass (or one
     // for non-interlaced)
     val passes: Seq[(Int, Int, Int, Int)] = // (x0, y0, dx, dy), spec §8.2
@@ -223,7 +230,22 @@ object PngCodec extends Serializable {
         }
       }
     }
-    Decoded(width, height, channels, pixels)
+    if (!indexed) Decoded(width, height, channels, pixels)
+    else {
+      // palette expansion: index -> RGB triple (spec §11.2.3)
+      val rgb = new Array[Byte](width * height * 3)
+      val maxIdx = palette.length / 3
+      var j = 0
+      while (j < width * height) {
+        val idx = pixels(j) & 0xff
+        require(idx < maxIdx, s"palette index $idx out of range")
+        rgb(j * 3) = palette(idx * 3)
+        rgb(j * 3 + 1) = palette(idx * 3 + 1)
+        rgb(j * 3 + 2) = palette(idx * 3 + 2)
+        j += 1
+      }
+      Decoded(width, height, 3, rgb)
+    }
   }
 
   /** Nearest-neighbor resample of decoded pixels (the thumbnail/feature

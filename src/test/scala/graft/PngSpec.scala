@@ -108,6 +108,29 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("palette (indexed) PNGs expand through PLTE byte-exactly vs the JDK codec") {
+    val (w, h) = (24, 17)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y,
+      ((13 * x + 29 * y) % 256 << 16) | ((7 * x) % 256 << 8) | (11 * y) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    assert((bytes(25) & 0xff) == 3, "fixture must be color type 3 (indexed)")
+    val d = PngCodec.decode(bytes)
+    assert(d.width == w && d.height == h && d.channels == 3)
+    // exact agreement with the JDK's own decode of the same bytes
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((d.pixels(o) & 0xff) == ((rgb >> 16) & 0xff), s"R ($x,$y)")
+      assert((d.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff), s"G ($x,$y)")
+      assert((d.pixels(o + 2) & 0xff) == (rgb & 0xff), s"B ($x,$y)")
+    }
+  }
+
   test("malformed inputs are rejected, not mis-decoded") {
     val good = PngCodec.encode(8, 8, 1, mkPixels(8, 8, 1, 2))
     intercept[IllegalArgumentException](PngCodec.decode(good.take(40)))        // truncated
