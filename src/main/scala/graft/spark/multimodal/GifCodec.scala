@@ -216,7 +216,7 @@ object GifCodec extends Serializable {
         case 0x2c => // image descriptor
           val w = u16le(gif, i + 5); val h = u16le(gif, i + 7)
           val ipacked = gif(i + 9) & 0xff
-          require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+          val interlaced = (ipacked & 0x40) != 0
           i += 10
           var palette = gct
           if ((ipacked & 0x80) != 0) {
@@ -234,7 +234,25 @@ object GifCodec extends Serializable {
             zdata.write(gif, i + 1, n)
             i += 1 + n
           }
-          val indices = lzwDecode(zdata.toByteArray, minCodeSize, w * h)
+          val raw = lzwDecode(zdata.toByteArray, minCodeSize, w * h)
+          // interlaced rows arrive in 4 passes (GIF89a spec appendix E):
+          // rows 0,8,16.. then 4,12.. then 2,6,10.. then odd rows
+          val indices =
+            if (!interlaced) raw
+            else {
+              val out = new Array[Byte](w * h)
+              val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+              var src = 0
+              passes.foreach { case (start, step) =>
+                var y = start
+                while (y < h) {
+                  System.arraycopy(raw, src * w, out, y * w, w)
+                  src += 1
+                  y += step
+                }
+              }
+              out
+            }
           return DecodedGif(if (w > 0) w else sw, if (h > 0) h else sh, indices, palette)
         case 0x3b =>
           throw new IllegalArgumentException("trailer before any image data")

@@ -78,11 +78,39 @@ class GifSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(GifCodec.decode(good).indices, d0.indices))
   }
 
+  test("interlaced GIFs decode byte-exactly (vs the JDK's independent codec)") {
+    for ((w, h) <- Seq((5, 3), (16, 16), (23, 11))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y,
+        ((11 * x + 23 * y) % 256 << 16) | ((5 * x) % 256 << 8) | (9 * y) % 256)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wr.dispose()
+      val bytes = bos.toByteArray
+      val d = GifCodec.decode(bytes)
+      assert(d.width == w && d.height == h)
+      // compare against the SOURCE raster's palette indices: the stream is
+      // written in correct interlace order and must reconstruct the original
+      // exactly. (Not against ImageIO's reader — the JDK's own GIF reader
+      // drops a row on small interlaced images, observed here: its read of
+      // its own 5x3 interlaced write loses true row 1.)
+      val srcRaster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        assert((d.indices(y * w + x) & 0xff) == srcRaster.getSample(x, y, 0),
+          s"($x,$y) of $w x $h")
+      }
+    }
+  }
+
   test("malformed inputs are rejected") {
     intercept[IllegalArgumentException](GifCodec.decode(Array.fill[Byte](20)(3)))
-    val good = GifCodec.encode(4, 4, new Array[Byte](16), GifCodec.grayPalette)
-    val interlaced = good.clone()
-    interlaced(6 + 7 + 768 + 9) = 0x40.toByte // image-descriptor packed byte
-    intercept[IllegalArgumentException](GifCodec.decode(interlaced))
+    intercept[Exception](GifCodec.decode(
+      GifCodec.encode(4, 4, new Array[Byte](16), GifCodec.grayPalette).take(30)))
   }
 }
