@@ -412,7 +412,7 @@ object JpegCodec extends Serializable {
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { raster.setSample(x, y, 0, (3 * x + 5 * y + i) % 256); x += 1 }
+      while (x < w) { raster.setSample(x, y, 0, ((3 * x + 5 * y + i) % 256).toInt); x += 1 }
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
