@@ -88,10 +88,12 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extra_queries":$xs,"pages_per_sec":$pagesRate%.0f,"sf":"$sfDir"}"""
-    println(json)
     // machine-readable copy so the driver's parse can't miss it in sbt noise
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json)
     catch { case _: Throwable => }
+    // stop FIRST, print LAST: the shutdown WARN flood otherwise lands after
+    // the JSON and the driver's tail-parse misses it (BENCH_r02 parsed:null)
     spark.stop()
+    println(json)
   }
 }

@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet // optional query-name filter for local spot checks
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, // a typo'd filter silently running 0 queries would look green
+      s"unknown query name(s): ${unknown.mkString(", ")}; " +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -281,14 +281,20 @@ object SparkQueries {
     * is the one actually exercised. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.io.Bucketing
+    // per-process table suffix: two concurrent JVMs sharing a warehouse dir
+    // (e.g. a test run beside a Verify run) otherwise drop/rewrite each
+    // other's fixed-name tables mid-query
+    val tok = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val custTbl = s"graft_bkt_customer_$tok"
+    val ordTbl = s"graft_bkt_orders_$tok"
     Bucketing.writeBucketed(
       tbl(spark, dir, "customer").select(col("c_custkey").as("k"), col("c_mktsegment")),
-      "graft_bkt_customer", "k", 16)
+      custTbl, "k", 16)
     Bucketing.writeBucketed(
       tbl(spark, dir, "orders").select(col("o_custkey").as("k")),
-      "graft_bkt_orders", "k", 16)
-    Bucketing.readTable(spark, "graft_bkt_orders")
-      .join(Bucketing.readTable(spark, "graft_bkt_customer").hint("merge"), "k")
+      ordTbl, "k", 16)
+    Bucketing.readTable(spark, ordTbl)
+      .join(Bucketing.readTable(spark, custTbl).hint("merge"), "k")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), countDistinct(col("k")).as("n_custs"))
   }

@@ -237,12 +237,9 @@ object VerifiedQueries {
       .select(concat(col("event_type"), lit("#"), (col("user_id") % 100).cast("string")).as("bucket"))
     val bytes = ev.agg(SketchUdafs.countingCuckoo(20000, 4, 32)(col("bucket")).as("b"))
       .head().getAs[Array[Byte]]("b")
-    val probe = {
-      lazy val ccf = graft.core.CountingCuckooFilter.fromBytes(bytes, fingerprintBits = 32)
-      udf((k: String) => ccf.check(k))
-    }
     ev.groupBy(col("bucket")).agg(count(lit(1)).as("true_count"))
-      .withColumn("ccf_count", probe(col("bucket")))
+      .withColumn("ccf_count",
+        SketchExpressions.ccfCountNative(bytes, fingerprintBits = 32, col("bucket")))
       .select(col("bucket"), col("true_count"), col("ccf_count"))
   }
 

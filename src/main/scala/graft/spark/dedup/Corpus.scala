@@ -84,29 +84,79 @@ object Corpus {
 
   /** The REMOVE stage of corpus-frequency line dedup: rebuild each doc's
     * text with boilerplate lines (non-blank, corpus frequency >= minCount)
-    * dropped, order preserved, without ever exploding-and-reassembling rows:
-    * the thresholded heavy set (64-bit line hashes) broadcasts to a per-row
-    * kernel that filters lines in place. Blank-only lines are never
-    * boilerplate (they are document structure). Adds `text_clean`. */
-  def removeBoilerplate(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    * dropped, order preserved. Blank-only lines (SQL `trim(x) = ''`) are
+    * never boilerplate — they are document structure. Adds `text_clean`
+    * (null text → null).
+    *
+    * Two equivalent execution paths (CorpusSpec pins byte-identical output):
+    *
+    *  - **broadcast** (heavy set <= `maxHeavyBroadcast`): the thresholded
+    *    64-bit line-hash set collects to the driver and broadcasts to a
+    *    per-row kernel that filters lines in place — no explode/reassemble.
+    *    The set is bounded by total_lines / minCount, so this is the normal
+    *    path; but at 10^12 docs × ~50 lines with a low threshold it can
+    *    reach 10^10+ hashes and kill the driver, hence:
+    *  - **join rebuild** (above the bound): no driver collect — explode with
+    *    line index, LEFT join the heavy hashes (a hash-keyed shuffle of
+    *    8-byte keys), drop flagged non-blank lines, group-reassemble ordered
+    *    by index, join `text_clean` back by row id. Pass `idCol` (a unique
+    *    key) to key that join deterministically; without one a synthetic id
+    *    is used and the tagged frame is pinned via localCheckpoint so both
+    *    sides of the self-correlation see identical ids. */
+  def removeBoilerplate(docs: DataFrame, textCol: String, minCount: Long,
+                        maxHeavyBroadcast: Long = 50000000L,
+                        idCol: Option[String] = None): DataFrame = {
     import graft.hash.Fnv
     val spark = docs.sparkSession
-    val heavy = docs
+    val heavyDf = docs
       .select(explode(split(col(textCol), "\n")).as("line"))
       .filter(trim(col("line")) =!= "")
       .select(graft.spark.fns.SketchExpressions.fnv1a64Native(col("line")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-      .select(col("h")).collect().map(_.getLong(0)).toSet
-    val bc = spark.sparkContext.broadcast(heavy)
-    // blank test must equal SQL trim(x) = '' (spaces only — NOT Java trim,
-    // which also strips tabs/CR)
-    val clean = udf((text: String) =>
-      if (text == null) null
-      else text.split("\n", -1)
-        .filter(l => l.forall(_ == ' ') || !bc.value.contains(Fnv.fnv1a64(l, 0)))
-        .mkString("\n"))
-    docs.withColumn("text_clean", clean(col(textCol)))
+      .select(col("h"))
+    if (heavyDf.count() <= maxHeavyBroadcast) {
+      val heavy = heavyDf.collect().map(_.getLong(0)).toSet
+      val bc = spark.sparkContext.broadcast(heavy)
+      // blank test must equal SQL trim(x) = '' (spaces only — NOT Java trim,
+      // which also strips tabs/CR)
+      val clean = udf((text: String) =>
+        if (text == null) null
+        else text.split("\n", -1)
+          .filter(l => l.forall(_ == ' ') || !bc.value.contains(Fnv.fnv1a64(l, 0)))
+          .mkString("\n"))
+      docs.withColumn("text_clean", clean(col(textCol)))
+    } else {
+      val (tagged, rid) = idCol match {
+        case Some(c) => (docs, col(c))
+        case None =>
+          // monotonically_increasing_id is only stable if both uses below
+          // see the SAME materialized rows — pin them
+          (docs.withColumn("__graft_rid", monotonically_increasing_id())
+            .localCheckpoint(true), col("__graft_rid"))
+      }
+      val lines = tagged
+        .select(rid.as("__rid"),
+          posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+      val kept = lines
+        .withColumn("__h", graft.spark.fns.SketchExpressions.fnv1a64Native(col("__line")))
+        .join(heavyDf.withColumnRenamed("h", "__h").withColumn("__heavy", lit(true)),
+          Seq("__h"), "left")
+        .filter(trim(col("__line")) === "" || col("__heavy").isNull)
+      val rebuilt = kept.groupBy(col("__rid"))
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("__idx"), col("__line")))),
+          s => s.getField("__line"))).as("__clean"))
+      // left join: a rid missing from `rebuilt` means text was null
+      // (posexplode emitted nothing) OR every line was heavy and dropped —
+      // the null/'' split below distinguishes the two exactly as the
+      // broadcast kernel does
+      tagged.join(rebuilt, rid === col("__rid"), "left")
+        .withColumn("text_clean",
+          when(col(textCol).isNull, lit(null).cast("string"))
+            .otherwise(coalesce(col("__clean"), lit(""))))
+        .drop("__rid", "__clean", "__graft_rid")
+    }
   }
 
   /** Corpus-frequency line dedup (CCNet / RefinedWeb boilerplate removal):

@@ -77,13 +77,34 @@ object Dedup extends Serializable {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
   })
 
+  /** Truncation telemetry for the LSH bucket caps: a silent cap reads as
+    * "covered everything" when it didn't, so every pair generator counts
+    * capped buckets and the ids it dropped into named accumulators (visible
+    * per-stage in the Spark UI; asserted in DedupTelemetrySpec). A non-zero
+    * count means recall loss — raise bits/bands or run exact dedup first. */
+  final case class TruncationTelemetry(
+      truncatedBuckets: org.apache.spark.util.LongAccumulator,
+      droppedIds: org.apache.spark.util.LongAccumulator)
+
+  object TruncationTelemetry {
+    def apply(spark: org.apache.spark.sql.SparkSession, label: String): TruncationTelemetry =
+      TruncationTelemetry(
+        spark.sparkContext.longAccumulator(s"graft.$label.truncated_buckets"),
+        spark.sparkContext.longAccumulator(s"graft.$label.dropped_ids"))
+  }
+
   /** All (lo, hi) id pairs within a bucket, ids sorted for determinism.
     * `maxBucket` truncates pathological buckets (sorted prefix): a bucket of
     * B near-identical docs emits B² pairs no matter how candidates are
     * generated — run exact dedup BEFORE near-dup LSH so identical-content
-    * clusters never reach this stage (standard pipeline ordering). */
-  private def bucketPairsUdf(maxBucket: Int): UserDefinedFunction =
+    * clusters never reach this stage (standard pipeline ordering). Truncation
+    * is COUNTED, never silent (`tele`). */
+  private def bucketPairsUdf(maxBucket: Int, tele: TruncationTelemetry): UserDefinedFunction =
     udf((ids: Seq[Long]) => {
+      if (ids.length > maxBucket) {
+        tele.truncatedBuckets.add(1L)
+        tele.droppedIds.add((ids.length - maxBucket).toLong)
+      }
       val sorted = ids.sorted.take(maxBucket).toArray
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       var i = 0
@@ -106,7 +127,9 @@ object Dedup extends Serializable {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8, maxBucket: Int = 4096): DataFrame = {
+                      threshold: Double = 0.8, maxBucket: Int = 4096,
+                      telemetry: Option[TruncationTelemetry] = None): DataFrame = {
+    val tele = telemetry.getOrElse(TruncationTelemetry(df.sparkSession, "minhash"))
     val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
 
     // (doc_id, band, band_hash) only — the exploded/shuffled relation stays
@@ -121,7 +144,7 @@ object Dedup extends Serializable {
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
+      .select(explode(bucketPairsUdf(maxBucket, tele)(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
 
@@ -150,17 +173,32 @@ object Dedup extends Serializable {
     * al., "Connected Components in MapReduce and Beyond", SoCC 2014).
     *
     * Input columns: (id_a, id_b). Output: (doc_id, rep) for every doc that
-    * appears in at least one pair. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    * appears in at least one pair.
+    *
+    * `checkpointDir`: when set, per-round materialization uses RELIABLE
+    * checkpoints under that directory (HDFS/S3 on a cluster) instead of
+    * `localCheckpoint` — local checkpoints pin the computed blocks to
+    * specific executors, so losing one executor mid-job loses the lineage
+    * truncation and fails the job (fine on local[*], wrong at 1000
+    * executors). ConnectedComponentsSpec runs both modes to identical
+    * labels. Throws if the label fixpoint is not reached within `maxIters`
+    * (pointer halving converges in O(log diameter), so 25 covers any real
+    * graph; an unconverged result would silently mis-cluster). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ck: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val edges = ck(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ck(edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")))
     var it = 0
     var done = false
     while (!done && it < maxIters) {
@@ -173,14 +211,17 @@ object Dedup extends Serializable {
         .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
       // 2) pointer halving: rep := rep(rep) — collapses label chains
       val repOf = stepped.select(col("id").as("rep_key"), col("rep").as("rep2"))
-      val halved = stepped.join(repOf, stepped("rep") === repOf("rep_key"), "left")
-        .select(stepped("id"), coalesce(col("rep2"), stepped("rep")).as("rep"))
-        .localCheckpoint(true)
+      val halved = ck(stepped.join(repOf, stepped("rep") === repOf("rep_key"), "left")
+        .select(stepped("id"), coalesce(col("rep2"), stepped("rep")).as("rep")))
       done = halved.as("n").join(labels.as("o"), "id")
         .filter(col("n.rep") =!= col("o.rep")).isEmpty
       labels = halved
       it += 1
     }
+    // an unconverged label table would silently mis-cluster downstream
+    // "keep one per cluster" decisions — fail loudly instead
+    require(done, s"connectedComponents did not converge within $maxIters rounds " +
+      "(pointer halving converges in O(log diameter) — raise maxIters)")
     labels.select(col("id").as("doc_id"), col("rep"))
   }
 
@@ -219,8 +260,10 @@ object Dedup extends Serializable {
     * routinely hit it, bitsPerTable is too small for the corpus. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                             threshold: Double, dim: Int, tables: Int = 32,
-                            bitsPerTable: Int = 12, maxBucket: Int = 4096): DataFrame = {
+                            bitsPerTable: Int = 12, maxBucket: Int = 4096,
+                            telemetry: Option[TruncationTelemetry] = None): DataFrame = {
     import graft.spark.ann.Ann
+    val tele = telemetry.getOrElse(TruncationTelemetry(df.sparkSession, "embed_neardup"))
     val base = df.select(col(idCol).cast("long").as("vid"), col(embCol).as("emb"))
     val sigFns = (0 until tables).map(t => Ann.hyperplaneSig(bitsPerTable, dim, seed = 2000L + t))
     val bucketed = base
@@ -232,7 +275,7 @@ object Dedup extends Serializable {
       .groupBy(col("t"), col("h"))
       .agg(collect_list(col("vid")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
+      .select(explode(bucketPairsUdf(maxBucket, tele)(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
     candidates
@@ -248,8 +291,13 @@ object Dedup extends Serializable {
     * `distinct()` exchange instead of being shuffled 20-combos-deep and
     * filtered after. ids and sims are parallel collect_lists from the same
     * aggregate, so indices correspond. */
-  private def bucketSimPairsUdf(maxBucket: Int, maxHamming: Int): UserDefinedFunction =
+  private def bucketSimPairsUdf(maxBucket: Int, maxHamming: Int,
+                                tele: TruncationTelemetry): UserDefinedFunction =
     udf((ids: Seq[Long], sims: Seq[Long]) => {
+      if (ids.length > maxBucket) {
+        tele.truncatedBuckets.add(1L)
+        tele.droppedIds.add((ids.length - maxBucket).toLong)
+      }
       val z = ids.zip(sims).sortBy(_._1).take(maxBucket).toArray
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
       var i = 0
@@ -274,7 +322,9 @@ object Dedup extends Serializable {
     * like the minhash path, ONE shuffle keyed by (combo, key), pair
     * generation within buckets, simhash kernel runs once. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 4096,
+                   telemetry: Option[TruncationTelemetry] = None): DataFrame = {
+    val tele = telemetry.getOrElse(TruncationTelemetry(df.sparkSession, "simhash"))
     val withSim = df.select(col(idCol).cast("long").as("doc_id"),
       TextExpressions.simhash64Native(col(textCol)).as("sim"))
     val keyed = withSim
@@ -284,7 +334,7 @@ object Dedup extends Serializable {
       .groupBy(col("combo"), col("key"))
       .agg(collect_list(col("doc_id")).as("ids"), collect_list(col("sim")).as("sims"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketSimPairsUdf(maxBucket, maxHamming)(col("ids"), col("sims"))).as("p"))
+      .select(explode(bucketSimPairsUdf(maxBucket, maxHamming, tele)(col("ids"), col("sims"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .distinct()
   }

@@ -100,6 +100,27 @@ case class CbfCountExpr(child: Expression, sketch: graft.core.CountingBloomFilte
   override def prettyName: String = "cbf_count"
 }
 
+/** Count probe against a FIXED counting cuckoo filter — the last sketch
+  * probe that was still a ScalaUDF (round-2 verdict #7). */
+case class CcfCountExpr(child: Expression, sketch: graft.core.CountingCuckooFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    sketch.check(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCcf", sketch,
+      classOf[graft.core.CountingCuckooFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.check($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "ccf_count"
+}
+
 /** Membership probe against a FIXED cuckoo filter (shared per-executor plan
   * reference object, like [[BloomMightContainExpr]]). */
 case class CuckooContainsExpr(child: Expression, filter: graft.core.CuckooFilter)
@@ -180,6 +201,12 @@ object SketchExpressions {
     GraftColumnBridge.column(
       CbfCountExpr(GraftColumnBridge.expression(key),
         graft.core.CountingBloomFilter.fromBytes(cbfBytes)))
+
+  /** Codegen'd counting-cuckoo count probe. */
+  def ccfCountNative(bytes: Array[Byte], fingerprintBits: Int, key: Column): Column =
+    GraftColumnBridge.column(
+      CcfCountExpr(GraftColumnBridge.expression(key),
+        graft.core.CountingCuckooFilter.fromBytes(bytes, fingerprintBits = fingerprintBits)))
 
   /** Codegen'd cuckoo membership probe. */
   def cuckooContainsNative(bytes: Array[Byte], fingerprintBits: Int, key: Column): Column =

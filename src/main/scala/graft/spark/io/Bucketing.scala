@@ -22,19 +22,25 @@ object Bucketing {
                     numBuckets: Int, mode: String = "overwrite"): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // the embedded in-memory catalog forgets table METADATA between JVMs but
-    // leaves the warehouse DIRECTORY behind, so a fresh session's saveAsTable
-    // fails with LOCATION_ALREADY_EXISTS — clear the stale location too
-    // (unqualified names land in the default database: <warehouse>/<table>)
-    if (!table.contains(".")) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
-    df.write.mode(mode).format("parquet")
+    def save(): Unit = df.write.mode(mode).format("parquet")
       .bucketBy(numBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(table)
+    try save()
+    catch {
+      // the embedded in-memory catalog forgets table METADATA between JVMs
+      // but leaves the warehouse DIRECTORY behind, so a fresh session's
+      // saveAsTable fails with LOCATION_ALREADY_EXISTS. Only then clear the
+      // stale location and retry — deleting up-front would race a concurrent
+      // session legitimately owning the directory (unqualified names land in
+      // the default database: <warehouse>/<table>)
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("LOCATION_ALREADY_EXISTS") && !table.contains(".") =>
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        save()
+    }
   }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)

@@ -94,9 +94,11 @@ object Warc extends Serializable {
   def writeGzip(records: Iterator[WarcRecord]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { r =>
+      // close() (not just finish()) releases the Deflater's native buffer
+      // immediately — one deflater per record otherwise accumulates off-heap
+      // memory on a large partition until GC
       val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(write(Iterator(r)))
-      gz.finish()
+      try { gz.write(write(Iterator(r))); gz.finish() } finally gz.close()
     }
     out.toByteArray
   }
@@ -107,9 +109,11 @@ object Warc extends Serializable {
     val gz = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(blob))
     val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = gz.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
+    try {
+      val buf = new Array[Byte](8192)
+      var n = gz.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
+    } finally gz.close() // release the Inflater eagerly, not at GC
     parse(out.toByteArray)
   }
 

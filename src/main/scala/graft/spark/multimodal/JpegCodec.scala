@@ -3,9 +3,11 @@ package graft.spark.multimodal
 /** A from-scratch baseline JPEG decoder (ITU T.81): marker parse, DQT/DHT
   * canonical-Huffman tables, entropy-coded MCU scan with byte unstuffing and
   * restart markers, dequantization, de-zigzag, floating IDCT (Annex A.3.3),
-  * level shift + clamp. Scope: baseline sequential (SOF0), 8-bit, single
-  * component (grayscale) — the multimodal pipeline encodes thumbnails as
-  * grayscale; color scans are rejected explicitly, not mis-decoded.
+  * level shift + clamp. Scope: baseline sequential (SOF0), 8-bit, grayscale
+  * (single component) AND YCbCr color — 3 components at 1:1:1 or 4:2:0
+  * chroma subsampling (interleaved MCU scan, nearest-neighbor chroma
+  * upsample, BT.601 YCbCr→RGB); other layouts are rejected explicitly, not
+  * mis-decoded.
   *
   * Verification: decoded pixels are cross-checked against the JDK's own
   * independent ImageIO JPEG decoder (JpegSpec + q_jpeg_decode) — T.81 does

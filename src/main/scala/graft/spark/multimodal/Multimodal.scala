@@ -169,7 +169,15 @@ object Multimodal {
         val d = JpegCodec.decode(payload)
         (d.width, d.height, d.channels, sum(d.pixels), "jpeg")
       } else null
-    } catch { case _: Exception => null }
+    } catch {
+      // only the failure modes a malformed payload actually produces map to
+      // null ("undecodable"); anything else — including task-cancellation
+      // InterruptedException — propagates so decoder regressions stay visible
+      case _: IllegalArgumentException | _: IllegalStateException |
+           _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+           _: java.util.zip.ZipException | _: java.util.zip.DataFormatException |
+           _: java.io.EOFException => null
+    }
   })
 
   /** Attach audio metadata + PCM features to a table with a binary column,
