@@ -88,6 +88,7 @@ object SparkEntry {
     "q_frames" -> ((s, _) => VerifiedQueries.framesVerified(s, 2000L)),
     "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
     "q_video" -> ((s, _) => VerifiedQueries.videoVerified(s, 2000L)),
+    "q_bpe_merge" -> ((s, _) => VerifiedQueries.bpeMergeVerified(s, 20000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
     "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
   )
@@ -512,6 +513,20 @@ object SparkEntry {
         "('ja', 1079, true, true), ('pt', 900, true, true), " +
         "('ru', 1206, true, true), ('zh', 1863, true, true)) " +
         "AS t(lang, n_pages, text_identical_ok, counts_ok)"),
+    // TRUE-BPE merged-token counts (learned 256-merge table, GPT-2-style
+    // merge loop — not SQL-expressible); literals generated by
+    // `runMain graft.tools.BpeTruth 20000` over the seed-42 pages fixture
+    "q_bpe_merge" ->
+      ("SELECT * FROM (VALUES " +
+        "('de', CAST(3700 AS BIGINT), CAST(1446792 AS BIGINT), CAST(6529 AS BIGINT), true, true), " +
+        "('en', 7488, 2734263, 6561, true, true), " +
+        "('es', 1423, 542637, 6513, true, true), " +
+        "('fr', 2341, 834777, 6490, true, true), " +
+        "('ja', 1079, 362251, 6385, true, true), " +
+        "('pt', 900, 333526, 5496, true, true), " +
+        "('ru', 1206, 433077, 6457, true, true), " +
+        "('zh', 1863, 675973, 6344, true, true)) " +
+        "AS t(lang, n_pages, merged_tokens, max_merged, codegen_parity_ok, bounds_ok)"),
     // literals generated by `runMain graft.tools.PagesTruth 20000` —
     // deterministic ground truth of the synthetic pages table (seed 42)
     "q_pages_battery" ->

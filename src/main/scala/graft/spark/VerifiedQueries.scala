@@ -432,6 +432,34 @@ object VerifiedQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
 
+  /** TRUE-BPE merged-token counts over the deterministic pages fixture
+    * (seed 42): the learned 256-merge table ([[graft.spark.text.BpeTokenizer.standard]],
+    * Sennrich 2016 learning + GPT-2-style merge application) applied per
+    * page via the codegen'd [[graft.spark.fns.BpeCountExpr]]. Verified
+    * three ways in-query: the codegen path must equal an independent
+    * ScalaUDF evaluation of the same tokenizer, and every count must sit in
+    * [pre-token count, non-ws char count] (merging only ever shrinks a
+    * pre-token's pieces, and a piece is >= 1 code point). Oracle = literals
+    * from `runMain graft.tools.BpeTruth` — rerun after ANY change to the
+    * merge table or training corpus. */
+  def bpeMergeVerified(spark: SparkSession, nPages: Long): DataFrame = {
+    import graft.spark.fns.TextExpressions
+    val bpe = graft.spark.text.BpeTokenizer.standard
+    val udfCount = udf((t: String) => bpe.countText(t))
+    graft.spark.io.PagesGen.pages(spark, nPages)
+      .select(col("lang"),
+        TextExpressions.bpeMergedCountNative(col("text"), bpe).as("m"),
+        udfCount(col("text")).as("mu"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("pre"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("m")).as("merged_tokens"),
+        max(col("m")).as("max_merged"),
+        every(col("m") === col("mu")).as("codegen_parity_ok"),
+        every(col("m") >= col("pre") && col("m") <= col("nc")).as("bounds_ok"))
+  }
+
   /** Rolling fingerprints are a pure function of content, so the per-lang
     * distinct-fingerprint count can never exceed the distinct-text count. */
   def fingerprintRollingVerified(spark: SparkSession, dir: String): DataFrame =

@@ -328,6 +328,29 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfc_normalize"
 }
 
+/** Codegen'd true-BPE merged-token count: pre-tokenize + run the learned
+  * merge loop per pre-token, sum piece counts. The tokenizer (merge ranks)
+  * rides the plan as a shared per-executor reference object — the same
+  * broadcast-small-model shape as the sketch probes. */
+case class BpeCountExpr(child: Expression, bpe: graft.spark.text.BpeTokenizer)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    bpe.countText(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBpe", bpe,
+      classOf[graft.spark.text.BpeTokenizer].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countText($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_count"
+}
+
 object TextExpressions {
   def simhash64Native(c: Column): Column =
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c)))
@@ -349,4 +372,10 @@ object TextExpressions {
   def bloomShingleHitNative(bloomBytes: Array[Byte], n: Int, text: Column): Column =
     GraftColumnBridge.column(BloomShingleHitExpr(GraftColumnBridge.expression(text), n,
       graft.core.BloomFilter.fromBytes(bloomBytes)))
+
+  /** Codegen'd merged-BPE token count under the given tokenizer (defaults to
+    * the deterministic [[graft.spark.text.BpeTokenizer.standard]] table). */
+  def bpeMergedCountNative(c: Column,
+      bpe: graft.spark.text.BpeTokenizer = graft.spark.text.BpeTokenizer.standard): Column =
+    GraftColumnBridge.column(BpeCountExpr(GraftColumnBridge.expression(c), bpe))
 }

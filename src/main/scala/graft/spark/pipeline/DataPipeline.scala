@@ -33,12 +33,19 @@ object DataPipeline {
 
   /** The composed pipeline. `docs` carries (doc_id, lang, source, text);
     * `benchDocs` carries (text). Returns kept docs as
-    * (doc_id, lang, source, digest, toks). */
+    * (doc_id, lang, source, digest, toks).
+    *
+    * `tokenCounter` is the budgeting unit — whitespace tokens by default;
+    * pass `graft.spark.fns.TextExpressions.bpeMergedCountNative(_)` to
+    * budget by TRUE merged-BPE token counts (training realism) with no
+    * other change to the pipeline. */
   def curate(docs: DataFrame, benchDocs: DataFrame,
-             domainCap: Int = 5, tokenBudget: Long = 2000L): DataFrame = {
+             domainCap: Int = 5, tokenBudget: Long = 2000L,
+             tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+               TextFunctions.tokenCount(_)): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
       md5(col("text")).as("digest"),
-      TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+      tokenCounter(col("text")).cast("long").as("toks"))
     // 1. per-doc quality gate (pure codegen'd expressions)
     val quality = base.filter(TextFunctions.isQuality(col("text")))
     // 2. exact dedup: keep the min doc_id per content digest
