@@ -423,10 +423,16 @@ object VerifiedQueries {
 
   // ---------- text ----------
 
-  /** Language-ID accuracy over the deterministic per-lang fixture: every doc
-    * must be classified correctly (oracle = literal 100% rows). */
+  /** Language-ID accuracy over the HELD-OUT fixture ([[graft.spark.text.LangEval]]
+    * — sentences disjoint from the classifier's trigram training paragraphs
+    * and stopword tables, fixing round-2's circular-fixture finding). The
+    * reported n_correct is the honestly MEASURED accuracy (99.6% overall,
+    * pt 48/50 is the one sub-100 cell); oracle = literals from
+    * `runMain graft.tools.LangTruth` — rerun after any classifier or fixture
+    * change. The legacy stopword fixture stays covered by LangFixtureSpec
+    * (still 100%). */
   def langIdVerified(spark: SparkSession): DataFrame =
-    LangFixture.docs(spark, docsPerLang = 50)
+    graft.spark.text.LangEval.docs(spark, docsPerLang = 50)
       .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

@@ -1,0 +1,146 @@
+package graft.spark.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.SplitMix64
+
+/** HELD-OUT language-ID evaluation fixture — sentences composed for this
+  * repository, deliberately DISJOINT from both the classifier's trigram
+  * training paragraphs ([[LangProfiles.training]]) and the old stopword
+  * tables, so q_lang_id measures real generalization, not fixture-classifier
+  * agreement (round-2 verdict "What's wrong" #3).
+  *
+  * Each doc deterministically concatenates 2-4 sentences from its language's
+  * pool (SplitMix64 on (lang, doc idx)); accuracy over the fixture is a pure
+  * function of the classifier, so the oracle records the MEASURED
+  * per-language correct counts as literals (`runMain graft.tools.LangTruth`).
+  */
+object LangEval extends Serializable {
+
+  val pools: Map[String, Array[String]] = Map(
+    "en" -> Array(
+      "She opened the window and let the cold morning air fill the room.",
+      "The train was late again, so we waited almost an hour on the platform.",
+      "He wrote a long letter to his brother but never sent it.",
+      "Most of the shops in this part of town close early on Sundays.",
+      "They found a small boat tied to the bridge near the mill.",
+      "I have never seen so many birds in one place before.",
+      "The meeting lasted all afternoon and nothing was decided.",
+      "Her grandmother taught her how to bake bread when she was young."),
+    "de" -> Array(
+      "Sie öffnete das Fenster und ließ die kalte Morgenluft ins Zimmer.",
+      "Der Zug hatte wieder Verspätung, also warteten wir fast eine Stunde am Bahnsteig.",
+      "Er schrieb seinem Bruder einen langen Brief, schickte ihn aber nie ab.",
+      "Die meisten Geschäfte in diesem Teil der Stadt schließen sonntags früh.",
+      "Sie fanden ein kleines Boot, das an der Brücke bei der Mühle festgebunden war.",
+      "Ich habe noch nie so viele Vögel an einem Ort gesehen.",
+      "Die Besprechung dauerte den ganzen Nachmittag, und nichts wurde entschieden.",
+      "Ihre Großmutter brachte ihr das Brotbacken bei, als sie noch klein war."),
+    "fr" -> Array(
+      "Elle a ouvert la fenêtre et laissé entrer l'air froid du matin.",
+      "Le train était encore en retard, alors nous avons attendu presque une heure sur le quai.",
+      "Il a écrit une longue lettre à son frère mais ne l'a jamais envoyée.",
+      "La plupart des magasins de ce quartier ferment tôt le dimanche.",
+      "Ils ont trouvé un petit bateau attaché au pont près du moulin.",
+      "Je n'ai jamais vu autant d'oiseaux au même endroit.",
+      "La réunion a duré tout l'après-midi et rien n'a été décidé.",
+      "Sa grand-mère lui a appris à faire le pain quand elle était petite."),
+    "es" -> Array(
+      "Ella abrió la ventana y dejó entrar el aire frío de la mañana.",
+      "El tren llegó tarde otra vez, así que esperamos casi una hora en el andén.",
+      "Escribió una carta muy larga a su hermano pero nunca la envió.",
+      "La mayoría de las tiendas de esta parte de la ciudad cierran temprano los domingos.",
+      "Encontraron un bote pequeño atado al puente cerca del molino.",
+      "Nunca había visto tantos pájaros juntos en un mismo lugar.",
+      "La reunión duró toda la tarde y no se decidió nada.",
+      "Su abuela le enseñó a hacer pan cuando era pequeña."),
+    "pt" -> Array(
+      "Ela abriu a janela e deixou entrar o ar frio da manhã.",
+      "O trem se atrasou de novo, então esperamos quase uma hora na plataforma.",
+      "Ele escreveu uma longa carta ao irmão, mas nunca a enviou.",
+      "A maioria das lojas nesta parte da cidade fecha cedo aos domingos.",
+      "Encontraram um barco pequeno amarrado à ponte perto do moinho.",
+      "Nunca vi tantos pássaros juntos num só lugar.",
+      "A reunião durou a tarde toda e nada foi decidido.",
+      "A avó dela lhe ensinou a fazer pão quando era pequena."),
+    "it" -> Array(
+      "Lei aprì la finestra e lasciò entrare l'aria fredda del mattino.",
+      "Il treno era di nuovo in ritardo, così abbiamo aspettato quasi un'ora sul binario.",
+      "Scrisse una lunga lettera a suo fratello ma non la spedì mai.",
+      "La maggior parte dei negozi in questa zona chiude presto la domenica.",
+      "Trovarono una piccola barca legata al ponte vicino al mulino.",
+      "Non ho mai visto così tanti uccelli in un solo posto.",
+      "La riunione durò tutto il pomeriggio e non si decise nulla.",
+      "Sua nonna le insegnò a fare il pane quando era piccola."),
+    "nl" -> Array(
+      "Ze opende het raam en liet de koude ochtendlucht binnen.",
+      "De trein was weer te laat, dus we wachtten bijna een uur op het perron.",
+      "Hij schreef een lange brief aan zijn broer maar verstuurde hem nooit.",
+      "De meeste winkels in dit deel van de stad sluiten zondag vroeg.",
+      "Ze vonden een kleine boot die bij de molen aan de brug was vastgebonden.",
+      "Ik heb nog nooit zoveel vogels op één plek gezien.",
+      "De vergadering duurde de hele middag en er werd niets besloten.",
+      "Haar grootmoeder leerde haar brood bakken toen ze jong was."),
+    "pl" -> Array(
+      "Otworzyła okno i wpuściła do pokoju zimne poranne powietrze.",
+      "Pociąg znowu się spóźnił, więc czekaliśmy prawie godzinę na peronie.",
+      "Napisał do brata długi list, ale nigdy go nie wysłał.",
+      "Większość sklepów w tej części miasta zamyka się w niedzielę wcześnie.",
+      "Znaleźli małą łódkę przywiązaną do mostu koło młyna.",
+      "Nigdy nie widziałem tylu ptaków w jednym miejscu.",
+      "Zebranie trwało całe popołudnie i niczego nie ustalono.",
+      "Babcia nauczyła ją piec chleb, gdy była mała."),
+    "ru" -> Array(
+      "Она открыла окно и впустила в комнату холодный утренний воздух.",
+      "Поезд снова опоздал, и мы почти час ждали на платформе.",
+      "Он написал брату длинное письмо, но так и не отправил его.",
+      "Большинство магазинов в этой части города закрываются в воскресенье рано.",
+      "Они нашли маленькую лодку, привязанную к мосту возле мельницы.",
+      "Я никогда не видел столько птиц в одном месте.",
+      "Собрание длилось весь день, и ничего не решили.",
+      "Бабушка научила её печь хлеб, когда она была маленькой."),
+    "zh" -> Array(
+      "她打开窗户让清晨的冷空气进入房间。",
+      "火车又晚点了我们在站台上等了将近一个小时。",
+      "他给哥哥写了一封长信但是一直没有寄出去。",
+      "这个城市的大多数商店星期天关门很早。",
+      "他们在磨坊附近的桥边发现了一条小船。",
+      "我从来没有在一个地方见过这么多鸟。",
+      "会议开了一个下午什么也没有决定。",
+      "她的祖母在她小时候教她做面包。"),
+    "ja" -> Array(
+      "彼女は窓を開けて朝の冷たい空気を部屋に入れた。",
+      "電車がまた遅れたのでホームで一時間ほど待った。",
+      "彼は兄に長い手紙を書いたが出さなかった。",
+      "この町の店はだいたい日曜日に早く閉まる。",
+      "彼らは水車小屋の近くの橋に小さな舟を見つけた。",
+      "こんなにたくさんの鳥を一度に見たことがない。",
+      "会議は午後ずっと続いたが何も決まらなかった。",
+      "おばあさんは彼女が小さいころパンの焼き方を教えてくれた。"))
+
+  val langs: Array[String] = pools.keys.toArray.sorted
+
+  /** Deterministic held-out doc text for (lang, docIdx): 2-4 pool sentences. */
+  def textOf(lang: String, docIdx: Long): String = {
+    val pool = pools(lang)
+    val rng = new SplitMix64(0x5eed1a2bL ^ lang.hashCode.toLong ^
+      (docIdx * 0x9e3779b97f4a7c15L))
+    val n = 2 + Math.floorMod(rng.nextLong(), 3L).toInt
+    (0 until n).map(_ => pool(Math.floorMod(rng.nextLong(), pool.length.toLong).toInt))
+      .mkString(" ")
+  }
+
+  final case class EvalDoc(lang: String, doc_idx: Long, text: String)
+
+  /** `docsPerLang` held-out docs per language — generated map-side over
+    * spark.range, no shuffle. */
+  def docs(spark: SparkSession, docsPerLang: Int = 50): DataFrame = {
+    import spark.implicits._
+    val nLangs = langs.length
+    spark.range(nLangs.toLong * docsPerLang).map { id =>
+      val lang = langs((id / docsPerLang).toInt)
+      val idx = id % docsPerLang
+      EvalDoc(lang, idx, textOf(lang, idx))
+    }.toDF()
+  }
+}

@@ -146,8 +146,10 @@ object TextFunctions extends Serializable {
     regexp_replace(regexp_replace(c, lit(emailPattern), lit("<EMAIL>")),
       lit(ipv4Pattern), lit("<IP>"))
 
-  // ---- language ID: stopword/script n-gram heuristic (UDF) ----
+  // ---- language ID: script detection + char-trigram profiles (UDF) ----
 
+  /** Stopword tables — retained as the fast-vote tier of [[langId]] (a
+    * stopword-dense text is decided without touching the n-gram profiles). */
   private val stopwords: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "von", "zu"),
@@ -163,9 +165,20 @@ object TextFunctions extends Serializable {
       "na", "do", "z", "co"),
   )
 
-  /** Deterministic heuristic language ID: script detection for CJK/Cyrillic,
-    * stopword voting for Latin-script languages, "und" when undecidable. */
-  val langId: UserDefinedFunction = udf((text: String) => {
+  /** Deterministic language ID, three tiers:
+    *  1. script detection (kana → ja, Han → zh, Cyrillic-dominant → ru);
+    *  2. char-1..4-gram profile rank distance ([[LangProfiles]], Cavnar &
+    *     Trenkle 1994) — the primary tier for letter-bearing text, trained
+    *     on paragraphs disjoint from every evaluation fixture (a stopword
+    *     vote as primary misfires on Romance languages sharing function
+    *     words — "una" is both es and it);
+    *  3. stopword vote — fallback for text the profiles can't score.
+    * "und" when the text carries no signal at all. */
+  val langId: UserDefinedFunction = udf(classifyText _)
+
+  /** The langId kernel as a plain function (UDF body; also the direct
+    * surface LangTruth evaluates without a Spark session). */
+  def classifyText(text: String): String = {
     if (text == null || text.isEmpty) "und"
     else {
       var cjk = 0; var kana = 0; var cyr = 0; var total = 0
@@ -186,16 +199,21 @@ object TextFunctions extends Serializable {
       else if (cjk * 10 * 3 >= total) "zh"
       else if (cyr * 10 * 3 >= total) "ru"
       else {
-        val toks = text.toLowerCase.split("\\s+").take(400)
-        var best = "und"; var bestScore = 0
-        stopwords.foreach { case (lang, words) =>
-          val score = toks.count(words.contains)
-          if (score > bestScore) { bestScore = score; best = lang }
+        val head = if (text.length <= 2000) text else text.substring(0, 2000)
+        LangProfiles.classify(head) match {
+          case null =>
+            val toks = head.toLowerCase.split("\\s+").take(400)
+            var best = "und"; var bestScore = 0
+            stopwords.foreach { case (lang, words) =>
+              val score = toks.count(words.contains)
+              if (score > bestScore) { bestScore = score; best = lang }
+            }
+            best
+          case l => l
         }
-        if (bestScore == 0) "en" else best // latin-script default
       }
     }
-  })
+  }
 
   // ---- fingerprinting ----
 
