@@ -88,6 +88,7 @@ object SparkEntry {
     "q_frames" -> ((s, _) => VerifiedQueries.framesVerified(s, 2000L)),
     "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
     "q_video" -> ((s, _) => VerifiedQueries.videoVerified(s, 2000L)),
+    "q_video_frames" -> ((s, _) => VerifiedQueries.videoFramesVerified(s, 600L)),
     "q_bpe_merge" -> ((s, _) => VerifiedQueries.bpeMergeVerified(s, 20000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
     "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
@@ -498,6 +499,16 @@ object SparkEntry {
         "CAST(1000 + (range % 100) * 300 AS INT) AS peak, " +
         "CAST(1000 + (range % 100) * 300 AS BIGINT) AS rms " +
         "FROM range(0, 2000)"),
+    // REAL MJPEG-in-AVI frame decode: clip i carries 2 + i % 3 baseline-JPEG
+    // frames at constant dims with per-frame content seeds, decoded by the
+    // shipped RIFF-walk + T.81 operator and cross-checked in-query vs
+    // ImageIO; dims are the mkRealJpeg closed forms
+    "q_video_frames" ->
+      ("SELECT r.range AS clip_id, f.range AS frame_idx, " +
+        "CAST(8 + (r.range % 16) * 2 AS INT) AS width, " +
+        "CAST(8 + ((r.range // 16) % 16) * 2 AS INT) AS height, " +
+        "CAST(1 AS INT) AS channels, true AS agree_ok " +
+        "FROM range(0, 600) r, range(5) f WHERE f.range < 2 + r.range % 3"),
     // clip i's mvhd/tkhd carry closed-form width/height/duration/tracks
     // (VideoHeaders.mkMp4)
     "q_video" ->

@@ -405,16 +405,19 @@ object JpegCodec extends Serializable {
   /** Deterministic grayscale JPEG: dims like the PNG fixture, pixel (x, y) =
     * (3x + 5y + i) mod 256, compressed by javax.imageio (the independent
     * encoder the decoder is validated against). */
-  def mkRealJpeg(i: Long): Array[Byte] = {
-    val w = 8 + (i % 16).toInt * 2
-    val h = 8 + ((i / 16) % 16).toInt * 2
+  def mkRealJpeg(i: Long): Array[Byte] =
+    mkRealJpegAt(8 + (i % 16).toInt * 2, 8 + ((i / 16) % 16).toInt * 2, i)
+
+  /** Same fixture with dims and content seed decoupled (the AVI fixture
+    * needs constant dims across a clip's frames with per-frame content). */
+  def mkRealJpegAt(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { raster.setSample(x, y, 0, ((3 * x + 5 * y + i) % 256).toInt); x += 1 }
+      while (x < w) { raster.setSample(x, y, 0, ((3 * x + 5 * y + seed) % 256).toInt); x += 1 }
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
