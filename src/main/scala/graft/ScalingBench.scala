@@ -190,13 +190,13 @@ object ScalingBench {
          |traffic is the sketch exchange (O(partitions x groups x sketch size),
          |independent of row count).
          |
-         |Round-2 note: the native zero-boxing aggregates made the battery ~20%%
-         |faster at 32 threads than the round-1 udaf version (1.77M vs 1.48M
-         |pages/s) — and, being faster per row, MORE memory-bound per thread, so
-         |the single-box DRAM plateau now depresses every thread-scaling pair of
-         |the scan-heavy battery (round 1's compute-heavier variant showed 0.83
-         |at 2->8). The two measurements that isolate job scalability from the
-         |shared-memory-bus artifact:
+         |Since round 2 the battery kernels are unchanged (round 3 added new
+         |operators — true BPE, lang-id profiles, AVI frame decode — none on the
+         |battery path), so the same reading applies: the battery is fast enough
+         |per row to sit on the single-box DRAM plateau above ~8 threads, which
+         |depresses the scan-heavy pairs (round 1's compute-heavier variant
+         |showed 0.83 at 2->8). The two measurements that isolate job
+         |scalability from the shared-memory-bus artifact:
          |
          |- battery **${bestPair._1}**: **${bestPair._2}%.3f** ${if (bestPair._2 >= 0.8) "(meets the >= 0.8 target;" else "(MISSES the >= 0.8 target;"} best pair,
          |  all pairs above unredacted);

@@ -433,7 +433,8 @@ object VerifiedQueries {
     * (still 100%). */
   def langIdVerified(spark: SparkSession): DataFrame =
     graft.spark.text.LangEval.docs(spark, docsPerLang = 50)
-      .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+      .select(col("lang"),
+        graft.spark.fns.TextExpressions.langIdNative(col("text")).as("predicted"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))

@@ -328,6 +328,28 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfc_normalize"
 }
 
+/** Codegen'd language ID — the full three-tier classifier
+  * ([[graft.spark.text.TextFunctions.classifyText]]: script detection →
+  * char-n-gram profile distance → stopword fallback) as a native expression,
+  * so per-row classification stays inside whole-stage codegen. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.spark.text.TextFunctions.classifyText(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.spark.text.TextFunctions.classifyText($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}
+
 /** Codegen'd true-BPE merged-token count: pre-tokenize + run the learned
   * merge loop per pre-token, sum piece counts. The tokenizer (merge ranks)
   * rides the plan as a shared per-executor reference object — the same
@@ -378,4 +400,8 @@ object TextExpressions {
   def bpeMergedCountNative(c: Column,
       bpe: graft.spark.text.BpeTokenizer = graft.spark.text.BpeTokenizer.standard): Column =
     GraftColumnBridge.column(BpeCountExpr(GraftColumnBridge.expression(c), bpe))
+
+  /** Codegen'd three-tier language ID. */
+  def langIdNative(c: Column): Column =
+    GraftColumnBridge.column(LangIdExpr(GraftColumnBridge.expression(c)))
 }

@@ -235,5 +235,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t) => graft.spark.fns.SimHash64Expr(t)
         case _ => throw new IllegalArgumentException("simhash64 takes (text)")
       }))
+
+    e.injectFunction((FunctionIdentifier("bpe_count"),
+      info("bpe_count", "bpe_count(text) - TRUE merged-BPE token count (standard table)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.BpeCountExpr(t, graft.spark.text.BpeTokenizer.standard)
+        case _ => throw new IllegalArgumentException("bpe_count takes (text)")
+      }))
+
+    e.injectFunction((FunctionIdentifier("lang_id"),
+      info("lang_id", "lang_id(text) - script + char-n-gram-profile language ID"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.LangIdExpr(t)
+        case _ => throw new IllegalArgumentException("lang_id takes (text)")
+      }))
   }
 }

@@ -137,6 +137,21 @@ class ExtensionsSpec extends AnyFunSuite {
       val sim = spark.sql("SELECT simhash64('hello world') AS h").head().getLong(0)
       assert(sim == graft.spark.fns.TextKernels.simhash64(
         org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+
+      // round-3 kernels straight from SQL: true-BPE count + language ID
+      val bpe = spark.sql(
+        "SELECT bpe_count('the quick brown fox jumps over the lazy dog') AS n")
+        .head().getLong(0)
+      assert(bpe == graft.spark.text.BpeTokenizer.standard
+        .countText("the quick brown fox jumps over the lazy dog"))
+      val lid = spark.sql(
+        "SELECT lang_id('the train was late again so we waited on the platform') AS l")
+        .head().getString(0)
+      assert(lid == "en")
+      val lidDe = spark.sql(
+        "SELECT lang_id('der zug hatte wieder verspätung also warteten wir') AS l")
+        .head().getString(0)
+      assert(lidDe == "de")
     }
   }
 

@@ -130,6 +130,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"), plan)
   }
 
+  test("bpe/lang-id kernels run inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    import graft.spark.fns.TextExpressions
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(TextExpressions.bpeMergedCountNative(col("text")).as("m"),
+        TextExpressions.langIdNative(col("text")).as("l"))
+    val plan = formatted(df)
+    assert(plan.contains("bpe_count"), plan)
+    assert(plan.contains("lang_id"), plan)
+    // both kernels sit in a codegen'd Project (the `[codegen id : N]`
+    // annotation in formatted mode), not behind a ScalaUDF eval boundary
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    assert(plan.matches("(?s).*Project \\[codegen id : \\d+\\].*"), plan)
+  }
+
   test("salted two-level: two aggregation exchanges, no Expand") {
     val pages = graft.spark.io.PagesGen.pages(spark, 100, numPartitions = 2)
     val df = graft.spark.aggs.SaltedAgg.hllBloomTwoLevel(
