@@ -426,8 +426,8 @@ object VerifiedQueries {
   /** Language-ID accuracy over the HELD-OUT fixture ([[graft.spark.text.LangEval]]
     * — sentences disjoint from the classifier's trigram training paragraphs
     * and stopword tables, fixing round-2's circular-fixture finding). The
-    * reported n_correct is the honestly MEASURED accuracy (99.6% overall,
-    * pt 48/50 is the one sub-100 cell); oracle = literals from
+    * reported n_correct is the honestly MEASURED accuracy (550/550 at
+    * 2-4-sentence doc granularity; 87/88 single-sentence); oracle = literals from
     * `runMain graft.tools.LangTruth` — rerun after any classifier or fixture
     * change. The legacy stopword fixture stays covered by LangFixtureSpec
     * (still 100%). */

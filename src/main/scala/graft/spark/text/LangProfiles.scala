@@ -71,7 +71,11 @@ object LangProfiles extends Serializable {
       "notícias e sobre o tempo. Ninguém tinha pressa, e as conversas " +
       "continuavam até o meio-dia, quando as lojas fechavam para o almoço. " +
       "Depois tudo ficava em silêncio e só se ouviam os pássaros nas árvores " +
-      "junto ao rio."),
+      "junto ao rio. No dia seguinte ele escreveu outra carta e foi até a " +
+      "estação, mas o comboio já tinha partido. Ninguém sabia quando chegaria " +
+      "o próximo, e ele ficou ali sentado a pensar no que tinha acontecido. " +
+      "Quando finalmente voltou para casa, encontrou a porta aberta e " +
+      "percebeu que alguém tinha estado lá dentro durante a tarde."),
     "it" -> ("La vecchia casa in fondo alla strada era vuota da molti anni, e " +
       "nessuno nel paese ricordava chi ci avesse abitato. Quando i nuovi " +
       "proprietari finalmente arrivarono, passarono tutta l'estate a riparare " +
