@@ -833,6 +833,13 @@ object VerifiedQueries {
   def annIvfRecallVerified(spark: SparkSession, dir: String, minRecall: Double): DataFrame =
     recallOk(SparkQueries.annIvfRecall(spark, dir), minRecall)
 
+  /** PQ/ADC recall >= threshold per query — ranking from 16-byte codes alone
+    * (no exact re-score), so the bound is what the compressed representation
+    * retrieves. Measured mins on the weakly-separated fixture: 0.4 / 0.6 /
+    * 0.4 at sf0.001 / 0.01 / 0.1. */
+  def annPqRecallVerified(spark: SparkSession, dir: String, minRecall: Double): DataFrame =
+    recallOk(SparkQueries.annPqRecall(spark, dir), minRecall)
+
   private def recallOk(recalls: DataFrame, minRecall: Double): DataFrame =
     recalls.select(col("query_id"), (col("recall_at_5") >= minRecall).as("recall_ok"))
 

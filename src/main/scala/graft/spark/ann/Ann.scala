@@ -163,6 +163,152 @@ object Ann extends Serializable {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
   }
 
+  // ---- product quantization (Jégou, Douze & Schmid, TPAMI 2011) ----
+
+  /** Train per-subspace codebooks on a driver-side sample: standard Lloyd
+    * k-means per subspace, deterministic init (first `ksub` sample subvectors
+    * in hashed-id order), ties to the lowest centroid index, empty clusters
+    * keep their previous centroid. Sample-based training is the standard PQ
+    * practice (codebook quality depends on the distribution, not the corpus
+    * size), so the driver cost is O(trainSample · dim) regardless of scale. */
+  def trainCodebooks(sample: Array[Array[Float]], dim: Int, m: Int,
+                                  ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    val dsub = dim / m
+    Array.tabulate(m) { sub =>
+      val off = sub * dsub
+      val pts: Array[Array[Float]] = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+      var cents: Array[Array[Float]] = pts.take(ksub).map(_.clone())
+      if (cents.length < ksub) // degenerate tiny sample: pad by repetition
+        cents = Array.tabulate(ksub)(i => pts(i % math.max(1, pts.length)).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        pts.foreach { p =>
+          val c = nearestSub(p, cents)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) cents(c)
+          else {
+            val out = new Array[Float](dsub)
+            var i = 0
+            while (i < dsub) { out(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+            out
+          }
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Nearest centroid index by L2, ties to the lowest index. */
+  private def nearestSub(p: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cc = cents(c)
+      while (i < p.length) { val x = p(i) - cc(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization ANN with an ADC (asymmetric-distance) scan — the
+    * memory-compression scale path: each corpus vector is stored as `m`
+    * small codes (here one byte each), ~dim·4/m× smaller than the raw
+    * floats, and queries rank candidates by summing per-subspace
+    * inner-product table lookups against the UNQUANTIZED query (Jégou 2011
+    * §IV). At 10^12 vectors PQ is what makes the candidate scan fit in
+    * memory at all; compose with [[ivfTopK]]'s cell pruning for the full
+    * IVFPQ layout. Cosine ranking: corpus vectors are L2-normalized before
+    * encoding, so inner product against the normalized query ≈ cosine.
+    *
+    * Everything is deterministic: hashed-id training sample, fixed Lloyd
+    * iterations, lowest-index tie-breaks — so recall vs the exact baseline
+    * is a stable, oracle-checkable number. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 16, ksub: Int = 32, lloydIters: Int = 5,
+             trainSample: Int = 4096): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val spark = corpus.sparkSession
+    val dsub = dim / m
+
+    def normalize(v: Seq[Float]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var n = 0.0; var i = 0
+      val len = math.min(dim, v.length)
+      while (i < len) { n += v(i) * v(i); i += 1 }
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+      i = 0
+      while (i < len) { out(i) = (v(i) * inv).toFloat; i += 1 }
+      out
+    }
+
+    val sample: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(trainSample)
+      .collect()
+      .map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding"))))
+    val books = trainCodebooks(sample, dim, m, ksub, lloydIters)
+    val bc = spark.sparkContext.broadcast(books)
+
+    val encode = udf((v: Seq[Float]) => {
+      val nv = normalize(v)
+      val codes = new Array[Byte](m)
+      var sub = 0
+      while (sub < m) {
+        val p = java.util.Arrays.copyOfRange(nv, sub * dsub, (sub + 1) * dsub)
+        codes(sub) = nearestSub(p, bc.value(sub)).toByte
+        sub += 1
+      }
+      codes
+    })
+
+    // ADC: per-query lookup table (m × ksub partial inner products) built
+    // once per query from the raw query vector, broadcast with the queries
+    val luts: Map[Long, Array[Array[Float]]] = queries
+      .select(col("query_id").cast("long"), col("q_embedding"))
+      .collect()
+      .map { r =>
+        val q = normalize(r.getSeq[Float](1))
+        val lut = Array.tabulate(m) { sub =>
+          val off = sub * dsub
+          Array.tabulate(ksub) { c =>
+            var s = 0.0; var i = 0
+            val cc = books(sub)(c)
+            while (i < dsub) { s += q(off + i) * cc(i); i += 1 }
+            s.toFloat
+          }
+        }
+        r.getLong(0) -> lut
+      }.toMap
+    val bcLut = spark.sparkContext.broadcast(luts)
+
+    val adc = udf((qid: Long, codes: Array[Byte]) => {
+      val lut = bcLut.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < m) { s += lut(sub)(codes(sub) & 0xff); sub += 1 }
+      s
+    })
+
+    val encoded = corpus.select(col("vec_id"), encode(col("embedding")).as("codes"))
+    val scored = encoded
+      .crossJoin(broadcast(queries.select(col("query_id").cast("long").as("query_id"))))
+      .withColumn("sim", adc(col("query_id"), col("codes")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` bucket
     * hashes (each bucket = `bitsPerTable` hyperplane bits), re-scored exactly.
     * Recall < 1 by construction; the exact [[bruteForceTopK]] is the oracle. */
