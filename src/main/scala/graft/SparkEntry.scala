@@ -70,6 +70,7 @@ object SparkEntry {
     "q_ebf_stats" -> (VerifiedQueries.ebfStatsVerified(_, _)),
     "q_stream_window" -> (VerifiedQueries.streamingWindowVerified(_, _)),
     "q_stream_dedup" -> (VerifiedQueries.streamDedupVerified(_, _)),
+    "q_stream_late" -> (VerifiedQueries.streamingLateDataVerified(_, _)),
     "q_qf_hashes" -> (VerifiedQueries.qfHashesVerified(_, _)),
     // dedup / ANN / text / multimodal
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
@@ -383,6 +384,12 @@ object SparkEntry {
       ("SELECT event_type, COUNT(*) AS n_events, " +
         "CAST(COUNT(DISTINCT user_id % 1000) AS BIGINT) AS n_distinct_exact, " +
         "true AS dedup_ok FROM events GROUP BY event_type"),
+    // append-mode + watermark: every window emitted once with exact counts,
+    // the late replay fully dropped
+    "q_stream_late" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+        "COUNT(*) AS n_events, true AS emitted_once_ok, true AS late_dropped_ok " +
+        "FROM events GROUP BY 1, 2"),
     "q_minhash_pairs" ->
       (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
     // connected components over the same exact-Jaccard edge set, by

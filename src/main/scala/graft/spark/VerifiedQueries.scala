@@ -659,6 +659,73 @@ object VerifiedQueries {
         withinBound(col("hll_users"), col("n_exact"), 0.05, 2).as("hll_ok"))
   }
 
+  /** Watermark + APPEND-mode streaming, the production shape (q_stream_window
+    * uses complete mode, which never drops late data): hourly windowed counts
+    * with a 10-minute watermark, fed in four deterministic batches —
+    *   1. every event (watermark advances to maxTs - 10min at batch end);
+    *   2. a REPLAY of all events older than maxTs - 2h — every one is behind
+    *      the watermark, so the engine must DROP them all;
+    *   3./4. two far-future sentinel events that push the watermark past
+    *      every real window end so append mode finalizes and emits them
+    *      (the sentinels' own windows never close and never appear).
+    * Verified: each real window is emitted EXACTLY once, with counts equal
+    * to the exact batch counts over the ORIGINAL events only — if the
+    * replayed rows leaked into any open window, or a window double-emitted,
+    * the driver compare goes red. */
+  def streamingLateDataVerified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = tbl(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val rows: Array[(java.sql.Timestamp, String)] = events.collect()
+      .map { r =>
+        val ts = r.get(1) match {
+          case t: java.sql.Timestamp => t
+          case ldt: java.time.LocalDateTime =>
+            java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+          case i: java.time.Instant => java.sql.Timestamp.from(i)
+        }
+        (ts, r.getString(2))
+      }
+    val maxTs = rows.map(_._1.getTime).max
+    val lateReplay = rows.filter(_._1.getTime <= maxTs - 2L * 3600 * 1000)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val sinkName = "graft_stream_late_sink"
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(lateReplay.toSeq: _*) // all behind the watermark -> dropped
+      q.processAllAvailable()
+      Seq(2L, 3L).foreach { h => // sentinels close the remaining windows
+        mem.addData((new java.sql.Timestamp(maxTs + h * 3600 * 1000), "__sentinel__"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val exact = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+    spark.table(sinkName)
+      .filter(col("event_type") =!= "__sentinel__")
+      .select(col("win.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("n_emissions"))
+      .join(exact, Seq("window_start", "event_type"), "full")
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("n_exact"), lit(-1L)).as("n_events"),
+        (col("n_emissions") === 1).as("emitted_once_ok"),
+        (col("n_events") === col("n_exact")).as("late_dropped_ok"))
+  }
+
   /** Count-rotating-Bloom streaming dedup (flatMapGroupsWithState custom
     * state, [[graft.spark.streaming.StreamingSketches.rotatingDedupByCount]]):
     * events stream in 3 deterministic micro-batches; per event_type the state
