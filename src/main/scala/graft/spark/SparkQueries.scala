@@ -614,6 +614,24 @@ object SparkQueries {
       .agg((sum(when(col("av").isNotNull, 1).otherwise(0)) / count(lit(1))).as("recall_at_5"))
   }
 
+  /** IVFPQ recall vs the exact baseline (per query): the composed layout —
+    * coarse cells prune the scan AND in-cell candidates rank from byte
+    * codes; recall compounds both approximations. */
+  def annIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = Ann.ivfPqTopK(corpus, queries, 5, dim = 64,
+        nlist = 16, nprobe = 8, m = 16, ksub = 256)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    exact.join(approx, exact("query_id") === col("aq") && exact("vec_id") === col("av"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(when(col("av").isNotNull, 1).otherwise(0)) / count(lit(1))).as("recall_at_5"))
+  }
+
   /** Heuristic language ID: (label, prediction) distribution. NOTE the
     * fixture documents carry English-like synthetic text under every label,
     * so the honest output is the confusion distribution, not an accuracy

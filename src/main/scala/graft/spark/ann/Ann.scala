@@ -309,6 +309,147 @@ object Ann extends Serializable {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
   }
 
+  /** IVFPQ: the composed 10^12-row layout — the IVF coarse quantizer prunes
+    * the search to `nprobe` cells AND the in-cell candidates are scanned as
+    * PQ byte codes via ADC (simplified FAISS IVFPQ without residual
+    * encoding: codes quantize the raw normalized vectors, so the same
+    * codebooks serve every cell). Storage per vector: one small cell id +
+    * m code bytes; search cost: nprobe cell scans of table lookups.
+    *
+    * Recall trades against both knobs independently (cells missed by the
+    * coarse probe; neighbors blurred by quantization) — measure with the
+    * recall queries before choosing production settings. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 256,
+                lloydIters: Int = 3, trainSample: Int = 4096): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val spark = corpus.sparkSession
+    val dsub = dim / m
+
+    def normalize(v: Seq[Float]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var n = 0.0; var i = 0
+      val len = math.min(dim, v.length)
+      while (i < len) { n += v(i) * v(i); i += 1 }
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+      i = 0
+      while (i < len) { out(i) = (v(i) * inv).toFloat; i += 1 }
+      out
+    }
+
+    // --- coarse quantizer: same deterministic spherical-Lloyd as ivfTopK ---
+    var centroids: Array[(Int, Array[Float])] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }
+    def mkAssign(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]]) =
+      udf((v: Seq[Float]) => {
+        var best = 0; var bestSim = Double.NegativeInfinity
+        bc.value.foreach { case (i, c) =>
+          val s = cosineLocal(v, c)
+          if (s > bestSim) { bestSim = s; best = i }
+        }
+        best
+      })
+    var it = 0
+    while (it < lloydIters && centroids.nonEmpty) {
+      val bcC = spark.sparkContext.broadcast(centroids)
+      val sums =
+        try corpus.select(col("embedding"))
+          .withColumn("cell", mkAssign(bcC)(col("embedding")))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("v").cast("double")).as("s"))
+          .collect()
+        finally bcC.destroy()
+      val d0 = centroids.head._2.length
+      val acc = Array.fill(nlist)(new Array[Double](d0))
+      val seen = new Array[Boolean](nlist)
+      sums.foreach { r =>
+        acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2); seen(r.getInt(0)) = true
+      }
+      centroids = centroids.map { case (i, old) =>
+        if (!seen(i)) (i, old)
+        else {
+          val v = acc(i)
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          if (norm == 0) (i, old) else (i, v.map(x => (x / norm).toFloat))
+        }
+      }
+      it += 1
+    }
+    val cents = spark.sparkContext.broadcast(centroids)
+    val assignCell = mkAssign(cents)
+    val probeCells = udf((v: Seq[Float]) =>
+      cents.value.map { case (i, c) => (i, cosineLocal(v, c)) }
+        .sortBy(-_._2).take(nprobe).map(_._1))
+
+    // --- PQ codebooks + encoding (same trainer as pqTopK) ---
+    val sample: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(trainSample)
+      .collect()
+      .map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding"))))
+    val books = trainCodebooks(sample, dim, m, ksub, iters = 5)
+    val bcB = spark.sparkContext.broadcast(books)
+    val encode = udf((v: Seq[Float]) => {
+      val nv = normalize(v)
+      val codes = new Array[Byte](m)
+      var sub = 0
+      while (sub < m) {
+        codes(sub) = nearestSub(
+          java.util.Arrays.copyOfRange(nv, sub * dsub, (sub + 1) * dsub),
+          bcB.value(sub)).toByte
+        sub += 1
+      }
+      codes
+    })
+
+    val luts: Map[Long, Array[Array[Float]]] = queries
+      .select(col("query_id").cast("long"), col("q_embedding"))
+      .collect()
+      .map { r =>
+        val qv = normalize(r.getSeq[Float](1))
+        r.getLong(0) -> Array.tabulate(m) { sub =>
+          val off = sub * dsub
+          Array.tabulate(ksub) { c =>
+            var s = 0.0; var i = 0
+            val cc = books(sub)(c)
+            while (i < dsub) { s += qv(off + i) * cc(i); i += 1 }
+            s.toFloat
+          }
+        }
+      }.toMap
+    val bcLut = spark.sparkContext.broadcast(luts)
+    val adc = udf((qid: Long, codes: Array[Byte]) => {
+      val lut = bcLut.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < m) { s += lut(sub)(codes(sub) & 0xff); sub += 1 }
+      s
+    })
+
+    // --- search: cell-pruned ADC scan ---
+    val index = corpus.select(col("vec_id"),
+      assignCell(col("embedding")).as("cell"),
+      encode(col("embedding")).as("codes"))
+    val probed = queries
+      .select(col("query_id").cast("long").as("query_id"), col("q_embedding"))
+      .withColumn("cell", explode(probeCells(col("q_embedding"))))
+      .drop("q_embedding")
+    val cands = index.join(broadcast(probed), "cell")
+      .withColumn("sim", adc(col("query_id"), col("codes")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` bucket
     * hashes (each bucket = `bitsPerTable` hyperplane bits), re-scored exactly.
     * Recall < 1 by construction; the exact [[bruteForceTopK]] is the oracle. */

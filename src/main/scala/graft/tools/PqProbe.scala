@@ -1,5 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+/** Dev tool: measured per-query recall of the PQ and IVFPQ paths at each SF
+  * (picks the q_ann_*_recall thresholds honestly). */
 object PqProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -7,9 +9,11 @@ object PqProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
-      val rows = graft.spark.SparkQueries.annPqRecall(spark, dir)
-        .orderBy("query_id").collect()
-      println(s"$dir: " + rows.map(r => f"${r.getLong(0)}:${r.getDouble(1)}%.2f").mkString(" "))
+      Seq("pq" -> graft.spark.SparkQueries.annPqRecall _,
+          "ivfpq" -> graft.spark.SparkQueries.annIvfPqRecall _).foreach { case (name, fn) =>
+        val rows = fn(spark, dir).orderBy("query_id").collect()
+        println(s"$name $dir: " + rows.map(r => f"${r.getLong(0)}:${r.getDouble(1)}%.2f").mkString(" "))
+      }
     }
     spark.stop()
   }
