@@ -92,6 +92,7 @@ object SparkEntry {
     "q_audio" -> ((s, _) => VerifiedQueries.audioVerified(s, 2000L)),
     "q_video" -> ((s, _) => VerifiedQueries.videoVerified(s, 2000L)),
     "q_video_frames" -> ((s, _) => VerifiedQueries.videoFramesVerified(s, 600L)),
+    "q_video_roundtrip" -> ((s, _) => VerifiedQueries.videoRoundtripVerified(s, 1000L)),
     "q_bpe_merge" -> ((s, _) => VerifiedQueries.bpeMergeVerified(s, 20000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
     "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
@@ -524,6 +525,11 @@ object SparkEntry {
         "CAST(8 + ((r.range // 16) % 16) * 2 AS INT) AS height, " +
         "CAST(1 AS INT) AS channels, true AS agree_ok " +
         "FROM range(0, 600) r, range(5) f WHERE f.range < 2 + r.range % 3"),
+    // video SINK round-trip: parse -> re-containerize -> parse, every frame
+    // byte-identical; n_frames is the fixture formula
+    "q_video_roundtrip" ->
+      ("SELECT range AS clip_id, CAST(2 + range % 3 AS BIGINT) AS n_frames, " +
+        "true AS frames_identical_ok FROM range(0, 1000)"),
     // clip i's mvhd/tkhd carry closed-form width/height/duration/tracks
     // (VideoHeaders.mkMp4)
     "q_video" ->

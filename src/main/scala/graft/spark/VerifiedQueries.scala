@@ -837,6 +837,31 @@ object VerifiedQueries {
         (col("imageio_ok") && col("px_sum") === col("px_sum_check")).as("agree_ok"))
   }
 
+  /** Video container round-trip through BOTH operator halves (the WARC
+    * pattern for video): clips -> [[graft.spark.multimodal.Multimodal.explodeRawFrames]]
+    * (RIFF parse, frame bytes preserved) -> [[graft.spark.multimodal.Multimodal.framesToAvi]]
+    * (regroup + re-containerize) -> parse again; every frame must survive
+    * BYTE-identically at its original index, and frame counts must match the
+    * fixture formula. */
+  def videoRoundtripVerified(spark: SparkSession, nClips: Long): DataFrame = {
+    import spark.implicits._
+    import graft.spark.multimodal.{AviMjpeg, Multimodal}
+    val clips = spark.range(nClips)
+      .map(i => (i, AviMjpeg.mkAviMjpeg(i)))
+      .toDF("clip_id", "payload")
+    val frames = Multimodal.explodeRawFrames(clips, "clip_id", "payload")
+      .localCheckpoint(true) // one parse feeds both the rebuild and the compare
+    val rebuilt = Multimodal.framesToAvi(frames, "clip_id", "frame_idx", "frame")
+      .withColumnRenamed("avi", "payload")
+    val back = Multimodal.explodeRawFrames(rebuilt, "clip_id", "payload")
+      .select(col("clip_id"), col("frame_idx"), md5(col("frame")).as("d2"))
+    frames.select(col("clip_id"), col("frame_idx"), md5(col("frame")).as("d1"))
+      .join(back, Seq("clip_id", "frame_idx"), "full")
+      .groupBy(col("clip_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        every(col("d1").isNotNull && col("d1") === col("d2")).as("frames_identical_ok"))
+  }
+
   /** Audio plumbing, driver-checkable end to end: deterministic REAL-format
     * WAV clips (square waves — [[graft.spark.multimodal.AudioHeaders.mkWav]]),
     * parsed by the real RIFF/WAVE chunk walker and feature-extracted by the

@@ -1,6 +1,6 @@
 package graft.spark.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.hash.Fnv
@@ -236,4 +236,34 @@ object Multimodal {
     df.select(col(idCol), explode(decodeMjpegFrames(col(payloadCol))).as("f"))
       .select(col(idCol), col("f._1").as("frame_idx"), col("f._2").as("width"),
         col("f._3").as("height"), col("f._4").as("channels"), col("f._5").as("px_sum"))
+
+  /** MJPEG-AVI clips -> raw frame rows (frame bytes preserved exactly):
+    * (idCol, frame_idx, frame BINARY). The inverse of [[framesToAvi]]. */
+  def explodeRawFrames(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val extract = udf((payload: Array[Byte]) =>
+      if (!AviMjpeg.isAvi(payload)) Array.empty[Array[Byte]]
+      else AviMjpeg.parse(payload)._2)
+    df.select(col(idCol), posexplode(extract(col(payloadCol))).as(Seq("frame_idx", "frame")))
+  }
+
+  /** The SINK half (WARC-symmetric): frame rows -> one REAL AVI blob per
+    * clip. Frames group per clip (one shuffle keyed by the clip id — frame
+    * bytes cross the exchange once, the unavoidable minimum to containerize)
+    * and serialize in frame_idx order; dims are read from the first frame's
+    * JPEG header so the container carries real metadata. */
+  def framesToAvi(frames: DataFrame, idCol: String, idxCol: String,
+                  frameCol: String, fps: Int = 4): DataFrame = {
+    val build = udf((fs: Seq[Row]) => {
+      val ordered = fs.sortBy(_.getInt(0)).map(_.getAs[Array[Byte]](1)).toArray
+      if (ordered.isEmpty) null
+      else {
+        val first = JpegCodec.decode(ordered.head)
+        AviMjpeg.write(ordered, first.width, first.height, fps)
+      }
+    })
+    frames
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col(idxCol).cast("int"), col(frameCol))).as("fs"))
+      .select(col(idCol), build(col("fs")).as("avi"))
+  }
 }
