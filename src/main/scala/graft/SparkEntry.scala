@@ -28,6 +28,7 @@ object SparkEntry {
     "q_docs_stats" -> (SparkQueries.docsStats(_, _)),
     "q_dedup_exact" -> (SparkQueries.dedupExact(_, _)),
     "q_decontaminate" -> (SparkQueries.decontaminateStats(_, _)),
+    "q_contamination_frac" -> (SparkQueries.contaminationOverlapStats(_, _)),
     "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
     "q_line_clean" -> (SparkQueries.lineCleanStats(_, _)),
     "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
@@ -217,6 +218,18 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) " +
         "AS n_contaminated FROM sh LEFT JOIN cont ON sh.doc_id = cont.doc_id " +
         "GROUP BY sh.lang"),
+    // fractional overlap: exact per-doc hit counts re-derived in SQL from
+    // the same shingle/bench CTEs as q_decontaminate
+    "q_contamination_frac" ->
+      ("WITH " + decontCte(8) + ", " +
+        "hits AS (SELECT dsx.doc_id, COUNT(*) AS nh FROM dsx " +
+        "JOIN bench ON dsx.g = bench.g GROUP BY dsx.doc_id) " +
+        "SELECT sh.lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(sh.s)) AS BIGINT) AS total_shingles, " +
+        "CAST(SUM(coalesce(h.nh, 0)) AS BIGINT) AS total_hits, " +
+        "CAST(SUM(CASE WHEN coalesce(h.nh, 0) * 20 >= len(sh.s) " +
+        "AND len(sh.s) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frac_5pct " +
+        "FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id GROUP BY sh.lang"),
     "q_line_dedup" ->
       ("WITH p AS (SELECT lang, text || " +
         "CASE WHEN doc_id % 5 = 0 THEN chr(10) || '" +

@@ -59,6 +59,24 @@ object SparkQueries {
         sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
   }
 
+  /** Fractional contamination (Dolma-style): per-lang exact totals of
+    * benchmark-shared vs all distinct 8-gram shingles, plus the count of
+    * docs at >= 5% overlap (integer cross-multiplied so the oracle is
+    * bit-exact). */
+  def contaminationOverlapStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.Corpus
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    Corpus.contaminationOverlap(docs,
+        docs.filter(col("doc_id") % 17 === 0).select(col("text")),
+        "doc_id", "text", n = 8, bloomCapacity = 200000L, passthrough = Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_shingles")).as("total_shingles"),
+        sum(col("n_hit")).as("total_hits"),
+        sum(when(col("n_hit") * 20 >= col("n_shingles") && col("n_shingles") > 0, 1L)
+          .otherwise(0L)).as("n_frac_5pct"))
+  }
+
   // shared boilerplate lines planted for the corpus-frequency line dedup
   // (apostrophe-free so they embed in the DuckDB oracle SQL literally)
   val lineDedupPlantA = "Sign up for our newsletter to get updates"

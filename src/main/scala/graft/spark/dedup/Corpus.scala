@@ -82,6 +82,40 @@ object Corpus {
         coalesce(col("c"), lit(false)).as("contaminated"): _*)
   }
 
+  /** Fractional contamination measurement (the Dolma-style refinement of
+    * binary [[decontaminate]]): per doc, the EXACT number of its distinct
+    * `n`-token shingles that appear in the benchmark set, plus its total
+    * distinct-shingle count — callers threshold on the ratio. Same scale
+    * shape as decontaminate: the Bloom probe prunes map-side (zero-hit docs
+    * never explode — their n_hit is 0 by no-false-negatives), only
+    * candidates pay the explode + broadcast join. Returns
+    * (doc_id, passthrough..., n_shingles, n_hit). */
+  def contaminationOverlap(docs: DataFrame, bench: DataFrame, idCol: String,
+                           textCol: String, n: Int = 3,
+                           bloomCapacity: Long = 1000000L, fpr: Double = 0.001,
+                           passthrough: Seq[String] = Nil): DataFrame = {
+    import graft.spark.fns.TextExpressions
+    val base = docs.select(col(idCol).cast("long").as("doc_id") +:
+      col(textCol).as("__text") +: passthrough.map(col): _*)
+    val benchShingles = bench
+      .select(explode(shingles(col(textCol), n)).as("s"))
+      .distinct().localCheckpoint(true)
+    val bloomBytes = benchShingles
+      .agg(SketchUdafs.bloom(bloomCapacity, fpr)(col("s")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val candidates = base.filter(
+      TextExpressions.bloomShingleHitNative(bloomBytes, n, col("__text")))
+    val hits = candidates
+      .select(col("doc_id"), explode(shingles(col("__text"), n)).as("s"))
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nh"))
+    base.select(col("doc_id") +: passthrough.map(col) :+
+        size(shingles(col("__text"), n)).cast("long").as("n_shingles"): _*)
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id") +: passthrough.map(col) :+ col("n_shingles") :+
+        coalesce(col("__nh"), lit(0L)).as("n_hit"): _*)
+  }
+
   /** The REMOVE stage of corpus-frequency line dedup: rebuild each doc's
     * text with boilerplate lines (non-blank, corpus frequency >= minCount)
     * dropped, order preserved. Blank-only lines (SQL `trim(x) = ''`) are
@@ -108,6 +142,9 @@ object Corpus {
                         idCol: Option[String] = None): DataFrame = {
     import graft.hash.Fnv
     val spark = docs.sparkSession
+    // materialize the (thresholded, corpus-much-smaller) heavy set ONCE —
+    // the size probe below and the chosen rebuild path both read it, and
+    // recomputing it would cost a second full-corpus explode+aggregate
     val heavyDf = docs
       .select(explode(split(col(textCol), "\n")).as("line"))
       .filter(trim(col("line")) =!= "")
@@ -115,6 +152,7 @@ object Corpus {
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("h"))
+      .localCheckpoint(true)
     if (heavyDf.count() <= maxHeavyBroadcast) {
       val heavy = heavyDf.collect().map(_.getLong(0)).toSet
       val bc = spark.sparkContext.broadcast(heavy)
