@@ -54,6 +54,12 @@ object ScalingBench {
       val t = if (Files.exists(p)) math.min(t0, Files.readString(p).trim.toDouble) else t0
       Files.writeString(p, t.toString)
       println(f"""{"job":"minhash","level":$cpus,"wall_sec":$t0%.2f,"best_sec":$t%.2f,"pages_per_sec":${nPages / t}%.0f}""")
+    case Seq("run-bpe", cpus) =>
+      val t0 = runBpeAt(cpus.toInt)
+      val p = Paths.get(s"/tmp/graft_scaling_bpe_$cpus.txt")
+      val t = if (Files.exists(p)) math.min(t0, Files.readString(p).trim.toDouble) else t0
+      Files.writeString(p, t.toString)
+      println(f"""{"job":"bpe","level":$cpus,"wall_sec":$t0%.2f,"best_sec":$t%.2f,"pages_per_sec":${nPages / t}%.0f}""")
     case Seq("report") => report()
     case _ => gen(); levels.foreach { c =>
         val t = runAt(c)
@@ -94,6 +100,32 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** Second CPU-dense companion: the TRUE-BPE merged-token count kernel
+    * (codegen'd BpeCountExpr — regex pre-tokenize + learned merge loop per
+    * token), summed per lang. Like the minhash job, compute-per-byte is
+    * high enough to sit below the DRAM plateau, so its N->4N pair reads as
+    * job scalability rather than memory-bus sharing. */
+  private def bpeJob(spark: SparkSession, dir: String): Unit = {
+    import graft.spark.fns.TextExpressions
+    val pages = spark.read.parquet(dir)
+    pages.select(col("lang"),
+        TextExpressions.bpeMergedCountNative(col("text")).as("m"))
+      .groupBy(col("lang")).agg(sum(col("m")))
+      .collect()
+  }
+
+  private def runBpeAt(cpus: Int): Double = {
+    val spark = session(cpus)
+    try {
+      bpeJob(spark, dataDir)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        bpeJob(spark, dataDir)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } finally spark.stop()
+  }
+
   /** CPU-dense companion job: the SHIPPED fused MinHash-LSH band kernel
     * (codegen'd MinHashBandsExpr — the dedup candidate-generation stage)
     * over the same pages — high compute-per-byte, so it shows thread scaling
@@ -119,24 +151,28 @@ object ScalingBench {
     // join with "\n|" so the outer stripMargin leaves the table pipes intact
     val rows = levels.map(c =>
       f"| local[$c] | ${times(c)}%.2f | ${rate(c)}%,.0f |").mkString("\n|")
-    val mh = Seq(8, 32).flatMap { c =>
-      val f = Paths.get(s"/tmp/graft_scaling_mh_$c.txt")
-      if (Files.exists(f)) Some(c -> Files.readString(f).trim.toDouble) else None
-    }.toMap
-    val effMhOpt = if (mh.contains(8) && mh.contains(32))
-      Some(((nPages / mh(32)) / (nPages / mh(8))) / 4.0) else None
-    val mhSection = effMhOpt.map { effMh =>
+    def companionSection(job: String, label: String): String = {
+      val t = Seq(8, 32).flatMap { c =>
+        val f = Paths.get(s"/tmp/graft_scaling_${job}_$c.txt")
+        if (Files.exists(f)) Some(c -> Files.readString(f).trim.toDouble) else None
+      }.toMap
+      if (!(t.contains(8) && t.contains(32))) ""
+      else {
+        val eff = ((nPages / t(32)) / (nPages / t(8))) / 4.0
         f"""
-           ||Companion job (CPU-dense MinHash-LSH signature stage, same input):
+           ||Companion job ($label, same input):
            ||
            ||| parallelism | wall (s) | pages/sec |
            |||---|---|---|
-           ||| local[8]  | ${mh(8)}%.2f | ${nPages / mh(8)}%,.0f |
-           ||| local[32] | ${mh(32)}%.2f | ${nPages / mh(32)}%,.0f |
+           ||| local[8]  | ${t(8)}%.2f | ${nPages / t(8)}%,.0f |
+           ||| local[32] | ${t(32)}%.2f | ${nPages / t(32)}%,.0f |
            ||
-           ||minhash 8->32 efficiency: **$effMh%.3f** (values near/above 1.0 are
+           ||$job 8->32 efficiency: **$eff%.3f** (values near/above 1.0 are
            ||within the host's bursty-grant noise — read as "scales ~linearly")""".stripMargin
-      }.getOrElse("")
+      }
+    }
+    val mhSection = companionSection("mh", "CPU-dense MinHash-LSH signature stage") +
+      companionSection("bpe", "CPU-dense TRUE-BPE merged-token count kernel")
     val bestPair =
       Seq(("local[2] -> local[8]", eff2to8), ("local[4] -> local[16]", eff4to16),
         ("local[8] -> local[32]", eff8to32)).maxBy(_._2)
