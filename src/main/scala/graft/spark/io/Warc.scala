@@ -43,12 +43,11 @@ object Warc extends Serializable {
     out.toByteArray
   }
 
-  /** Parse one WARC blob into records (strict: malformed framing throws). */
-  def parse(blob: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
-    private var pos = 0
-    override def hasNext: Boolean = pos < blob.length
-
-    private def line(): String = {
+  /** Strict parse of the single record starting at `from`; returns the
+    * record and the offset just past it. Throws on malformed framing. */
+  private def parseOne(blob: Array[Byte], from: Int): (WarcRecord, Int) = {
+    var pos = from
+    def line(): String = {
       val start = pos
       while (pos + 1 < blob.length && !(blob(pos) == '\r' && blob(pos + 1) == '\n')) pos += 1
       require(pos + 1 < blob.length, "unterminated WARC header line")
@@ -56,37 +55,92 @@ object Warc extends Serializable {
       pos += 2
       s
     }
-
-    override def next(): WarcRecord = {
-      val version = line()
-      require(version.startsWith("WARC/"), s"bad WARC version line: $version")
-      var url: String = null
-      var ts: String = null
-      var len = -1
-      var h = line()
-      while (h.nonEmpty) {
-        val i = h.indexOf(':')
-        require(i > 0, s"bad WARC header: $h")
-        val name = h.substring(0, i)
-        val value = h.substring(i + 1).trim
-        name match {
-          case "WARC-Target-URI" => url = value
-          case "WARC-Date" => ts = value
-          case "Content-Length" => len = value.toInt
-          case _ => () // tolerated extra headers
-        }
-        h = line()
+    val version = line()
+    require(version.startsWith("WARC/"), s"bad WARC version line: $version")
+    var url: String = null
+    var ts: String = null
+    var len = -1
+    var h = line()
+    while (h.nonEmpty) {
+      val i = h.indexOf(':')
+      require(i > 0, s"bad WARC header: $h")
+      val name = h.substring(0, i)
+      val value = h.substring(i + 1).trim
+      name match {
+        case "WARC-Target-URI" => url = value
+        case "WARC-Date" => ts = value
+        case "Content-Length" => len = value.toInt
+        case _ => () // tolerated extra headers
       }
-      require(len >= 0, "missing Content-Length")
-      require(pos + len + 4 <= blob.length, "truncated WARC payload")
-      val payload = java.util.Arrays.copyOfRange(blob, pos, pos + len)
-      pos += len
-      require(blob(pos) == '\r' && blob(pos + 1) == '\n' &&
-        blob(pos + 2) == '\r' && blob(pos + 3) == '\n', "missing record separator")
-      pos += 4
-      WarcRecord(url, ts, payload)
+      h = line()
+    }
+    require(len >= 0, "missing Content-Length")
+    require(pos.toLong + len + 4 <= blob.length, "truncated WARC payload")
+    val payload = java.util.Arrays.copyOfRange(blob, pos, pos + len)
+    pos += len
+    require(blob(pos) == '\r' && blob(pos + 1) == '\n' &&
+      blob(pos + 2) == '\r' && blob(pos + 3) == '\n', "missing record separator")
+    (WarcRecord(url, ts, payload), pos + 4)
+  }
+
+  /** Parse one WARC blob into records (strict: malformed framing throws). */
+  def parse(blob: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var pos = 0
+    override def hasNext: Boolean = pos < blob.length
+    override def next(): WarcRecord = {
+      val (r, p) = parseOne(blob, pos)
+      pos = p
+      r
     }
   }
+
+  /** Tolerant parse: strict parsing until a record is malformed, then scan
+    * forward for the next `WARC/` line-start boundary and resume — one
+    * corrupt record costs itself, not the blob (and at one-blob-per-task,
+    * not the job). Skipped regions are COUNTED via `onDrop`, never silent
+    * (wire a LongAccumulator for per-job telemetry). */
+  def parseTolerant(blob: Array[Byte], onDrop: () => Unit = () => ()): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var pos = 0
+      private var nextRec: WarcRecord = null
+      advance()
+
+      private def findBoundary(from: Int): Int = {
+        // next "WARC/" at a line start (blob start or right after CRLF)
+        var i = math.max(from, 0)
+        while (i + 5 <= blob.length) {
+          if (blob(i) == 'W' && blob(i + 1) == 'A' && blob(i + 2) == 'R' &&
+              blob(i + 3) == 'C' && blob(i + 4) == '/' &&
+              (i == 0 || (i >= 2 && blob(i - 2) == '\r' && blob(i - 1) == '\n')))
+            return i
+          i += 1
+        }
+        blob.length
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && pos < blob.length) {
+          try {
+            val (r, p) = parseOne(blob, pos)
+            nextRec = r
+            pos = p
+          } catch {
+            case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+                 _: NumberFormatException =>
+              onDrop()
+              pos = findBoundary(pos + 5) // resync past the bad region
+          }
+        }
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec
+        advance()
+        r
+      }
+    }
 
   /** gzip-member framing (how Common Crawl actually ships: warc.gz is a
     * concatenation of one gzip member PER RECORD, which is what makes the
@@ -153,12 +207,35 @@ object Warc extends Serializable {
       }.toDF("blob_id", "warc")
   }
 
-  /** WARC blobs -> (url, warc_ts STRING, html BINARY) records. */
-  def fromWarcBlobs(blobs: DataFrame, gzip: Boolean = false): DataFrame = {
+  /** WARC blobs -> (url, warc_ts STRING, html BINARY) records. `tolerant`
+    * switches to [[parseTolerant]]: corrupt records are skipped and counted
+    * into `dropCounter` (pass a LongAccumulator; at 100 TB some corruption
+    * is a certainty and a job-killing parse error is the wrong failure
+    * mode — but the skips must be visible, so the counter is required in
+    * tolerant mode). */
+  def fromWarcBlobs(blobs: DataFrame, gzip: Boolean = false, tolerant: Boolean = false,
+                    dropCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
+    require(!tolerant || dropCounter.isDefined,
+      "tolerant WARC parsing requires a dropCounter — skips must never be silent")
     blobs.select(col("warc")).as[Array[Byte]]
-      .flatMap(b => (if (gzip) parseGzip(b) else parse(b)).map(r => (r.url, r.ts, r.payload)))
+      .flatMap { b =>
+        val bytes = if (gzip) {
+          val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+          val out = new java.io.ByteArrayOutputStream()
+          try {
+            val buf = new Array[Byte](8192)
+            var n = gz.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
+          } finally gz.close()
+          out.toByteArray
+        } else b
+        val it =
+          if (tolerant) parseTolerant(bytes, () => dropCounter.get.add(1L))
+          else parse(bytes)
+        it.map(r => (r.url, r.ts, r.payload))
+      }
       .toDF("url", "warc_ts", "html")
   }
 }

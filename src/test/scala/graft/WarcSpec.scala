@@ -68,6 +68,30 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("parseTolerant skips exactly the corrupt record and counts the drop") {
+    val recs = (0 until 5).map(i =>
+      WarcRecord(s"https://t.example.com/$i", "2026-01-01T00:00:00Z",
+        s"<html><body>doc $i body content</body></html>".getBytes(UTF_8)))
+    val blob = Warc.write(recs.iterator)
+    // corrupt record 2's Content-Length digits -> strict parse throws there
+    val needle = "WARC-Target-URI: https://t.example.com/2".getBytes(UTF_8)
+    val at = blob.indexOfSlice(needle)
+    assert(at > 0)
+    val clAt = blob.indexOfSlice("Content-Length: ".getBytes(UTF_8), at)
+    blob(clAt + 16) = 'X'
+    intercept[Exception](Warc.parse(blob).toSeq)
+    var drops = 0
+    val out = Warc.parseTolerant(blob, () => drops += 1).toSeq
+    assert(out.map(_.url) == Seq(0, 1, 3, 4).map(i => s"https://t.example.com/$i"))
+    assert(drops >= 1) // the corrupt region may need more than one resync hop
+    out.foreach(r => assert(new String(r.payload, UTF_8).contains("body content")))
+    // a clean blob parses identically through both paths, zero drops
+    val clean = Warc.write(recs.iterator)
+    var d2 = 0
+    assert(Warc.parseTolerant(clean, () => d2 += 1).toSeq.map(_.url) == recs.map(_.url))
+    assert(d2 == 0)
+  }
+
   test("unknown headers are tolerated; malformed framing throws") {
     val blob = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <x>\r\n" +
       "WARC-Target-URI: u\r\nWARC-Date: d\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
