@@ -32,6 +32,7 @@ object SparkEntry {
     "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
     "q_line_clean" -> (SparkQueries.lineCleanStats(_, _)),
     "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
+    "q_temp_sample" -> (SparkQueries.temperatureSampleStats(_, _)),
     "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
     "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
     "q_normalize" -> (SparkQueries.normalizeStats(_, _)),
@@ -200,6 +201,18 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM (" +
         "SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang, source " +
         "ORDER BY md5(text), doc_id) AS rk FROM documents) GROUP BY lang"),
+    // deterministic hash sampling: identical md5-hex-prefix thresholds on
+    // both sides (built from the SAME rateThreshold8 call — no float math
+    // crosses the compare); langs outside the rate map keep nothing
+    "q_temp_sample" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "CASE lang " +
+        graft.spark.SparkQueries.tempSampleRates.toSeq.sortBy(_._1).map { case (l, r) =>
+          s"WHEN '$l' THEN '${graft.spark.sample.Sampling.rateThreshold8(r)}' "
+        }.mkString +
+        "ELSE NULL END THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM documents GROUP BY lang"),
     "q_token_budget" ->
       ("WITH d AS (SELECT lang, doc_id, md5(text) AS p, " +
         "CASE WHEN trim(text) = '' THEN 0 " +

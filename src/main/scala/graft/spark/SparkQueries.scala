@@ -59,6 +59,27 @@ object SparkQueries {
         sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
   }
 
+  /** Per-lang rates for the deterministic hash-sampling query (fixed
+    * literals so the DuckDB oracle embeds the identical thresholds via
+    * [[graft.spark.sample.Sampling.rateThreshold8]] — no float math in the
+    * compare; the temperature FORMULA itself is pinned in SamplingSpec). */
+  val tempSampleRates: Map[String, Double] = Map(
+    "en" -> 0.25, "de" -> 0.4, "es" -> 0.6, "fr" -> 0.8,
+    "ja" -> 1.0, "pt" -> 1.0, "ru" -> 1.0, "zh" -> 1.0)
+
+  /** Deterministic temperature-style rebalancing: per-lang keep counts under
+    * content-hash sampling (kept iff md5-hex prefix below the lang's
+    * threshold) — reproducible across runs/engines/partitionings, unlike
+    * rand() sampling. */
+  def temperatureSampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.sample.Sampling
+    Sampling.temperatureSampleFlags(
+        tbl(spark, dir, "documents").select(col("lang"), col("doc_id")),
+        "lang", col("doc_id").cast("string"), tempSampleRates)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Fractional contamination (Dolma-style): per-lang exact totals of
     * benchmark-shared vs all distinct 8-gram shingles, plus the count of
     * docs at >= 5% overlap (integer cross-multiplied so the oracle is

@@ -130,4 +130,59 @@ object Sampling {
       .withColumn("kept", (col("__off") + sum(col(tokensCol)).over(w)) <= budget)
     wholesale.unionByName(boundaryRows).drop("__bkt", "__ka", "__off")
   }
+
+  // ---- deterministic hash sampling / temperature mixing ----
+
+  /** 8-hex-digit lowercase threshold for a sampling rate in [0, 1]:
+    * a row is kept iff the first 8 hex chars of md5(key) compare
+    * LEXICOGRAPHICALLY below it. Lowercase-hex string order == numeric
+    * order, and both Spark and DuckDB emit lowercase md5 hex — so the
+    * decision is bit-exactly reproducible in plain SQL on any engine (no
+    * engine-specific hash or RNG in the cut). */
+  def rateThreshold8(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
+    val t = math.min((rate * 4294967296.0).toLong, 4294967295L)
+    f"$t%08x"
+  }
+
+  /** Deterministic content-hash sampling: kept iff
+    * substr(md5(key), 1, 8) < threshold. Same key → same decision on every
+    * run, every engine, every partitioning — the reproducible alternative
+    * to rand()-based sampling for training-data cuts. */
+  def hashSampleKept(key: Column, hexThreshold8: String): Column =
+    substring(md5(key), 1, 8) < lit(hexThreshold8)
+
+  /** Temperature-based group rebalancing (the multilingual mixing rule,
+    * XLM-R style): given per-group corpus counts, per-doc sampling rate for
+    * group g ∝ (n_g / N)^(1/T - 1) — T=1 keeps natural proportions (all
+    * rates equal), larger T lifts SMALL groups relative to large ones.
+    * Rates scale so the group needing the highest rate (the smallest) sits
+    * at `maxRate` (a rate can't exceed 1 anyway), clamped at 1.0. Returns
+    * the per-group rate map; feed each rate through [[rateThreshold8]] +
+    * [[hashSampleKept]]. Pure driver-side arithmetic over the (tiny) group
+    * histogram. */
+  def temperatureRates(groupCounts: Map[String, Long], temperature: Double,
+                       maxRate: Double = 1.0): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    val total = groupCounts.values.sum.toDouble
+    val raw = groupCounts.map { case (g, n) =>
+      g -> math.pow(n / total, 1.0 / temperature - 1.0)
+    }
+    val peak = raw.values.max
+    raw.map { case (g, r) => g -> math.min(1.0, r / peak * maxRate) }
+  }
+
+  /** Flag rows kept under per-group deterministic hash sampling: one
+    * broadcast join of the (tiny) per-group threshold table, one md5 per
+    * row, no shuffle of the data itself. Adds `kept`. */
+  def temperatureSampleFlags(df: DataFrame, groupCol: String, key: Column,
+                             rates: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = rates.toSeq.map { case (g, r) => (g, rateThreshold8(r)) }
+      .toDF(groupCol, "__th")
+    df.join(broadcast(thresholds), Seq(groupCol), "left")
+      .withColumn("kept", coalesce(substring(md5(key), 1, 8) < col("__th"), lit(false)))
+      .drop("__th")
+  }
 }

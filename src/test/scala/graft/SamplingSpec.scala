@@ -89,4 +89,39 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("kept")).select(col("id")).collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("temperatureRates: T=1 natural, T>1 lifts small groups, smallest = maxRate") {
+    val counts = Map("en" -> 8000L, "de" -> 1000L, "pt" -> 125L)
+    // T=1: (n/N)^0 = 1 for every group -> all rates = maxRate
+    assert(Sampling.temperatureRates(counts, 1.0).values.forall(_ == 1.0))
+    val t2 = Sampling.temperatureRates(counts, 2.0)
+    // T=2: rate ∝ sqrt(1/n); the SMALLEST group needs the highest rate and
+    // pins at maxRate; the others scale by sqrt(n_small / n_g)
+    assert(t2("pt") == 1.0)
+    assert(math.abs(t2("de") - math.sqrt(125.0 / 1000.0)) < 1e-12)
+    assert(math.abs(t2("en") - math.sqrt(125.0 / 8000.0)) < 1e-12)
+    val t2c = Sampling.temperatureRates(counts, 2.0, maxRate = 0.1)
+    assert(t2c("pt") == 0.1)
+    assert(math.abs(t2c("en") - 0.1 * math.sqrt(125.0 / 8000.0)) < 1e-12)
+  }
+
+  test("hash sampling is deterministic, partition-invariant, and rate-accurate") {
+    import spark.implicits._
+    val df = (0L until 20000L).map(i => ("g", i)).toDF("g", "id")
+    val th = Sampling.rateThreshold8(0.25)
+    assert(th == "40000000")
+    def keptSet(parts: Int): Set[Long] =
+      Sampling.temperatureSampleFlags(df.repartition(parts), "g",
+          col("id").cast("string"), Map("g" -> 0.25))
+        .filter(col("kept")).select(col("id")).collect().map(_.getLong(0)).toSet
+    val a = keptSet(2)
+    assert(a == keptSet(9))
+    // md5 prefixes are uniform: 25% ± a generous tolerance
+    assert(math.abs(a.size / 20000.0 - 0.25) < 0.02, s"rate ${a.size / 20000.0}")
+    // a group with no rate keeps nothing
+    val none = Sampling.temperatureSampleFlags(df, "g", col("id").cast("string"),
+        Map("other" -> 1.0))
+      .filter(col("kept")).count()
+    assert(none == 0L)
+  }
 }
