@@ -59,10 +59,12 @@ object Corpus {
     val base = docs.select(col(idCol).cast("long").as("doc_id") +:
       col(textCol).as("__text") +: passthrough.map(col): _*)
     // materialize the (small) benchmark shingle set once: it feeds both the
-    // bloom build and the broadcast verify join
+    // bloom build and the broadcast verify join. persist (not
+    // localCheckpoint) keeps the lineage, so an executor loss on a real
+    // cluster recomputes instead of failing the job
     val benchShingles = bench
       .select(explode(shingles(col(textCol), n)).as("s"))
-      .distinct().localCheckpoint(true)
+      .distinct().persist()
     // one pass over the benchmark set -> one Bloom filter
     val bloomBytes = benchShingles
       .agg(SketchUdafs.bloom(bloomCapacity, fpr)(col("s")).as("b"))
@@ -99,7 +101,7 @@ object Corpus {
       col(textCol).as("__text") +: passthrough.map(col): _*)
     val benchShingles = bench
       .select(explode(shingles(col(textCol), n)).as("s"))
-      .distinct().localCheckpoint(true)
+      .distinct().persist() // lineage kept — see decontaminate
     val bloomBytes = benchShingles
       .agg(SketchUdafs.bloom(bloomCapacity, fpr)(col("s")).as("b"))
       .head().getAs[Array[Byte]]("b")
@@ -144,7 +146,8 @@ object Corpus {
     val spark = docs.sparkSession
     // materialize the (thresholded, corpus-much-smaller) heavy set ONCE —
     // the size probe below and the chosen rebuild path both read it, and
-    // recomputing it would cost a second full-corpus explode+aggregate
+    // recomputing it would cost a second full-corpus explode+aggregate.
+    // persist keeps the lineage (cluster-safe), the count() materializes
     val heavyDf = docs
       .select(explode(split(col(textCol), "\n")).as("line"))
       .filter(trim(col("line")) =!= "")
@@ -152,7 +155,7 @@ object Corpus {
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("h"))
-      .localCheckpoint(true)
+      .persist()
     if (heavyDf.count() <= maxHeavyBroadcast) {
       val heavy = heavyDf.collect().map(_.getLong(0)).toSet
       val bc = spark.sparkContext.broadcast(heavy)
