@@ -71,7 +71,7 @@ object Bench {
     results("pages_sketch_battery") = pagesSec
     val pagesRate = benchPages / pagesSec
 
-    // round-2 pipeline operators, timed separately so `value` stays
+    // round-2/3 pipeline operators, timed separately so `value` stays
     // comparable with earlier rounds' 15-query total
     val extra = scala.collection.mutable.LinkedHashMap[String, Double]()
     Seq[(String, (SparkSession, String) => DataFrame)](
@@ -79,6 +79,10 @@ object Bench {
       "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
       "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
       "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
+      "q_contamination_frac" -> (SparkQueries.contaminationOverlapStats(_, _)),
+      "q_temp_sample" -> (SparkQueries.temperatureSampleStats(_, _)),
+      "q_ann_pq_recall" -> (SparkQueries.annPqRecall(_, _)),
+      "q_ann_ivfpq_recall" -> (SparkQueries.annIvfPqRecall(_, _)),
     ).foreach { case (name, fn) =>
       extra(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
     }
