@@ -324,6 +324,26 @@ object SparkQueries {
     // (e.g. a test run beside a Verify run) otherwise drop/rewrite each
     // other's fixed-name tables mid-query
     val tok = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    // the returned DataFrame reads these tables lazily, so THIS process
+    // cannot drop them after the query — and the in-memory catalog forgets
+    // other JVMs' tables anyway, leaving orphaned warehouse DIRECTORIES
+    // behind. Reap directories whose pid suffix belongs to a dead process
+    // so repeated runs don't accumulate bucketed copies forever.
+    val stale = "graft_bkt_(?:customer|orders)_([0-9a-f]+)".r
+    try {
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        st.getPath.getName match {
+          case stale(pidHex) if pidHex != tok =>
+            val alive = try ProcessHandle.of(java.lang.Long.parseLong(pidHex, 16))
+              .map[Boolean](_.isAlive).orElse(false)
+            catch { case _: NumberFormatException => false }
+            if (!alive) fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    } catch { case _: java.io.IOException => () } // reaping is best-effort
     val custTbl = s"graft_bkt_customer_$tok"
     val ordTbl = s"graft_bkt_orders_$tok"
     Bucketing.writeBucketed(

@@ -77,22 +77,41 @@ object Ann extends Serializable {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  /** IVF (inverted-file) ANN: a coarse quantizer splits the corpus into
-    * `nlist` cells; a query probes only its `nprobe` nearest cells and
-    * re-scores exactly within them — the classic FAISS-style scale path.
-    *
-    * The quantizer seeds from a deterministic sample of corpus vectors (the
-    * `nlist` rows with the smallest xxhash of their id) and then runs
-    * `lloydIters` distributed k-means iterations: assignment is one
-    * broadcast-map pass; the centroid update is one posexplode +
-    * (cell, dim)-keyed partial-aggregate (nlist·dim rows to the driver per
-    * iteration — O(KB), independent of corpus size). At 10^12 rows the
-    * search join is keyed by `cell` — no full scan per query.
-    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 3): DataFrame = {
+  /** L2-normalize into a fixed-dim float array (zero vector stays zero). */
+  private def normalizeVec(v: Seq[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var n = 0.0; var i = 0
+    val len = math.min(dim, v.length)
+    while (i < len) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    i = 0
+    while (i < len) { out(i) = (v(i) * inv).toFloat; i += 1 }
+    out
+  }
+
+  /** Cell-assignment UDF against a broadcast centroid table (max cosine,
+    * lowest index on ties by strict `>` comparison). */
+  private def mkAssignUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]]): UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      bc.value.foreach { case (i, c) =>
+        val s = cosineLocal(v, c)
+        if (s > bestSim) { bestSim = s; best = i }
+      }
+      best
+    })
+
+  /** The IVF coarse quantizer, SHARED by [[ivfTopK]] and [[ivfPqTopK]]:
+    * deterministic hashed-id seeds, then `lloydIters` distributed
+    * spherical-k-means iterations (assignment = one broadcast-map pass;
+    * update = one posexplode + (cell, dim)-keyed aggregate, nlist·dim rows
+    * to the driver per iteration — independent of corpus size). Empty cells
+    * keep their previous centroid; each iteration's broadcast is destroyed
+    * once its job completes. */
+  def trainCoarseCentroids(corpus: DataFrame, nlist: Int,
+                           lloydIters: Int): Array[(Int, Array[Float])] = {
     val spark = corpus.sparkSession
-    // deterministic coarse seeds: nlist corpus vectors by hashed id
     var centroids: Array[(Int, Array[Float])] = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("h", xxhash64(col("vec_id")))
@@ -101,26 +120,12 @@ object Ann extends Serializable {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }
-
-    def mkAssign(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]]) =
-      udf((v: Seq[Float]) => {
-        var best = 0; var bestSim = Double.NegativeInfinity
-        bc.value.foreach { case (i, c) =>
-          val s = cosineLocal(v, c)
-          if (s > bestSim) { bestSim = s; best = i }
-        }
-        best
-      })
-
-    // Lloyd iterations: new centroid = normalized mean of the cell's vectors
-    // (spherical k-means); empty cells keep their previous centroid; each
-    // iteration's broadcast is destroyed once its job completes
     var it = 0
     while (it < lloydIters && centroids.nonEmpty) {
       val bc = spark.sparkContext.broadcast(centroids)
       val sums =
         try corpus.select(col("embedding"))
-          .withColumn("cell", mkAssign(bc)(col("embedding")))
+          .withColumn("cell", mkAssignUdf(bc)(col("embedding")))
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cell"), col("pos"))
           .agg(sum(col("v").cast("double")).as("s"))
@@ -143,9 +148,94 @@ object Ann extends Serializable {
       }
       it += 1
     }
+    centroids
+  }
 
+  /** Deterministic normalized PQ training sample (hashed-id order). */
+  private def pqTrainSample(corpus: DataFrame, dim: Int,
+                            trainSample: Int): Array[Array[Float]] = {
+    val s = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(trainSample)
+      .collect()
+      .map(r => normalizeVec(r.getSeq[Float](r.fieldIndex("embedding")), dim))
+    require(s.nonEmpty, "PQ training needs a non-empty corpus")
+    s
+  }
+
+  /** Per-query ADC lookup tables (m × ksub partial inner products against
+    * the normalized query), keyed by query_id. */
+  private def buildAdcLuts(queries: DataFrame, books: Array[Array[Array[Float]]],
+                           dim: Int, m: Int): Map[Long, Array[Array[Float]]] = {
+    val dsub = dim / m
+    val ksub = books(0).length
+    queries
+      .select(col("query_id").cast("long"), col("q_embedding"))
+      .collect()
+      .map { r =>
+        val q = normalizeVec(r.getSeq[Float](1), dim)
+        r.getLong(0) -> Array.tabulate(m) { sub =>
+          val off = sub * dsub
+          Array.tabulate(ksub) { c =>
+            var s = 0.0; var i = 0
+            val cc = books(sub)(c)
+            while (i < dsub) { s += q(off + i) * cc(i); i += 1 }
+            s.toFloat
+          }
+        }
+      }.toMap
+  }
+
+  /** Corpus-encoding UDF: normalize, nearest centroid per subspace. */
+  private def pqEncodeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]],
+      dim: Int, m: Int): UserDefinedFunction = {
+    val dsub = dim / m
+    udf((v: Seq[Float]) => {
+      val nv = normalizeVec(v, dim)
+      val codes = new Array[Byte](m)
+      var sub = 0
+      while (sub < m) {
+        codes(sub) = nearestSub(
+          java.util.Arrays.copyOfRange(nv, sub * dsub, (sub + 1) * dsub),
+          bc.value(sub)).toByte
+        sub += 1
+      }
+      codes
+    })
+  }
+
+  /** ADC scoring UDF over broadcast per-query LUTs. */
+  private def adcUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Array[Float]]]],
+      m: Int): UserDefinedFunction =
+    udf((qid: Long, codes: Array[Byte]) => {
+      val lut = bc.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < m) { s += lut(sub)(codes(sub) & 0xff); sub += 1 }
+      s
+    })
+
+  /** IVF (inverted-file) ANN: a coarse quantizer splits the corpus into
+    * `nlist` cells; a query probes only its `nprobe` nearest cells and
+    * re-scores exactly within them — the classic FAISS-style scale path.
+    *
+    * The quantizer seeds from a deterministic sample of corpus vectors (the
+    * `nlist` rows with the smallest xxhash of their id) and then runs
+    * `lloydIters` distributed k-means iterations: assignment is one
+    * broadcast-map pass; the centroid update is one posexplode +
+    * (cell, dim)-keyed partial-aggregate (nlist·dim rows to the driver per
+    * iteration — O(KB), independent of corpus size). At 10^12 rows the
+    * search join is keyed by `cell` — no full scan per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCoarseCentroids(corpus, nlist, lloydIters)
     val cents = spark.sparkContext.broadcast(centroids)
-    val assignCell = mkAssign(cents) // reuse the one final broadcast
+    val assignCell = mkAssignUdf(cents) // reuse the one final broadcast
     val probeCells = udf((v: Seq[Float]) =>
       cents.value.map { case (i, c) => (i, cosineLocal(v, c)) }
         .sortBy(-_._2).take(nprobe).map(_._1))
@@ -172,7 +262,8 @@ object Ann extends Serializable {
     * practice (codebook quality depends on the distribution, not the corpus
     * size), so the driver cost is O(trainSample · dim) regardless of scale. */
   def trainCodebooks(sample: Array[Array[Float]], dim: Int, m: Int,
-                                  ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+                     ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, "PQ codebook training needs a non-empty sample")
     val dsub = dim / m
     Array.tabulate(m) { sub =>
       val off = sub * dsub
@@ -237,72 +328,15 @@ object Ann extends Serializable {
              trainSample: Int = 4096): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val spark = corpus.sparkSession
-    val dsub = dim / m
+    val books = trainCodebooks(pqTrainSample(corpus, dim, trainSample), dim, m, ksub, lloydIters)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcLut = spark.sparkContext.broadcast(buildAdcLuts(queries, books, dim, m))
 
-    def normalize(v: Seq[Float]): Array[Float] = {
-      val out = new Array[Float](dim)
-      var n = 0.0; var i = 0
-      val len = math.min(dim, v.length)
-      while (i < len) { n += v(i) * v(i); i += 1 }
-      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-      i = 0
-      while (i < len) { out(i) = (v(i) * inv).toFloat; i += 1 }
-      out
-    }
-
-    val sample: Array[Array[Float]] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(trainSample)
-      .collect()
-      .map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding"))))
-    val books = trainCodebooks(sample, dim, m, ksub, lloydIters)
-    val bc = spark.sparkContext.broadcast(books)
-
-    val encode = udf((v: Seq[Float]) => {
-      val nv = normalize(v)
-      val codes = new Array[Byte](m)
-      var sub = 0
-      while (sub < m) {
-        val p = java.util.Arrays.copyOfRange(nv, sub * dsub, (sub + 1) * dsub)
-        codes(sub) = nearestSub(p, bc.value(sub)).toByte
-        sub += 1
-      }
-      codes
-    })
-
-    // ADC: per-query lookup table (m × ksub partial inner products) built
-    // once per query from the raw query vector, broadcast with the queries
-    val luts: Map[Long, Array[Array[Float]]] = queries
-      .select(col("query_id").cast("long"), col("q_embedding"))
-      .collect()
-      .map { r =>
-        val q = normalize(r.getSeq[Float](1))
-        val lut = Array.tabulate(m) { sub =>
-          val off = sub * dsub
-          Array.tabulate(ksub) { c =>
-            var s = 0.0; var i = 0
-            val cc = books(sub)(c)
-            while (i < dsub) { s += q(off + i) * cc(i); i += 1 }
-            s.toFloat
-          }
-        }
-        r.getLong(0) -> lut
-      }.toMap
-    val bcLut = spark.sparkContext.broadcast(luts)
-
-    val adc = udf((qid: Long, codes: Array[Byte]) => {
-      val lut = bcLut.value(qid)
-      var s = 0.0; var sub = 0
-      while (sub < m) { s += lut(sub)(codes(sub) & 0xff); sub += 1 }
-      s
-    })
-
-    val encoded = corpus.select(col("vec_id"), encode(col("embedding")).as("codes"))
+    val encoded = corpus.select(col("vec_id"),
+      pqEncodeUdf(bcBooks, dim, m)(col("embedding")).as("codes"))
     val scored = encoded
       .crossJoin(broadcast(queries.select(col("query_id").cast("long").as("query_id"))))
-      .withColumn("sim", adc(col("query_id"), col("codes")))
+      .withColumn("sim", adcUdf(bcLut, m)(col("query_id"), col("codes")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -321,129 +355,36 @@ object Ann extends Serializable {
     * recall queries before choosing production settings. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 256,
-                lloydIters: Int = 3, trainSample: Int = 4096): DataFrame = {
+                lloydIters: Int = 3, pqIters: Int = 5,
+                trainSample: Int = 4096): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val spark = corpus.sparkSession
-    val dsub = dim / m
 
-    def normalize(v: Seq[Float]): Array[Float] = {
-      val out = new Array[Float](dim)
-      var n = 0.0; var i = 0
-      val len = math.min(dim, v.length)
-      while (i < len) { n += v(i) * v(i); i += 1 }
-      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-      i = 0
-      while (i < len) { out(i) = (v(i) * inv).toFloat; i += 1 }
-      out
-    }
-
-    // --- coarse quantizer: same deterministic spherical-Lloyd as ivfTopK ---
-    var centroids: Array[(Int, Array[Float])] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"))
-      .limit(nlist)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }
-    def mkAssign(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]]) =
-      udf((v: Seq[Float]) => {
-        var best = 0; var bestSim = Double.NegativeInfinity
-        bc.value.foreach { case (i, c) =>
-          val s = cosineLocal(v, c)
-          if (s > bestSim) { bestSim = s; best = i }
-        }
-        best
-      })
-    var it = 0
-    while (it < lloydIters && centroids.nonEmpty) {
-      val bcC = spark.sparkContext.broadcast(centroids)
-      val sums =
-        try corpus.select(col("embedding"))
-          .withColumn("cell", mkAssign(bcC)(col("embedding")))
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("v").cast("double")).as("s"))
-          .collect()
-        finally bcC.destroy()
-      val d0 = centroids.head._2.length
-      val acc = Array.fill(nlist)(new Array[Double](d0))
-      val seen = new Array[Boolean](nlist)
-      sums.foreach { r =>
-        acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2); seen(r.getInt(0)) = true
-      }
-      centroids = centroids.map { case (i, old) =>
-        if (!seen(i)) (i, old)
-        else {
-          val v = acc(i)
-          val norm = math.sqrt(v.map(x => x * x).sum)
-          if (norm == 0) (i, old) else (i, v.map(x => (x / norm).toFloat))
-        }
-      }
-      it += 1
-    }
-    val cents = spark.sparkContext.broadcast(centroids)
-    val assignCell = mkAssign(cents)
+    // coarse quantizer — the SAME deterministic distributed spherical Lloyd
+    // ivfTopK trains (shared helper; `lloydIters` governs it)
+    val cents = spark.sparkContext.broadcast(
+      trainCoarseCentroids(corpus, nlist, lloydIters))
+    val assignCell = mkAssignUdf(cents)
     val probeCells = udf((v: Seq[Float]) =>
       cents.value.map { case (i, c) => (i, cosineLocal(v, c)) }
         .sortBy(-_._2).take(nprobe).map(_._1))
 
-    // --- PQ codebooks + encoding (same trainer as pqTopK) ---
-    val sample: Array[Array[Float]] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(trainSample)
-      .collect()
-      .map(r => normalize(r.getSeq[Float](r.fieldIndex("embedding"))))
-    val books = trainCodebooks(sample, dim, m, ksub, iters = 5)
-    val bcB = spark.sparkContext.broadcast(books)
-    val encode = udf((v: Seq[Float]) => {
-      val nv = normalize(v)
-      val codes = new Array[Byte](m)
-      var sub = 0
-      while (sub < m) {
-        codes(sub) = nearestSub(
-          java.util.Arrays.copyOfRange(nv, sub * dsub, (sub + 1) * dsub),
-          bcB.value(sub)).toByte
-        sub += 1
-      }
-      codes
-    })
-
-    val luts: Map[Long, Array[Array[Float]]] = queries
-      .select(col("query_id").cast("long"), col("q_embedding"))
-      .collect()
-      .map { r =>
-        val qv = normalize(r.getSeq[Float](1))
-        r.getLong(0) -> Array.tabulate(m) { sub =>
-          val off = sub * dsub
-          Array.tabulate(ksub) { c =>
-            var s = 0.0; var i = 0
-            val cc = books(sub)(c)
-            while (i < dsub) { s += qv(off + i) * cc(i); i += 1 }
-            s.toFloat
-          }
-        }
-      }.toMap
-    val bcLut = spark.sparkContext.broadcast(luts)
-    val adc = udf((qid: Long, codes: Array[Byte]) => {
-      val lut = bcLut.value(qid)
-      var s = 0.0; var sub = 0
-      while (sub < m) { s += lut(sub)(codes(sub) & 0xff); sub += 1 }
-      s
-    })
+    // PQ codebooks + encoding — the SAME trainer/encoder pqTopK uses
+    // (`pqIters` governs codebook training)
+    val books = trainCodebooks(pqTrainSample(corpus, dim, trainSample), dim, m, ksub, pqIters)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcLut = spark.sparkContext.broadcast(buildAdcLuts(queries, books, dim, m))
 
     // --- search: cell-pruned ADC scan ---
     val index = corpus.select(col("vec_id"),
       assignCell(col("embedding")).as("cell"),
-      encode(col("embedding")).as("codes"))
+      pqEncodeUdf(bcBooks, dim, m)(col("embedding")).as("codes"))
     val probed = queries
       .select(col("query_id").cast("long").as("query_id"), col("q_embedding"))
       .withColumn("cell", explode(probeCells(col("q_embedding"))))
       .drop("q_embedding")
     val cands = index.join(broadcast(probed), "cell")
-      .withColumn("sim", adc(col("query_id"), col("codes")))
+      .withColumn("sim", adcUdf(bcLut, m)(col("query_id"), col("codes")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

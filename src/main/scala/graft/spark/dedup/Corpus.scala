@@ -51,29 +51,39 @@ object Corpus {
     * exact, because the Bloom probe only PRUNES (no false negatives) and
     * candidates are verified with a distinct semi-join against the true
     * shingle set. */
+  /** Shared prelude of the decontamination operators: project docs to
+    * (doc_id, __text, passthrough...), materialize the distinct benchmark
+    * shingle set ONCE (persist, NOT localCheckpoint — lineage survives
+    * executor loss on a real cluster), build the Bloom filter from it, and
+    * prune to bloom-hit candidate docs with the fused codegen'd kernel
+    * (tokenize + probe with early exit, no shingle array materialized; docs
+    * with zero hits never explode — exact, because Bloom has no false
+    * negatives). Extracted so [[decontaminate]] and [[contaminationOverlap]]
+    * cannot drift apart. */
+  private def bloomPrunedCandidates(docs: DataFrame, bench: DataFrame, idCol: String,
+                                    textCol: String, n: Int, bloomCapacity: Long,
+                                    fpr: Double, passthrough: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.spark.fns.TextExpressions
+    val base = docs.select(col(idCol).cast("long").as("doc_id") +:
+      col(textCol).as("__text") +: passthrough.map(col): _*)
+    val benchShingles = bench
+      .select(explode(shingles(col(textCol), n)).as("s"))
+      .distinct().persist()
+    val bloomBytes = benchShingles
+      .agg(SketchUdafs.bloom(bloomCapacity, fpr)(col("s")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val candidates = base.filter(
+      TextExpressions.bloomShingleHitNative(bloomBytes, n, col("__text")))
+    (base, benchShingles, candidates)
+  }
+
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
                     bloomCapacity: Long = 1000000L, fpr: Double = 0.001,
                     passthrough: Seq[String] = Nil): DataFrame = {
-    import graft.spark.fns.TextExpressions
-    val base = docs.select(col(idCol).cast("long").as("doc_id") +:
-      col(textCol).as("__text") +: passthrough.map(col): _*)
-    // materialize the (small) benchmark shingle set once: it feeds both the
-    // bloom build and the broadcast verify join. persist (not
-    // localCheckpoint) keeps the lineage, so an executor loss on a real
-    // cluster recomputes instead of failing the job
-    val benchShingles = bench
-      .select(explode(shingles(col(textCol), n)).as("s"))
-      .distinct().persist()
-    // one pass over the benchmark set -> one Bloom filter
-    val bloomBytes = benchShingles
-      .agg(SketchUdafs.bloom(bloomCapacity, fpr)(col("s")).as("b"))
-      .head().getAs[Array[Byte]]("b")
-    // map-side prune, fully inside whole-stage codegen: the fused kernel
-    // tokenizes + probes with early exit, materializing no shingle array;
-    // docs with zero bloom-hit shingles never reach the join
-    val candidates = base.filter(
-      TextExpressions.bloomShingleHitNative(bloomBytes, n, col("__text")))
+    val (base, benchShingles, candidates) = bloomPrunedCandidates(
+      docs, bench, idCol, textCol, n, bloomCapacity, fpr, passthrough)
     val contaminated = candidates
       .select(col("doc_id"), explode(shingles(col("__text"), n)).as("s"))
       .join(broadcast(benchShingles), Seq("s"), "left_semi")
@@ -96,17 +106,8 @@ object Corpus {
                            textCol: String, n: Int = 3,
                            bloomCapacity: Long = 1000000L, fpr: Double = 0.001,
                            passthrough: Seq[String] = Nil): DataFrame = {
-    import graft.spark.fns.TextExpressions
-    val base = docs.select(col(idCol).cast("long").as("doc_id") +:
-      col(textCol).as("__text") +: passthrough.map(col): _*)
-    val benchShingles = bench
-      .select(explode(shingles(col(textCol), n)).as("s"))
-      .distinct().persist() // lineage kept — see decontaminate
-    val bloomBytes = benchShingles
-      .agg(SketchUdafs.bloom(bloomCapacity, fpr)(col("s")).as("b"))
-      .head().getAs[Array[Byte]]("b")
-    val candidates = base.filter(
-      TextExpressions.bloomShingleHitNative(bloomBytes, n, col("__text")))
+    val (base, benchShingles, candidates) = bloomPrunedCandidates(
+      docs, bench, idCol, textCol, n, bloomCapacity, fpr, passthrough)
     val hits = candidates
       .select(col("doc_id"), explode(shingles(col("__text"), n)).as("s"))
       .join(broadcast(benchShingles), Seq("s"), "left_semi")

@@ -80,8 +80,12 @@ object Dedup extends Serializable {
   /** Truncation telemetry for the LSH bucket caps: a silent cap reads as
     * "covered everything" when it didn't, so every pair generator counts
     * capped buckets and the ids it dropped into named accumulators (visible
-    * per-stage in the Spark UI; asserted in DedupTelemetrySpec). A non-zero
-    * count means recall loss — raise bits/bands or run exact dedup first. */
+    * per-stage in the Spark UI; asserted in Round3Spec). Semantics are
+    * AT-LEAST-ONCE — the updates happen inside a transformation, so task
+    * retries / speculative copies / stage re-runs can double-count. ZERO is
+    * therefore exact evidence of no truncation; a non-zero value means some
+    * bucket hit the cap at least once (magnitude is approximate) — raise
+    * bits/bands or run exact dedup first. */
   final case class TruncationTelemetry(
       truncatedBuckets: org.apache.spark.util.LongAccumulator,
       droppedIds: org.apache.spark.util.LongAccumulator)

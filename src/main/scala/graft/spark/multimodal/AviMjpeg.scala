@@ -51,28 +51,36 @@ object AviMjpeg extends Serializable {
     def walk(from: Int, to: Int): Unit = {
       var i = from
       while (i + 8 <= to) {
+        // ALL size arithmetic in Long: a corrupt u32 size near 2^32 would
+        // overflow Int, pass `end <= to`, and stall or reverse the walk —
+        // a non-terminating loop on one executor row (found by review; the
+        // single-bit-flip fuzzer can't reach sizes that large)
         val size = u32le(b, i + 4)
-        val body = i + 8
-        val end = body + size.toInt
-        require(size >= 0 && end <= to, s"bad RIFF chunk size $size at $i")
+        val body = i + 8L
+        val end = body + size
+        require(end <= to, s"bad RIFF chunk size $size at $i")
         if (fourcc(b, i, "LIST")) {
           // list type occupies the first 4 payload bytes
-          walk(body + 4, end)
+          walk(body.toInt + 4, end.toInt)
         } else if (fourcc(b, i, "avih") && size >= 40) {
-          uspf = u32le(b, body)
-          nFrames = u32le(b, body + 16).toInt
-          width = u32le(b, body + 32).toInt
-          height = u32le(b, body + 36).toInt
+          uspf = u32le(b, body.toInt)
+          nFrames = u32le(b, body.toInt + 16).toInt
+          width = u32le(b, body.toInt + 32).toInt
+          height = u32le(b, body.toInt + 36).toInt
         } else if (fourcc(b, i, "strh") && size >= 8) {
-          if (fourcc(b, body, "vids"))
-            handler = new String(b, body + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (fourcc(b, body.toInt, "vids"))
+            handler = new String(b, body.toInt + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
         } else if ((fourcc(b, i, "00dc") || fourcc(b, i, "00db")) && size > 0) {
-          frames += java.util.Arrays.copyOfRange(b, body, end)
+          frames += java.util.Arrays.copyOfRange(b, body.toInt, end.toInt)
         }
-        i = end + (size.toInt & 1) // chunks pad to even
+        val next = end + (size & 1) // chunks pad to even
+        require(next > i, s"non-advancing RIFF walk at $i") // belt-and-braces
+        i = next.toInt
       }
     }
-    walk(12, math.min(8 + u32le(b, 4).toInt, b.length))
+    val riffEnd = math.min(8L + u32le(b, 4), b.length.toLong)
+    require(riffEnd >= 12, s"bad RIFF size ${u32le(b, 4)}")
+    walk(12, riffEnd.toInt)
     (AviMeta(width, height, nFrames, uspf, handler), frames.toArray)
   }
 

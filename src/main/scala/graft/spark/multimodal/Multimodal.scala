@@ -238,27 +238,40 @@ object Multimodal {
         col("f._3").as("height"), col("f._4").as("channels"), col("f._5").as("px_sum"))
 
   /** MJPEG-AVI clips -> raw frame rows (frame bytes preserved exactly):
-    * (idCol, frame_idx, frame BINARY). The inverse of [[framesToAvi]]. */
+    * (idCol, frame_idx, frame BINARY). The inverse of [[framesToAvi]].
+    * Malformed payloads yield no rows (same per-row failure containment as
+    * [[decodeMjpegFrames]] — one corrupt clip must not kill the job). */
   def explodeRawFrames(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val extract = udf((payload: Array[Byte]) =>
-      if (!AviMjpeg.isAvi(payload)) Array.empty[Array[Byte]]
-      else AviMjpeg.parse(payload)._2)
+      try {
+        if (!AviMjpeg.isAvi(payload)) Array.empty[Array[Byte]]
+        else AviMjpeg.parse(payload)._2
+      } catch {
+        case _: IllegalArgumentException | _: IllegalStateException |
+             _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
+          Array.empty[Array[Byte]]
+      })
     df.select(col(idCol), posexplode(extract(col(payloadCol))).as(Seq("frame_idx", "frame")))
   }
 
   /** The SINK half (WARC-symmetric): frame rows -> one REAL AVI blob per
     * clip. Frames group per clip (one shuffle keyed by the clip id — frame
     * bytes cross the exchange once, the unavoidable minimum to containerize)
-    * and serialize in frame_idx order; dims are read from the first frame's
-    * JPEG header so the container carries real metadata. */
+    * and serialize in frame_idx order; dims come from the first frame's
+    * JPEG SOF header (a few-byte parse — a full pixel decode here would
+    * burn CPU per clip and let a deep entropy-stream defect fail the SINK
+    * even though the bytes re-containerize fine). */
   def framesToAvi(frames: DataFrame, idCol: String, idxCol: String,
                   frameCol: String, fps: Int = 4): DataFrame = {
     val build = udf((fs: Seq[Row]) => {
       val ordered = fs.sortBy(_.getInt(0)).map(_.getAs[Array[Byte]](1)).toArray
       if (ordered.isEmpty) null
       else {
-        val first = JpegCodec.decode(ordered.head)
-        AviMjpeg.write(ordered, first.width, first.height, fps)
+        val (w, h) = ImageHeaders.parse(ordered.head) match {
+          case Some(m) => (m.width, m.height)
+          case None => (0, 0) // header carries 0x0; the frame bytes still round-trip
+        }
+        AviMjpeg.write(ordered, w, h, fps)
       }
     })
     frames

@@ -141,8 +141,12 @@ object Sampling {
     * engine-specific hash or RNG in the cut). */
   def rateThreshold8(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
-    val t = math.min((rate * 4294967296.0).toLong, 4294967295L)
-    f"$t%08x"
+    // rate 1.0 must keep EVERYTHING: "g" sorts above every hex digit, so the
+    // strict < comparison is always true (clamping to "ffffffff" would drop
+    // each row whose md5 prefix is exactly ffffffff — p = 2^-32, i.e. ~233
+    // silently lost docs per 10^12 at full rate)
+    if (rate >= 1.0) "g"
+    else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
   /** Deterministic content-hash sampling: kept iff

@@ -64,6 +64,22 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI chunk sizes near 2^32 terminate with an error, never hang") {
+    // review finding: size.toInt overflow once made `end <= to` pass while
+    // the walk stopped advancing — an infinite loop on one executor row
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+        ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    for (evil <- Seq(0xFFFFFFF8L, 0xFFFFFFF6L, 0xFFFFFFFFL, 0x7FFFFFFFL)) {
+      val payload = "RIFF".getBytes("ASCII") ++ le32(256) ++ "AVI ".getBytes("ASCII") ++
+        "LIST".getBytes("ASCII") ++ le32(evil) ++ "hdrl".getBytes("ASCII") ++
+        new Array[Byte](64)
+      val t0 = System.nanoTime()
+      intercept[IllegalArgumentException](AviMjpeg.parse(payload))
+      assert((System.nanoTime() - t0) / 1e9 < 5.0, s"size $evil took too long")
+    }
+  }
+
   test("single-bit flips of real payloads fail cleanly or decode") {
     val rng = new SplitMix64(0x0b17f11b5L)
     val real: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(

@@ -110,6 +110,11 @@ class SamplingSpec extends AnyFunSuite {
     val df = (0L until 20000L).map(i => ("g", i)).toDF("g", "id")
     val th = Sampling.rateThreshold8(0.25)
     assert(th == "40000000")
+    // rate 1.0 keeps EVERYTHING — "g" sorts above all hex, so even an
+    // md5 prefix of "ffffffff" passes the strict < (review finding: the
+    // old "ffffffff" clamp silently dropped ~2^-32 of a full-rate group)
+    assert(Sampling.rateThreshold8(1.0) == "g")
+    assert("ffffffff" < Sampling.rateThreshold8(1.0))
     def keptSet(parts: Int): Set[Long] =
       Sampling.temperatureSampleFlags(df.repartition(parts), "g",
           col("id").cast("string"), Map("g" -> 0.25))
