@@ -343,7 +343,7 @@ object SparkQueries {
           case _ => ()
         }
       }
-    } catch { case _: java.io.IOException => () } // reaping is best-effort
+    } catch { case scala.util.control.NonFatal(_) => () } // reaping is best-effort
     val custTbl = s"graft_bkt_customer_$tok"
     val ordTbl = s"graft_bkt_orders_$tok"
     Bucketing.writeBucketed(

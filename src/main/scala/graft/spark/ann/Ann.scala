@@ -115,8 +115,8 @@ object Ann extends Serializable {
     var centroids: Array[(Int, Array[Float])] = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"))
-      .limit(nlist)
+      .orderBy(col("h"), col("vec_id")) // vec_id tiebreak: hash ties must not
+      .limit(nlist)                     // make seeds partition-order-dependent
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }

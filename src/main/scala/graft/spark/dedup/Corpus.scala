@@ -42,15 +42,6 @@ object Corpus {
       .otherwise(array_distinct(grams))
   }
 
-  /** Benchmark decontamination (GPT-3 appendix C / Dolma style): flag every
-    * document sharing at least one `n`-token shingle with the benchmark
-    * corpus.
-    *
-    * `docs` carries (idCol BIGINT, textCol); `bench` carries (textCol).
-    * Returns (doc_id, passthrough..., contaminated BOOLEAN) for every doc —
-    * exact, because the Bloom probe only PRUNES (no false negatives) and
-    * candidates are verified with a distinct semi-join against the true
-    * shingle set. */
   /** Shared prelude of the decontamination operators: project docs to
     * (doc_id, __text, passthrough...), materialize the distinct benchmark
     * shingle set ONCE (persist, NOT localCheckpoint — lineage survives
@@ -78,6 +69,15 @@ object Corpus {
     (base, benchShingles, candidates)
   }
 
+  /** Benchmark decontamination (GPT-3 appendix C / Dolma style): flag every
+    * document sharing at least one `n`-token shingle with the benchmark
+    * corpus.
+    *
+    * `docs` carries (idCol BIGINT, textCol); `bench` carries (textCol).
+    * Returns (doc_id, passthrough..., contaminated BOOLEAN) for every doc —
+    * exact, because the Bloom probe only PRUNES (no false negatives) and
+    * candidates are verified with a distinct semi-join against the true
+    * shingle set. */
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
                     bloomCapacity: Long = 1000000L, fpr: Double = 0.001,

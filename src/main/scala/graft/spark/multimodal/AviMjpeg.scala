@@ -48,7 +48,10 @@ object AviMjpeg extends Serializable {
     var uspf = 0L; var handler = ""
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
 
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Int, to: Int, depth: Int = 0): Unit = {
+      // real AVIs nest 2-3 LIST levels; a crafted deep nest would otherwise
+      // StackOverflowError past the per-row Exception containment
+      require(depth < 64, s"RIFF LIST nesting deeper than 64 at $from")
       var i = from
       while (i + 8 <= to) {
         // ALL size arithmetic in Long: a corrupt u32 size near 2^32 would
@@ -61,7 +64,7 @@ object AviMjpeg extends Serializable {
         require(end <= to, s"bad RIFF chunk size $size at $i")
         if (fourcc(b, i, "LIST")) {
           // list type occupies the first 4 payload bytes
-          walk(body.toInt + 4, end.toInt)
+          walk(body.toInt + 4, end.toInt, depth + 1)
         } else if (fourcc(b, i, "avih") && size >= 40) {
           uspf = u32le(b, body.toInt)
           nFrames = u32le(b, body.toInt + 16).toInt

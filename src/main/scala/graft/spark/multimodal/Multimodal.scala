@@ -113,11 +113,19 @@ object Multimodal {
     * neither container fall back to a DISCLOSED STUB derivation. Frame
     * decode for MJPEG-AVI is [[decodeMjpegFrames]]. */
   val decodeVideoMeta = udf((payload: Array[Byte]) => {
+    def aviMeta: Option[(Int, Int, Long, Int, String)] =
+      try {
+        val (m, _) = AviMjpeg.parse(payload)
+        Some((m.width, m.height, m.nFrames.toLong * m.microSecPerFrame / 1000L, 1, "avi"))
+      } catch {
+        // corrupt AVI framing falls through to the stub derivation like any
+        // other unparseable payload — per-row, never job-killing
+        case _: IllegalArgumentException | _: IllegalStateException |
+             _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
+      }
     if (payload == null || payload.isEmpty) null
-    else if (AviMjpeg.isAvi(payload)) {
-      val (m, _) = AviMjpeg.parse(payload)
-      (m.width, m.height, m.nFrames.toLong * m.microSecPerFrame / 1000L, 1, "avi")
-    } else VideoHeaders.parse(payload) match {
+    else if (AviMjpeg.isAvi(payload) && aviMeta.isDefined) aviMeta.get
+    else VideoHeaders.parse(payload) match {
       case Some(m) => (m.width, m.height, m.durationMs, m.nTracks, m.format)
       case None => // STUB fallback: deterministic fake metadata
         val h = Fnv.fnv1a64(payload, 0)
