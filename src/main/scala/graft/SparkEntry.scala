@@ -30,6 +30,7 @@ object SparkEntry {
     "q_decontaminate" -> (SparkQueries.decontaminateStats(_, _)),
     "q_contamination_frac" -> (SparkQueries.contaminationOverlapStats(_, _)),
     "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
+    "q_span_dedup" -> (SparkQueries.spanDedupStats(_, _)),
     "q_line_clean" -> (SparkQueries.lineCleanStats(_, _)),
     "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
     "q_temp_sample" -> (SparkQueries.temperatureSampleStats(_, _)),
@@ -223,6 +224,23 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN c <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "CAST(SUM(CASE WHEN c <= 2000 THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept " +
         "FROM w GROUP BY lang"),
+    // span-level repetition: NON-distinct 8-token windows (position-level,
+    // unlike the set-semantics shingle CTEs), threshold 4 corpus-wide
+    "q_span_dedup" ->
+      ("WITH p AS (SELECT lang, doc_id, text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' " + graft.spark.SparkQueries.spanPlant +
+        "' ELSE '' END AS text FROM documents), " +
+        "tok AS (SELECT lang, doc_id, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t FROM p), " +
+        "g AS (SELECT lang, doc_id, unnest(CASE WHEN len(t) >= 8 THEN " +
+        "list_transform(range(1, len(t) - 6), i -> " +
+        (0 until 8).map(o => if (o == 0) "t[i]" else s"t[i+$o]").mkString(" || ' ' || ") +
+        ") ELSE [] END) AS span FROM tok), " +
+        "hv AS (SELECT span, true AS b FROM g GROUP BY span HAVING COUNT(*) >= 4) " +
+        "SELECT lang, COUNT(*) AS n_spans, " +
+        "CAST(SUM(CASE WHEN hv.b THEN 1 ELSE 0 END) AS BIGINT) AS repeated_spans, " +
+        "CAST(COUNT(DISTINCT CASE WHEN hv.b THEN doc_id END) AS BIGINT) " +
+        "AS docs_with_repeats FROM g LEFT JOIN hv USING (span) GROUP BY lang"),
     // benchmark set = 8-token shingles of docs with doc_id % 17 = 0;
     // contaminated = any shared shingle (long n-grams, GPT-3 App. C style)
     "q_decontaminate" ->

@@ -98,6 +98,28 @@ object SparkQueries {
           .otherwise(0L)).as("n_frac_5pct"))
   }
 
+  // repeated phrase planted for span-level dedup (apostrophe-free so it
+  // embeds into the DuckDB oracle literally; 10 tokens > the 8-token window)
+  val spanPlant = "this exact promotional sentence appears in very many crawled documents verbatim"
+
+  /** Span-level repetition (Lee et al. 2022 granularity): per-lang totals of
+    * 8-token window occurrences that repeat >= 4 times corpus-wide, plus the
+    * count of docs carrying any repeated span. The plant guarantees signal;
+    * naturally duplicated fixture docs contribute their own repeats. */
+  def spanDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.Corpus
+    val planted = tbl(spark, dir, "documents").select(col("lang"), col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + spanPlant)).otherwise(lit("")))
+        .as("text"))
+    Corpus.spanFrequencyFlags(planted, "text", n = 8, minCount = 4L,
+        passthrough = Seq("lang", "doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("repeated"), 1L).otherwise(0L)).as("repeated_spans"),
+        countDistinct(when(col("repeated"), col("doc_id"))).as("docs_with_repeats"))
+  }
+
   // shared boilerplate lines planted for the corpus-frequency line dedup
   // (apostrophe-free so they embed in the DuckDB oracle SQL literally)
   val lineDedupPlantA = "Sign up for our newsletter to get updates"

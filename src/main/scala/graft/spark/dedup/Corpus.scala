@@ -201,6 +201,37 @@ object Corpus {
     }
   }
 
+  /** Span-level repetition flags (the sub-document signal behind
+    * "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    * 2022): every `n`-token sliding WINDOW occurrence (non-distinct —
+    * position-level, unlike the set-semantics shingles) is flagged iff that
+    * window occurs at least `minCount` times across the corpus. Callers
+    * aggregate into span-dedup decisions (mask/drop/score).
+    *
+    * Returns one row per window occurrence:
+    * (passthrough..., span, repeated BOOLEAN). Scale shape mirrors line
+    * dedup: the frequency count shuffles 8-byte xxhash64(window) rows —
+    * window text never crosses the counting exchange — and the thresholded
+    * heavy set (bounded by total_windows / minCount) broadcasts back. */
+  def spanFrequencyFlags(docs: DataFrame, textCol: String, n: Int, minCount: Long,
+                         passthrough: Seq[String]): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val spans = docs
+      .select(passthrough.map(col) :+ explode(grams).as("span"): _*)
+      .withColumn("h", xxhash64(col("span")))
+    val heavy = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("h"), lit(true).as("b"))
+    spans
+      .join(broadcast(heavy), Seq("h"), "left")
+      .select(passthrough.map(col) :+ col("span") :+
+        coalesce(col("b"), lit(false)).as("repeated"): _*)
+  }
+
   /** Corpus-frequency line dedup (CCNet / RefinedWeb boilerplate removal):
     * a line occurring at least `minCount` times ACROSS the corpus is
     * boilerplate.

@@ -100,6 +100,28 @@ class CorpusSpec extends AnyFunSuite {
       "all alone here"))
   }
 
+  test("spanFrequencyFlags marks exactly the corpus-repeated window positions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // window n=3, minCount=3: "a b c" occurs 3x (docs 1,2,3), "x y z" 2x
+    val docs = Seq(
+      (1L, "a b c d e"),        // windows: "a b c"(R) "b c d" "c d e"
+      (2L, "z a b c q"),        // "z a b" "a b c"(R) "b c q"
+      (3L, "a b c"),            // "a b c"(R)
+      (4L, "x y z w"),          // "x y z" "y z w"
+      (5L, "x y z"),            // "x y z"
+      (6L, "too short")         // < 3 tokens -> no windows
+    ).toDF("doc_id", "text")
+    val rows = graft.spark.dedup.Corpus
+      .spanFrequencyFlags(docs, "text", n = 3, minCount = 3L, passthrough = Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.length == 3 + 3 + 1 + 2 + 1) // per-position, non-distinct
+    assert(rows.filter(_._2 == "a b c").forall(_._3))
+    assert(rows.count(_._2 == "a b c") == 3)
+    assert(rows.filter(_._2 == "x y z").forall(!_._3)) // 2 < minCount
+    assert(!rows.exists(_._1 == 6L))
+  }
+
   test("decontaminate result is invariant to partition count") {
     import spark.implicits._
     val docs = (0L until 40L)
