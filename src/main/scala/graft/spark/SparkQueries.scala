@@ -112,7 +112,10 @@ object SparkQueries {
       concat(col("text"),
         when(col("doc_id") % 5 === 0, lit(" " + spanPlant)).otherwise(lit("")))
         .as("text"))
-    Corpus.spanFrequencyFlags(planted, "text", n = 8, minCount = 4L,
+    // the fused hash-only variant: aggregates don't need span text, so no
+    // window string is ever materialized (CorpusSpec pins agreement with
+    // the string variant)
+    Corpus.spanHashFrequencyFlags(planted, "text", n = 8, minCount = 4L,
         passthrough = Seq("lang", "doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_spans"),

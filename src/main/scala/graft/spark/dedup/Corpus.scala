@@ -232,6 +232,30 @@ object Corpus {
         coalesce(col("b"), lit(false)).as("repeated"): _*)
   }
 
+  /** [[spanFrequencyFlags]] without the window STRINGS: the fused codegen'd
+    * [[graft.spark.fns.SpanHashesExpr]] kernel emits 8-byte window hashes
+    * straight off the char buffer, so no span string is ever materialized —
+    * at 10^12 docs that is the difference between exploding ~60-char strings
+    * and exploding longs. Returns (passthrough..., h BIGINT, repeated
+    * BOOLEAN); use the string variant when callers need the span text.
+    * Flag decisions match the string variant modulo 64-bit hash collisions
+    * (and per-char vs full-string lowercase on exotic case mappings —
+    * CorpusSpec pins agreement on real text). */
+  def spanHashFrequencyFlags(docs: DataFrame, textCol: String, n: Int, minCount: Long,
+                             passthrough: Seq[String]): DataFrame = {
+    import graft.spark.fns.TextExpressions
+    val spans = docs
+      .select(passthrough.map(col) :+
+        explode(TextExpressions.spanHashesNative(col(textCol), n)).as("h"): _*)
+    val heavy = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("h"), lit(true).as("b"))
+    spans
+      .join(broadcast(heavy), Seq("h"), "left")
+      .select(passthrough.map(col) :+ col("h") :+
+        coalesce(col("b"), lit(false)).as("repeated"): _*)
+  }
+
   /** Corpus-frequency line dedup (CCNet / RefinedWeb boilerplate removal):
     * a line occurring at least `minCount` times ACROSS the corpus is
     * boilerplate.

@@ -158,6 +158,24 @@ object TextKernels extends Serializable {
     sb.toString
   }
 
+  /** Fused NON-distinct n-token window hashes: fnv-1a-64 of each sliding
+    * window (tokens joined by single spaces, per-char lowercase) computed
+    * straight off the char buffer — no window STRING ever exists. The
+    * span-dedup counting key: at 10^12 docs this is 8 bytes per window
+    * occurrence instead of a ~60-char string. Fewer than n tokens → empty
+    * (position semantics; unlike the set-shingles fallback). */
+  def spanHashes(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return ArrayData.toArrayData(Array.empty[Long])
+    val (chars, bounds, ntoks) = tokenBounds(s.toString)
+    if (ntoks < n) ArrayData.toArrayData(Array.empty[Long])
+    else {
+      val out = new Array[Long](ntoks - n + 1)
+      var w = 0
+      while (w + n <= ntoks) { out(w) = shingleHash(chars, bounds, w, w + n); w += 1 }
+      ArrayData.toArrayData(out)
+    }
+  }
+
   /** Distinct n-token shingles of the lowercased text — the oracle formula
     * (lower, \s+ split, single-space join; fewer than n tokens collapses to
     * the single joined-token shingle) as one codegen-callable kernel. */
@@ -267,6 +285,22 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
+}
+
+/** Codegen'd fused non-distinct n-token window hashes of a string column. */
+case class SpanHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.spanHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.fns.TextKernels.spanHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "span_hashes"
 }
 
 /** Codegen'd distinct n-token shingle array of a string column. */
@@ -387,6 +421,10 @@ object TextExpressions {
 
   def shinglesNative(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(c), n))
+
+  /** Codegen'd fused non-distinct window hashes (the span-dedup key). */
+  def spanHashesNative(c: Column, n: Int): Column =
+    GraftColumnBridge.column(SpanHashesExpr(GraftColumnBridge.expression(c), n))
 
   def nfcNormalize(c: Column): Column =
     GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(c)))

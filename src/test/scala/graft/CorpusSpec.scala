@@ -122,6 +122,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == 6L))
   }
 
+  test("spanHashFrequencyFlags agrees with the string variant per position") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = ((0L until 40L).map(i => (i, s"alpha$i beta$i gamma$i delta$i common tail words here")) ++
+      Seq((100L, "short"), (101L, "UPPER case TEXT common tail words here repeated")))
+      .toDF("doc_id", "text")
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("repeated"), 1L).otherwise(0L)).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val s = flags(graft.spark.dedup.Corpus.spanFrequencyFlags(
+      docs, "text", n = 4, minCount = 5L, passthrough = Seq("doc_id")))
+    val h = flags(graft.spark.dedup.Corpus.spanHashFrequencyFlags(
+      docs, "text", n = 4, minCount = 5L, passthrough = Seq("doc_id")))
+    assert(s == h, s"string=$s hash=$h")
+    assert(s.values.exists(_._2 > 0), "planted repeats must flag")
+  }
+
   test("decontaminate result is invariant to partition count") {
     import spark.implicits._
     val docs = (0L until 40L)
