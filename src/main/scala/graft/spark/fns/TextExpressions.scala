@@ -289,6 +289,7 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int)
 
 /** Codegen'd fused non-distinct n-token window hashes of a string column. */
 case class SpanHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"window size must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

@@ -243,6 +243,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("bpe_count takes (text)")
       }))
 
+    e.injectFunction((FunctionIdentifier("span_hashes"),
+      info("span_hashes", "span_hashes(text, n) - fused non-distinct n-token window hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, n) => graft.spark.fns.SpanHashesExpr(t, intArg(n, "span_hashes", "n"))
+        case _ => throw new IllegalArgumentException("span_hashes takes (text, n)")
+      }))
+
     e.injectFunction((FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - script + char-n-gram-profile language ID"),
       (args: Seq[Expression]) => args match {

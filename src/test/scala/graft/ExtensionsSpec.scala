@@ -152,6 +152,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT lang_id('der zug hatte wieder verspätung also warteten wir') AS l")
         .head().getString(0)
       assert(lidDe == "de")
+      val spans = spark.sql("SELECT span_hashes('a b c d', 3) AS s")
+        .head().getSeq[Long](0)
+      assert(spans.length == 2) // "a b c", "b c d"
+      assert(spans(0) != spans(1))
     }
   }
 
