@@ -95,8 +95,14 @@ object Bench {
     // machine-readable copy so the driver's parse can't miss it in sbt noise
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json)
     catch { case _: Throwable => }
-    // stop FIRST, print LAST: the shutdown WARN flood otherwise lands after
-    // the JSON and the driver's tail-parse misses it (BENCH_r02 parsed:null)
+    // stop FIRST, print LAST — and silence Spark's loggers BEFORE stopping:
+    // the stop-first reorder alone was insufficient (BENCH_r03 parsed:null)
+    // because JVM-exit shutdown hooks still log a WARN flood after main
+    // returns; with the root logger OFF nothing can land after the JSON.
+    // Run the bench with `sbt -batch -error "runMain graft.Bench"` so sbt's
+    // own [success] line is suppressed too — then the JSON is the only
+    // stdout line (a machine-readable copy is also at /tmp/graft_bench.json)
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(json)
   }

@@ -68,7 +68,7 @@ object Dedup extends Serializable {
     * tokenization mirrors the kernel: lowercase + \s+ split). */
   val jaccardText: UserDefinedFunction = udf((ta: String, tb: String, n: Int) => {
     def sh(t: String): Set[String] = {
-      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       if (toks.length < n) Set(toks.mkString(" "))
       else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).toSet
     }
@@ -187,12 +187,18 @@ object Dedup extends Serializable {
     * executors). ConnectedComponentsSpec runs both modes to identical
     * labels. Throws if the label fixpoint is not reached within `maxIters`
     * (pointer halving converges in O(log diameter), so 25 covers any real
-    * graph; an unconverged result would silently mis-cluster). */
+    * graph; an unconverged result would silently mis-cluster).
+    *
+    * NOTE: `setCheckpointDir` is SparkContext-GLOBAL. To avoid clobbering a
+    * directory another concurrent job configured, `checkpointDir` is applied
+    * only when the context has none yet — an already-configured session
+    * checkpoint dir takes precedence (and is left untouched). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
     val ck: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = pairs.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }

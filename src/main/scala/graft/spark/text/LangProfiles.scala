@@ -128,7 +128,9 @@ object LangProfiles extends Serializable {
 
   /** Stream the 1..4-grams of each '_'-padded, lowercased letter-word. */
   private def gramsOf(text: String)(f: String => Unit): Unit = {
-    val lower = text.toLowerCase
+    // Locale.ROOT: profile grams must not depend on the JVM default locale
+    // (Turkish 'I' → dotless ı would silently change every profile)
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val word = new StringBuilder("_")
     def flush(): Unit = {
       if (word.length > 1) {

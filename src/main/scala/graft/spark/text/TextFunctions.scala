@@ -202,7 +202,9 @@ object TextFunctions extends Serializable {
         val head = if (text.length <= 2000) text else text.substring(0, 2000)
         LangProfiles.classify(head) match {
           case null =>
-            val toks = head.toLowerCase.split("\\s+").take(400)
+            // Locale.ROOT: a Turkish/Azeri default locale would lowercase
+            // 'I' to dotless ı and silently change classifications
+            val toks = head.toLowerCase(java.util.Locale.ROOT).split("\\s+").take(400)
             var best = "und"; var bestScore = 0
             stopwords.foreach { case (lang, words) =>
               val score = toks.count(words.contains)
@@ -243,7 +245,7 @@ object TextFunctions extends Serializable {
   val shingles: UserDefinedFunction = udf((text: String, n: Int) => {
     if (text == null) Array.empty[String]
     else {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       if (toks.length < n) Array(toks.mkString(" "))
       else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct.toArray
     }

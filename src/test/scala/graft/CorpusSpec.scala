@@ -142,6 +142,60 @@ class CorpusSpec extends AnyFunSuite {
     assert(s.values.exists(_._2 > 0), "planted repeats must flag")
   }
 
+  test("flag operators produce identical output on broadcast and join-fallback paths") {
+    import spark.implicits._
+    // maxHeavyBroadcast = 0 forces the shuffled-join fallback; default takes
+    // the broadcast path — outputs must be identical row-for-row
+    val docs = ((0L until 30L).map(i =>
+      (i, s"alpha$i beta$i shared span of common words here\nSign up now\nunique line $i")) ++
+      Seq((100L, "Sign up now\nSign up now"), (101L, "   \nshort")))
+      .toDF("doc_id", "text")
+    def sortRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val linesB = Corpus.lineFrequencyFlags(docs, "text", 3L, Seq("doc_id"))
+    val linesJ = Corpus.lineFrequencyFlags(docs, "text", 3L, Seq("doc_id"),
+      maxHeavyBroadcast = 0L)
+    assert(sortRows(linesB) == sortRows(linesJ))
+    val spansB = Corpus.spanFrequencyFlags(docs, "text", 4, 3L, Seq("doc_id"))
+    val spansJ = Corpus.spanFrequencyFlags(docs, "text", 4, 3L, Seq("doc_id"),
+      maxHeavyBroadcast = 0L)
+    assert(sortRows(spansB) == sortRows(spansJ))
+    val hashB = Corpus.spanHashFrequencyFlags(docs, "text", 4, 3L, Seq("doc_id"))
+    val hashJ = Corpus.spanHashFrequencyFlags(docs, "text", 4, 3L, Seq("doc_id"),
+      maxHeavyBroadcast = 0L)
+    assert(sortRows(hashB) == sortRows(hashJ))
+    assert(linesB.filter(col("boilerplate")).count() > 0, "fixture must flag something")
+  }
+
+  test("decontaminate collected and fallback paths agree; nothing stays cached on normal paths") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 4 == 0) "common phrase shared by many docs here"
+                    else s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq("common phrase shared by many docs indeed").toDF("text")
+    def run(max: Long) = Corpus.decontaminate(docs, bench, "doc_id", "text",
+      maxBenchCollect = max).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def runFrac(max: Long) = Corpus.contaminationOverlap(docs, bench, "doc_id", "text",
+      maxBenchCollect = max).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val collected = run(1000000L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "collected decontaminate path must leave no cached frames")
+    val fracCollected = runFrac(1000000L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "collected contaminationOverlap path must leave no cached frames")
+    // maxBenchCollect = 0 forces the persisted-DataFrame fallback
+    assert(run(0L) == collected)
+    assert(runFrac(0L) == fracCollected)
+    spark.sharedState.cacheManager.clearCache() // release the fallback persists
+    // the normal removeBoilerplate (broadcast) path also unpersists its probe
+    Corpus.removeBoilerplate(docs, "text", minCount = 4L).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "removeBoilerplate broadcast path must unpersist its heavy-set probe")
+  }
+
   test("decontaminate result is invariant to partition count") {
     import spark.implicits._
     val docs = (0L until 40L)
