@@ -97,6 +97,7 @@ object SparkEntry {
     "q_video_frames" -> ((s, _) => VerifiedQueries.videoFramesVerified(s, 600L)),
     "q_video_roundtrip" -> ((s, _) => VerifiedQueries.videoRoundtripVerified(s, 1000L)),
     "q_bpe_merge" -> ((s, _) => VerifiedQueries.bpeMergeVerified(s, 20000L)),
+    "q_bpe_bytes" -> ((s, _) => VerifiedQueries.bpeByteMergeVerified(s, 20000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
     "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
   )
@@ -605,6 +606,22 @@ object SparkEntry {
         "('ru', 1206, 433077, 6457, true, true), " +
         "('zh', 1863, 675973, 6344, true, true)) " +
         "AS t(lang, n_pages, merged_tokens, max_merged, codegen_parity_ok, bounds_ok)"),
+    // BYTE-level BPE (GPT-2 bytes_to_unicode alphabet) over the same fixture
+    // plus a non-ASCII plant; literals from `runMain graft.tools.BpeTruth
+    // 20000`. gt_codepoint_ok pins that byte-level counting strictly exceeds
+    // codepoint-level on every planted page — the budget-drift signal the
+    // byte mode exists to capture
+    "q_bpe_bytes" ->
+      ("SELECT * FROM (VALUES " +
+        "('de', CAST(3700 AS BIGINT), CAST(1568892 AS BIGINT), CAST(6562 AS BIGINT), true, true, true), " +
+        "('en', 7488, 2981367, 6594, true, true, true), " +
+        "('es', 1423, 589596, 6546, true, true, true), " +
+        "('fr', 2341, 912030, 6523, true, true, true), " +
+        "('ja', 1079, 397858, 6418, true, true, true), " +
+        "('pt', 900, 363226, 5529, true, true, true), " +
+        "('ru', 1206, 472875, 6490, true, true, true), " +
+        "('zh', 1863, 737452, 6377, true, true, true)) " +
+        "AS t(lang, n_pages, merged_tokens, max_merged, codegen_parity_ok, bounds_ok, gt_codepoint_ok)"),
     // literals generated by `runMain graft.tools.PagesTruth 20000` —
     // deterministic ground truth of the synthetic pages table (seed 42)
     "q_pages_battery" ->

@@ -467,6 +467,43 @@ object VerifiedQueries {
         every(col("m") >= col("pre") && col("m") <= col("nc")).as("bounds_ok"))
   }
 
+  /** Byte-level sibling of [[bpeMergeVerified]]: merged-token counts under
+    * the GPT-2 byte-alphabet tokenizer ([[graft.spark.text.BpeTokenizer
+    * .standardBytes]]) — the unit real training stacks budget with. Verifies
+    * codegen parity (same [[graft.spark.fns.BpeCountExpr]], byte tokenizer
+    * reference object), the pre-token <= merged <= non-ws UTF-8 BYTES
+    * bounds, and that byte-level counts strictly exceed codepoint-level ones
+    * on every page (a non-ASCII code point is >= 2 unmergeable byte symbols
+    * under the ASCII-trained table; the pages fixture is ASCII word-salad,
+    * so a deterministic multilingual plant is appended in-query — the same
+    * plant pattern the line/span-dedup queries use). Oracle =
+    * BpeTruth-generated literals. */
+  def bpeByteMergeVerified(spark: SparkSession, nPages: Long): DataFrame = {
+    import graft.spark.fns.TextExpressions
+    val bpe = graft.spark.text.BpeTokenizer.standardBytes
+    val udfCount = udf((t: String) => bpe.countText(t))
+    graft.spark.io.PagesGen.pages(spark, nPages)
+      .withColumn("text", concat(col("text"), lit(" " + bpeBytePlant)))
+      .select(col("lang"),
+        TextExpressions.bpeMergedCountNative(col("text"), bpe).as("m"),
+        udfCount(col("text")).as("mu"),
+        TextExpressions.bpeMergedCountNative(col("text")).as("mc"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("pre"),
+        octet_length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("m")).as("merged_tokens"),
+        max(col("m")).as("max_merged"),
+        every(col("m") === col("mu")).as("codegen_parity_ok"),
+        every(col("m") >= col("pre") && col("m") <= col("nb")).as("bounds_ok"),
+        every(col("m") > col("mc")).as("gt_codepoint_ok"))
+  }
+
+  /** Non-ASCII plant for [[bpeByteMergeVerified]]: multi-byte code points
+    * from three scripts, so byte-level counting diverges from
+    * codepoint-level on EVERY planted page. */
+  val bpeBytePlant = "café señor straße 東京 москва"
+
   /** Rolling fingerprints are a pure function of content, so the per-lang
     * distinct-fingerprint count can never exceed the distinct-text count. */
   def fingerprintRollingVerified(spark: SparkSession, dir: String): DataFrame =

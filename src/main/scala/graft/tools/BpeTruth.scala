@@ -34,6 +34,17 @@ object BpeTruth {
       else s"('${r.getString(0)}', ${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)}, true, true), "
       println(cast + s"  -- parity=${r.getBoolean(4)} bounds=${r.getBoolean(5)}")
     }
+    val byteRows = graft.spark.VerifiedQueries.bpeByteMergeVerified(spark, n)
+      .orderBy("lang").collect()
+    println("-- q_bpe_bytes oracle literals --")
+    byteRows.zipWithIndex.foreach { case (r, i) =>
+      val cast = if (i == 0) s"('${r.getString(0)}', CAST(${r.getLong(1)} AS BIGINT), " +
+        s"CAST(${r.getLong(2)} AS BIGINT), CAST(${r.getLong(3)} AS BIGINT), true, true, true), "
+      else s"('${r.getString(0)}', ${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)}, " +
+        "true, true, true), "
+      println(cast + s"  -- parity=${r.getBoolean(4)} bounds=${r.getBoolean(5)} " +
+        s"ge_cp=${r.getBoolean(6)}")
+    }
     spark.stop()
   }
 }

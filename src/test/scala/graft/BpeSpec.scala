@@ -64,6 +64,66 @@ class BpeSpec extends AnyFunSuite {
     assert(bpe.countText("   \n\t ") == 0L)
   }
 
+  test("bytes_to_unicode table is the GPT-2 bijection") {
+    val m = BpeTokenizer.byteToChar
+    assert(m.length == 256)
+    assert(m.toSet.size == 256, "must be a bijection")
+    // printable bytes map to themselves
+    ('!' to '~').foreach(c => assert(m(c.toInt) == c))
+    (0xa1 to 0xac).foreach(b => assert(m(b) == b.toChar))
+    (0xae to 0xff).foreach(b => assert(m(b) == b.toChar))
+    // the 68 non-printables take consecutive code points from 256
+    assert(m(0) == 256.toChar)        // NUL is the first non-printable
+    assert(m(' '.toInt) == (256 + 32).toChar) // space is the 33rd
+    assert(m.filter(_ >= 256.toChar).length == 68)
+  }
+
+  test("byte-level mode: ASCII-identical to codepoint mode, strictly larger on non-ASCII") {
+    val cp = BpeTokenizer.standard
+    val by = BpeTokenizer.standardBytes
+    // the training corpus is ASCII, so the learned tables coincide
+    assert(by.merges == cp.merges)
+    Seq("the quick brown fox jumps over the lazy dog",
+      "internationalization", "a plain ascii sentence 42!").foreach { s =>
+      assert(by.countText(s) == cp.countText(s), s"ASCII parity for '$s'")
+    }
+    // non-ASCII: each multi-byte code point is >= 2 unmergeable byte symbols
+    Seq("café", "straße", "東京", "москва", "señor niño").foreach { s =>
+      assert(by.countText(s) > cp.countText(s), s"byte > codepoint for '$s'")
+    }
+    // hand-checked: café = c,a,f + 2 bytes for é; "ca" is a learned merge
+    assert(cp.encodeText("café").toSeq.map(_.length).sum == 4)
+    assert(by.countText("café") == cp.countText("café") + 1)
+    // CJK: 3 UTF-8 bytes per char, none mergeable under the ASCII table
+    assert(by.countText("東京") == 6L)
+    assert(cp.countText("東京") == 2L)
+    // piece lengths in byte mode sum to the UTF-8 byte count of pre-tokens
+    val s = "héllo wörld 東京"
+    val preBytes = s.replaceAll("\\s", "")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(by.encodeText(s).map(_.length).sum == preBytes)
+  }
+
+  test("curate budgets switch to byte-level counts (pluggable tokenCounter)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val docs = (0L until 20L)
+      .map(i => (i, "lang1", "src", s"unique doc $i café señor 東京 words here and more padding text"))
+      .toDF("doc_id", "lang", "source", "text")
+    val bench = Seq.empty[String].toDF("text")
+    def totalToks(counter: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      graft.spark.pipeline.DataPipeline.curate(docs, bench, tokenBudget = 1000000L,
+          tokenCounter = counter)
+        .agg(org.apache.spark.sql.functions.sum("toks")).head().getLong(0)
+    val cpTotal = totalToks(
+      graft.spark.fns.TextExpressions.bpeMergedCountNative(_, BpeTokenizer.standard))
+    val byTotal = totalToks(
+      graft.spark.fns.TextExpressions.bpeMergedCountNative(_, BpeTokenizer.standardBytes))
+    assert(byTotal > cpTotal, "byte-level budget must exceed codepoint on non-ASCII docs")
+  }
+
   test("merge table survives serialization (the Expression reference-object path)") {
     val bpe = BpeTokenizer.standard
     val bos = new java.io.ByteArrayOutputStream()
