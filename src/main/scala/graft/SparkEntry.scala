@@ -84,7 +84,7 @@ object SparkEntry {
     "q_ann_lsh_recall" -> ((s, d) => VerifiedQueries.annLshRecallVerified(s, d, 0.6)),
     "q_ann_ivf_recall" -> ((s, d) => VerifiedQueries.annIvfRecallVerified(s, d, 0.4)),
     "q_ann_pq_recall" -> ((s, d) => VerifiedQueries.annPqRecallVerified(s, d, 0.4)),
-    "q_ann_ivfpq_recall" -> ((s, d) => VerifiedQueries.annIvfPqRecallVerified(s, d, 0.4)),
+    "q_ann_ivfpq_recall" -> ((s, d) => VerifiedQueries.annIvfPqRecallVerified(s, d, 0.6)),
     "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),

@@ -969,8 +969,10 @@ object VerifiedQueries {
   def annPqRecallVerified(spark: SparkSession, dir: String, minRecall: Double): DataFrame =
     recallOk(SparkQueries.annPqRecall(spark, dir), minRecall)
 
-  /** IVFPQ (cell pruning + byte-code ADC) recall >= threshold per query —
-    * the fully composed 10^12-row layout; measured mins 0.4 at all 3 SFs. */
+  /** IVFPQ (cell pruning + byte-code ADC + exact refine of the shortlist)
+    * recall >= threshold per query — the fully composed 10^12-row layout.
+    * With the refine stage the measured floor equals the IVF cell-pruning
+    * ceiling: 0.6 at all 3 SFs (graft.tools.PqProbe; was 0.4 without). */
   def annIvfPqRecallVerified(spark: SparkSession, dir: String, minRecall: Double): DataFrame =
     recallOk(SparkQueries.annIvfPqRecall(spark, dir), minRecall)
 

@@ -275,12 +275,11 @@ object Dedup extends Serializable {
     import graft.spark.ann.Ann
     val tele = telemetry.getOrElse(TruncationTelemetry(df.sparkSession, "embed_neardup"))
     val base = df.select(col(idCol).cast("long").as("vid"), col(embCol).as("emb"))
-    val sigFns = (0 until tables).map(t => Ann.hyperplaneSig(bitsPerTable, dim, seed = 2000L + t))
+    // fused kernel: ONE UDF call emits all table signatures (bit-identical
+    // to the per-table hyperplaneSig chain — VecExprSpec)
+    val sigsAll = Ann.hyperplaneSigs(tables, bitsPerTable, dim, seedBase = 2000L)
     val bucketed = base
-      .select(col("vid"), explode(array(sigFns.zipWithIndex.map { case (fn, t) =>
-        struct(lit(t).as("t"), fn(col("emb")).as("h"))
-      }: _*)).as("b"))
-      .select(col("vid"), col("b.t").as("t"), col("b.h").as("h"))
+      .select(col("vid"), posexplode(sigsAll(col("emb"))).as(Seq("t", "h")))
     val candidates = bucketed
       .groupBy(col("t"), col("h"))
       .agg(collect_list(col("vid")).as("ids"))

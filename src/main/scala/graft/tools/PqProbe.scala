@@ -10,7 +10,10 @@ object PqProbe {
     spark.sparkContext.setLogLevel("WARN")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
       Seq("pq" -> graft.spark.SparkQueries.annPqRecall _,
-          "ivfpq" -> graft.spark.SparkQueries.annIvfPqRecall _).foreach { case (name, fn) =>
+          "ivfpq" -> graft.spark.SparkQueries.annIvfPqRecall _,
+          // the IVF-exact ceiling: with the refine stage, ivfpq recall
+          // should match this line (quantization error removed)
+          "ivf_ceiling" -> graft.spark.SparkQueries.annIvfRecall _).foreach { case (name, fn) =>
         val rows = fn(spark, dir).orderBy("query_id").collect()
         println(s"$name $dir: " + rows.map(r => f"${r.getLong(0)}:${r.getDouble(1)}%.2f").mkString(" "))
       }

@@ -58,6 +58,50 @@ class PqSpec extends AnyFunSuite {
     assert(pq == exact, s"pq=$pq exact=$exact")
   }
 
+  test("ivfPqTopK: residual+refine on CLUSTERED data retrieves the planted neighbors") {
+    import spark.implicits._
+    // clustered corpus (the regime residual encoding exists for): 8 cluster
+    // centers, members = center + small jitter; queries are the centers
+    val dim = 32
+    val centers = (0 until 8).map(c => rngVec(300L + c, dim))
+    val rows = (0 until 8).flatMap { c =>
+      (0 until 60).map { j =>
+        val r = new SplitMix64(40000L + c * 100 + j)
+        val v = centers(c).map(x =>
+          x + ((r.nextLong() >>> 11) * (1.0 / (1L << 52)) - 0.5).toFloat * 0.08f)
+        ((c * 60 + j).toLong, v)
+      }
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = (0 until 8).map(c => (c.toLong, centers(c))).toDF("query_id", "q_embedding")
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    def recallOf(residual: Boolean, refineFactor: Int): Map[Long, Double] = {
+      val approx = Ann.ivfPqTopK(corpus, queries, 5, dim = dim, nlist = 8, nprobe = 4,
+          m = 8, ksub = 32, trainSample = 480, residual = residual,
+          refineFactor = refineFactor)
+        .select(col("query_id").as("aq"), col("vec_id").as("av"))
+      exact.join(approx, exact("query_id") === col("aq") && exact("vec_id") === col("av"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(when(col("av").isNotNull, 1).otherwise(0)) / count(lit(1))).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // refineFactor must cover the near-tie set: all 60 cluster members are
+    // nearly equidistant from the query, so ADC ranks them ~arbitrarily and
+    // a 20-item shortlist keeps a near-random subset — 16*k = 80 > 60 makes
+    // the exact re-rank see the whole tie group (the scaladoc'd caveat)
+    val full = recallOf(residual = true, refineFactor = 16)
+    full.foreach { case (q, r) => assert(r >= 0.8, s"query $q recall $r") }
+    // simple mode with refine must also work (refine erases quantization
+    // error from the final ranking); both produce exactly k rows per query
+    val simple = recallOf(residual = false, refineFactor = 16)
+    simple.foreach { case (q, r) => assert(r >= 0.8, s"query $q recall $r") }
+    val n = Ann.ivfPqTopK(corpus, queries, 5, dim = dim, nlist = 8, nprobe = 4,
+      m = 8, ksub = 32, trainSample = 480).groupBy(col("query_id"))
+      .count().collect().map(_.getLong(1))
+    assert(n.forall(_ == 5L))
+  }
+
   test("planted near-neighbors survive quantization (recall@5 >= 0.8)") {
     import spark.implicits._
     val dim = 32

@@ -48,6 +48,28 @@ class VecExprSpec extends AnyFunSuite {
     assert(plan.contains("cosine_f32"), s"expected the native kernel in:\n$plan")
   }
 
+  test("fused hyperplaneSigs matches the per-table hyperplaneSig chain bit-for-bit") {
+    import spark.implicits._
+    import graft.spark.ann.Ann
+    val tables = 6; val bits = 12; val dim = 64
+    def vec(seed: Int): Array[Float] = {
+      val r = new graft.core.SplitMix64(seed.toLong)
+      Array.fill(dim)(((r.nextLong() >>> 11) * (1.0 / (1L << 52)) - 1.0).toFloat)
+    }
+    val rows = (0 until 50).map(i => Tuple1(vec(i))) :+
+      Tuple1(Array.fill(dim)(0.0f)) :+ Tuple1(vec(999).take(10)) // short vector
+    val df = rows.toDF("v").repartition(2)
+    val fused = Ann.hyperplaneSigs(tables, bits, dim, seedBase = 1000L)
+    val perTable = (0 until tables).map(t => Ann.hyperplaneSig(bits, dim, seed = 1000L + t))
+    val got = df.select(fused($"v").as("all") +:
+        perTable.zipWithIndex.map { case (fn, t) => fn($"v").as(s"s$t") }: _*)
+      .collect()
+    got.foreach { r =>
+      val all = r.getSeq[Long](0)
+      (0 until tables).foreach(t => assert(all(t) == r.getLong(1 + t), s"table $t"))
+    }
+  }
+
   test("null inputs and length mismatches yield null, like the old chain") {
     import spark.implicits._
     val df = Seq(
