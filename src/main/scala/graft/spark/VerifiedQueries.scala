@@ -434,10 +434,14 @@ object VerifiedQueries {
   def langIdVerified(spark: SparkSession): DataFrame =
     graft.spark.text.LangEval.docs(spark, docsPerLang = 50)
       .select(col("lang"),
-        graft.spark.fns.TextExpressions.langIdNative(col("text")).as("predicted"))
+        graft.spark.fns.TextExpressions.langIdNative(col("text")).as("predicted"),
+        // per-mille decision confidence (integer margin — exactly
+        // reproducible, so the per-lang MIN is a hard oracle literal)
+        graft.spark.fns.TextExpressions.langConfidenceNative(col("text")).as("conf"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
+        min(col("conf")).as("min_conf_pm"))
 
   /** TRUE-BPE merged-token counts over the deterministic pages fixture
     * (seed 42): the learned 256-merge table ([[graft.spark.text.BpeTokenizer.standard]],

@@ -385,6 +385,27 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lang_id"
 }
 
+/** Codegen'd language-ID confidence (per mille): the rank-distance margin of
+  * the winning profile over the runner-up (script-tier decisions carry 1000,
+  * the stopword fallback 0 — [[graft.spark.text.TextFunctions
+  * .classifyConfidence]]). Integer output, so confidence thresholds are
+  * exactly reproducible across engines. */
+case class LangConfidenceExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.spark.text.TextFunctions.classifyConfidence(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.spark.text.TextFunctions.classifyConfidence($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lang_confidence"
+}
+
 /** Codegen'd true-BPE merged-token count: pre-tokenize + run the learned
   * merge loop per pre-token, sum piece counts. The tokenizer (merge ranks)
   * rides the plan as a shared per-executor reference object — the same
@@ -443,4 +464,8 @@ object TextExpressions {
   /** Codegen'd three-tier language ID. */
   def langIdNative(c: Column): Column =
     GraftColumnBridge.column(LangIdExpr(GraftColumnBridge.expression(c)))
+
+  /** Codegen'd per-mille confidence of the language-ID decision. */
+  def langConfidenceNative(c: Column): Column =
+    GraftColumnBridge.column(LangConfidenceExpr(GraftColumnBridge.expression(c)))
 }

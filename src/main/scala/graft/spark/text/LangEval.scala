@@ -116,7 +116,34 @@ object LangEval extends Serializable {
       "彼らは水車小屋の近くの橋に小さな舟を見つけた。",
       "こんなにたくさんの鳥を一度に見たことがない。",
       "会議は午後ずっと続いたが何も決まらなかった。",
-      "おばあさんは彼女が小さいころパンの焼き方を教えてくれた。"))
+      "おばあさんは彼女が小さいころパンの焼き方を教えてくれた。"),
+    "sv" -> Array(
+      "Hon öppnade fönstret och släppte in den kalla morgonluften i rummet.",
+      "Tåget var försenat igen, så vi väntade nästan en timme på perrongen.",
+      "Han skrev ett långt brev till sin bror men skickade det aldrig.",
+      "De flesta affärerna i den här delen av staden stänger tidigt på söndagar.",
+      "De hittade en liten båt som var fastbunden vid bron nära kvarnen.",
+      "Jag har aldrig sett så många fåglar på ett och samma ställe.",
+      "Mötet pågick hela eftermiddagen och ingenting blev bestämt.",
+      "Hennes mormor lärde henne att baka bröd när hon var liten."),
+    "cs" -> Array(
+      "Otevřela okno a pustila do pokoje studený ranní vzduch.",
+      "Vlak měl zase zpoždění, takže jsme čekali skoro hodinu na nástupišti.",
+      "Napsal bratrovi dlouhý dopis, ale nikdy ho neposlal.",
+      "Většina obchodů v této části města zavírá v neděli brzy.",
+      "Našli malou loďku přivázanou k mostu u mlýna.",
+      "Nikdy jsem neviděl tolik ptáků na jednom místě.",
+      "Schůze trvala celé odpoledne a nic se nerozhodlo.",
+      "Babička ji naučila péct chleba, když byla malá."),
+    "tr" -> Array(
+      "Pencereyi açtı ve sabahın serin havasını odaya aldı.",
+      "Tren yine gecikti, bu yüzden peronda neredeyse bir saat bekledik.",
+      "Kardeşine uzun bir mektup yazdı ama hiç göndermedi.",
+      "Şehrin bu bölgesindeki dükkânların çoğu pazar günleri erken kapanır.",
+      "Değirmenin yanındaki köprüye bağlanmış küçük bir kayık buldular.",
+      "Bir yerde hiç bu kadar çok kuş görmemiştim.",
+      "Toplantı bütün öğleden sonra sürdü ve hiçbir şey kararlaştırılmadı.",
+      "Büyükannesi küçükken ona ekmek yapmayı öğretmişti."))
 
   val langs: Array[String] = pools.keys.toArray.sorted
 

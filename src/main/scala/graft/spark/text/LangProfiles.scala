@@ -116,7 +116,36 @@ object LangProfiles extends Serializable {
       "города медленно шли через площадь, разговаривая о новостях и о погоде. " +
       "Никто не спешил, и разговоры продолжались до полудня, когда магазины " +
       "закрывались на обед. Потом всё затихало, и слышно было только птиц на " +
-      "деревьях у реки."))
+      "деревьях у реки."),
+    "sv" -> ("Det gamla huset i slutet av gatan hade stått tomt i många år, " +
+      "och ingen i byn kunde minnas vem som hade bott där. När de nya ägarna " +
+      "äntligen kom fram tillbringade de hela sommaren med att laga taket och " +
+      "måla väggarna. Barnen tittade på från trädgårdsgrinden och hoppades " +
+      "att de skulle bli inbjudna. Det var en sådan plats som alla pratade om " +
+      "utan att egentligen veta någonting. På morgonen gick stadens människor " +
+      "långsamt över torget och talade om nyheterna och vädret. Ingen hade " +
+      "bråttom, och samtalen fortsatte till middagstid, när butikerna stängde " +
+      "för lunch. Sedan blev allt tyst, och man hörde bara fåglarna i träden " +
+      "vid floden."),
+    "cs" -> ("Starý dům na konci ulice stál mnoho let prázdný a nikdo ve vsi " +
+      "si nepamatoval, kdo v něm bydlel. Když noví majitelé konečně přijeli, " +
+      "strávili celé léto opravou střechy a malováním stěn. Děti se dívaly od " +
+      "zahradní branky a doufaly, že budou pozvány dovnitř. Bylo to jedno z " +
+      "těch míst, o kterých všichni mluvili, aniž by doopravdy něco věděli. " +
+      "Ráno šli lidé z města pomalu přes náměstí a povídali si o novinkách a " +
+      "o počasí. Nikdo nespěchal a rozhovory trvaly až do poledne, kdy " +
+      "obchody zavíraly na oběd. Potom všechno ztichlo a bylo slyšet jen " +
+      "ptáky na stromech u řeky."),
+    "tr" -> ("Sokağın sonundaki eski ev yıllarca boş durmuştu ve köyde kimse " +
+      "orada kimin yaşadığını hatırlamıyordu. Yeni sahipleri sonunda " +
+      "geldiğinde bütün yazı çatıyı onarmak ve duvarları boyamakla " +
+      "geçirdiler. Çocuklar bahçe kapısından izliyor ve içeri çağrılmayı " +
+      "umuyorlardı. Orası herkesin gerçekten bir şey bilmeden hakkında " +
+      "konuştuğu yerlerden biriydi. Sabahları kasabanın insanları meydandan " +
+      "yavaşça geçiyor, haberlerden ve havadan söz ediyorlardı. Kimsenin " +
+      "acelesi yoktu ve konuşmalar öğlene kadar sürüyordu, dükkânlar yemek " +
+      "için kapandığında. Sonra her şey sessizleşiyor ve yalnızca nehir " +
+      "kıyısındaki ağaçlarda kuşlar duyuluyordu."))
 
   /** Padded-word char 1..4-grams of a text, most frequent first, capped at
     * `profileSize`. Ties rank lexicographically (determinism). */
@@ -181,15 +210,27 @@ object LangProfiles extends Serializable {
   /** Classify a (Latin/Cyrillic) text by minimum out-of-place distance;
     * deterministic lexicographic tie-break; null when the text yields no
     * letter grams. */
-  def classify(text: String): String = {
+  def classify(text: String): String = classifyWithConfidence(text)._1
+
+  /** [[classify]] plus a thresholdable confidence: the per-mille margin of
+    * the best profile distance over the runner-up,
+    * `(d2 − d1) · 1000 / d2` (integer math, so the value is exactly
+    * reproducible in any engine). 0 = the top two languages tie (the text
+    * carries no discriminating signal); values near 1000 mean the runner-up
+    * is at many times the winning distance. (null, 0) when the text yields
+    * no letter grams. */
+  def classifyWithConfidence(text: String): (String, Long) = {
     val p = profile(text)
-    if (p.isEmpty) return null
+    if (p.isEmpty) return (null, 0L)
     var best: String = null
-    var bestD = Long.MaxValue
+    var d1 = Long.MaxValue
+    var d2 = Long.MaxValue
     training.keys.toSeq.sorted.foreach { lang =>
       val d = distance(p, lang)
-      if (d < bestD) { bestD = d; best = lang }
+      if (d < d1) { d2 = d1; d1 = d; best = lang }
+      else if (d < d2) d2 = d
     }
-    best
+    val conf = if (d2 <= 0L || d2 == Long.MaxValue) 0L else (d2 - d1) * 1000L / d2
+    (best, conf)
   }
 }

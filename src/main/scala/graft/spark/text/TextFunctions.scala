@@ -163,6 +163,12 @@ object TextFunctions extends Serializable {
       "maar", "zijn", "op", "te"),
     "pl" -> Set("się", "nie", "jest", "że", "być", "jak", "ale", "czy", "dla", "przez",
       "na", "do", "z", "co"),
+    "sv" -> Set("och", "att", "det", "som", "en", "är", "på", "av", "för", "med",
+      "den", "inte"),
+    "cs" -> Set("se", "na", "je", "že", "do", "to", "ale", "jako", "po", "už",
+      "při", "aby"),
+    "tr" -> Set("ve", "bir", "bu", "da", "de", "için", "ile", "çok", "ama", "gibi",
+      "daha", "en"),
   )
 
   /** Deterministic language ID, three tiers:
@@ -178,8 +184,22 @@ object TextFunctions extends Serializable {
 
   /** The langId kernel as a plain function (UDF body; also the direct
     * surface LangTruth evaluates without a Spark session). */
-  def classifyText(text: String): String = {
-    if (text == null || text.isEmpty) "und"
+  def classifyText(text: String): String = classifyTextWithConfidence(text)._1
+
+  /** Confidence of the [[classifyText]] decision, per mille (the codegen'd
+    * [[graft.spark.fns.LangConfidenceExpr]] body): script-tier decisions
+    * (ja/zh/ru by character class) are certain → 1000; profile-tier
+    * decisions carry the rank-distance margin over the runner-up language
+    * ([[LangProfiles.classifyWithConfidence]], integer per-mille, so exactly
+    * reproducible); the stopword fallback and "und" carry 0 — a curation
+    * pipeline thresholds on this to drop ambiguous-language docs. */
+  def classifyConfidence(text: String): Long = classifyTextWithConfidence(text)._2
+
+  /** (language, per-mille confidence) — the single decision kernel both
+    * [[classifyText]] and [[classifyConfidence]] project from (one code
+    * path, no drift). */
+  def classifyTextWithConfidence(text: String): (String, Long) = {
+    if (text == null || text.isEmpty) ("und", 0L)
     else {
       var cjk = 0; var kana = 0; var cyr = 0; var total = 0
       var i = 0
@@ -194,14 +214,14 @@ object TextFunctions extends Serializable {
         }
         i += Character.charCount(cp)
       }
-      if (total == 0) "und"
-      else if (kana * 10 >= total) "ja"
-      else if (cjk * 10 * 3 >= total) "zh"
-      else if (cyr * 10 * 3 >= total) "ru"
+      if (total == 0) ("und", 0L)
+      else if (kana * 10 >= total) ("ja", 1000L)
+      else if (cjk * 10 * 3 >= total) ("zh", 1000L)
+      else if (cyr * 10 * 3 >= total) ("ru", 1000L)
       else {
         val head = if (text.length <= 2000) text else text.substring(0, 2000)
-        LangProfiles.classify(head) match {
-          case null =>
+        LangProfiles.classifyWithConfidence(head) match {
+          case (null, _) =>
             // Locale.ROOT: a Turkish/Azeri default locale would lowercase
             // 'I' to dotless ı and silently change classifications
             val toks = head.toLowerCase(java.util.Locale.ROOT).split("\\s+").take(400)
@@ -210,8 +230,8 @@ object TextFunctions extends Serializable {
               val score = toks.count(words.contains)
               if (score > bestScore) { bestScore = score; best = lang }
             }
-            best
-          case l => l
+            (best, 0L)
+          case hit => hit
         }
       }
     }

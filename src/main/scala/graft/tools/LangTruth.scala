@@ -30,11 +30,14 @@ object LangTruth {
 
     println("-- held-out docs (LangEval) --")
     val rows = LangEval.langs.map { lang =>
-      val correct = (0L until perLang.toLong)
-        .count(i => classify(LangEval.textOf(lang, i)) == lang)
-      (lang, perLang.toLong, correct.toLong)
+      val results = (0L until perLang.toLong).map { i =>
+        graft.spark.text.TextFunctions.classifyTextWithConfidence(LangEval.textOf(lang, i))
+      }
+      val correct = results.count(_._1 == lang)
+      val minConf = results.map(_._2).min
+      (lang, perLang.toLong, correct.toLong, minConf)
     }
-    rows.foreach { case (l, n, c) => println(s"  $l: $c/$n") }
+    rows.foreach { case (l, n, c, mc) => println(s"  $l: $c/$n min_conf_pm=$mc") }
 
     println("-- legacy stopword fixture (LangFixture) --")
     LangFixture.langs.foreach { lang =>
@@ -44,9 +47,10 @@ object LangTruth {
     }
 
     println("-- q_lang_id oracle literals --")
-    rows.zipWithIndex.foreach { case ((l, n, c), i) =>
-      val row = if (i == 0) s"('$l', CAST($n AS BIGINT), CAST($c AS BIGINT)), "
-      else s"('$l', $n, $c), "
+    rows.zipWithIndex.foreach { case ((l, n, c, mc), i) =>
+      val row =
+        if (i == 0) s"('$l', CAST($n AS BIGINT), CAST($c AS BIGINT), CAST($mc AS BIGINT)), "
+        else s"('$l', $n, $c, $mc), "
       println(row)
     }
   }

@@ -37,6 +37,30 @@ class LangEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("confidence tiers: script=1000, profile margin in (0,1000], und/fallback=0") {
+    // script tier is certain
+    assert(TextFunctions.classifyTextWithConfidence(LangEval.pools("ja")(0)) ==
+      ("ja", 1000L))
+    assert(TextFunctions.classifyTextWithConfidence(LangEval.pools("zh")(0)) ==
+      ("zh", 1000L))
+    // profile tier: every held-out doc decision has a positive margin
+    // (the per-lang MIN is the q_lang_id oracle literal)
+    LangEval.langs.filterNot(Set("ja", "zh", "ru")).foreach { lang =>
+      (0L until 50L).foreach { i =>
+        val (got, conf) = TextFunctions.classifyTextWithConfidence(LangEval.textOf(lang, i))
+        assert(got == lang)
+        assert(conf > 0L && conf <= 1000L, s"$lang doc $i conf=$conf")
+      }
+    }
+    // no signal -> zero confidence
+    assert(TextFunctions.classifyTextWithConfidence("")._2 == 0L)
+    assert(TextFunctions.classifyTextWithConfidence("12345 .. 90")._2 == 0L)
+    // classify/confidence project from ONE kernel — no drift possible
+    val s = LangEval.textOf("sv", 7L)
+    assert(TextFunctions.classifyText(s) == TextFunctions.classifyTextWithConfidence(s)._1)
+    assert(TextFunctions.classifyConfidence(s) == TextFunctions.classifyTextWithConfidence(s)._2)
+  }
+
   test("degenerate inputs stay und / signal-free") {
     assert(TextFunctions.classifyText(null) == "und")
     assert(TextFunctions.classifyText("") == "und")
