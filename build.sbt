@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked stdout passes through RAW (not re-logged at [info] level): with
+// `sbt -error "runMain graft.Bench"` nothing else reaches stdout, so the
+// bench JSON is the ONLY stdout line and the driver's parse cannot miss it
+// (Spark's own log4j output goes to stderr).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

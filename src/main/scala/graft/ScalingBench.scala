@@ -260,6 +260,16 @@ object ScalingBench {
          |runs ~${rate(2) / 7000}%.0fx the reference single-node rate at 2 threads
          |and ~${rate(8) / 7000}%.0fx at 8.
          |
+         |## Corpus-operator scaling
+         |
+         |The five corpus-level operators (line/span frequency flags,
+         |decontamination, fractional contamination, minhash+CC near-dup
+         |clustering) have their own measured sf0.1-vs-10x growth curve in
+         |**BENCH/CORPUS_SCALE.md** (`runMain graft.tools.CorpusScale`):
+         |per-doc rates hold or improve at 10x the rows (ratios 1.1-8.3x —
+         |the small level is fixed-overhead-bound), i.e. every corpus op is
+         |measured linear-in-rows at these sizes.
+         |
          |Reproduce (one fresh JVM per level — in-process back-to-back sessions
          |carry heap/GC state and poison the comparison):
          |```

@@ -208,9 +208,10 @@ object Corpus {
     import graft.hash.Fnv
     val spark = docs.sparkSession
     // materialize the (thresholded, corpus-much-smaller) heavy set ONCE —
-    // the size probe below and the chosen rebuild path both read it, and
-    // recomputing it would cost a second full-corpus explode+aggregate.
-    // persist keeps the lineage (cluster-safe), the count() materializes
+    // the limit-probe below answers the size question in the same job that
+    // collects the broadcast-path data, and persist (lazy marking;
+    // lineage-keeping, cluster-safe) lets the join-rebuild fallback reuse
+    // what the probe already computed instead of re-aggregating the corpus
     val heavyDf = docs
       .select(explode(split(col(textCol), "\n")).as("line"))
       .filter(trim(col("line")) =!= "")
@@ -219,8 +220,10 @@ object Corpus {
       .filter(col("c") >= minCount)
       .select(col("h"))
       .persist()
-    if (heavyDf.count() <= maxHeavyBroadcast) {
-      val heavy = heavyDf.collect().map(_.getLong(0)).toSet
+    val lim = (math.min(maxHeavyBroadcast, (Int.MaxValue - 2).toLong) + 1L).toInt
+    val probe = heavyDf.limit(lim).collect()
+    if (probe.length < lim) {
+      val heavy = probe.map(_.getLong(0)).toSet
       heavyDf.unpersist(blocking = false) // the broadcast variable owns the data now
       val bc = spark.sparkContext.broadcast(heavy)
       // blank test must equal SQL trim(x) = '' (spaces only — NOT Java trim,
@@ -281,10 +284,14 @@ object Corpus {
     val heavyDf = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("h"))
-      .persist()
-    if (heavyDf.count() <= maxHeavyBroadcast) {
-      val arr = heavyDf.collect().map(_.getLong(0))
-      heavyDf.unpersist(blocking = false)
+      .persist() // marks only; the probe job below materializes what it scans
+    // ONE probe job: limit(max+1) bounds the driver memory AND answers the
+    // size question — a result shorter than the limit IS the complete set
+    val lim = (math.min(maxHeavyBroadcast, (Int.MaxValue - 2).toLong) + 1L).toInt
+    val probe = heavyDf.limit(lim).collect()
+    if (probe.length < lim) {
+      val arr = probe.map(_.getLong(0))
+      heavyDf.unpersist(blocking = false) // the broadcast variable owns the data now
       java.util.Arrays.sort(arr)
       val bc = spark.sparkContext.broadcast(arr)
       val isHeavy = udf((h: Long) => java.util.Arrays.binarySearch(bc.value, h) >= 0)
