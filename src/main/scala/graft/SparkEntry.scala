@@ -44,6 +44,7 @@ object SparkEntry {
     "q_fingerprint_md5" -> (SparkQueries.fingerprintMd5(_, _)),
     "q_repetition" -> (SparkQueries.repetitionStats(_, _)),
     "q_gopher" -> (SparkQueries.gopherStats(_, _)),
+    "q_gopher_stopwords" -> (SparkQueries.gopherStopwordStats(_, _)),
     "q_pii" -> (SparkQueries.piiStats(_, _)),
     "q_heavy_domains_exact" -> (SparkQueries.heavyDomainsExact(_, _)),
     "q_events_hourly" -> (SparkQueries.eventsHourly(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_video_roundtrip" -> ((s, _) => VerifiedQueries.videoRoundtripVerified(s, 1000L)),
     "q_bpe_merge" -> ((s, _) => VerifiedQueries.bpeMergeVerified(s, 20000L)),
     "q_bpe_bytes" -> ((s, _) => VerifiedQueries.bpeByteMergeVerified(s, 20000L)),
+    "q_perplexity" -> ((s, _) => VerifiedQueries.perplexityVerified(s, 20000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
     "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
   )
@@ -328,6 +330,24 @@ object SparkEntry {
         "' WHEN doc_id % 7 = 1 THEN '" + graft.spark.SparkQueries.gopherEllipsisPlant +
         "' WHEN doc_id % 7 = 2 THEN '" + graft.spark.SparkQueries.gopherNumericPlant +
         "' ELSE '' END AS text FROM documents))) GROUP BY lang"),
+    // language-bound Gopher stop-word rule: lists + plants are generated
+    // from the SAME gopherStopwords map the Spark side uses (no drift)
+    "q_gopher_stopwords" -> {
+      val byLang = graft.spark.text.TextFunctions.gopherStopwords.toSeq.sortBy(_._1)
+      val listCase = "CASE lang " + byLang.map { case (l, ws) =>
+        s"WHEN '$l' THEN ${ws.map(w => s"'$w'").mkString("[", ", ", "]")} "
+      }.mkString + "ELSE [] END"
+      val plantCase = "CASE lang " + byLang.map { case (l, ws) =>
+        s"WHEN '$l' THEN ' ${ws.mkString(" ")}' "
+      }.mkString + "ELSE '' END"
+      "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(h) AS BIGINT) AS total_hits, " +
+        "CAST(SUM(CASE WHEN h >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass FROM (" +
+        "SELECT lang, len(list_filter(list_filter(" +
+        "regexp_split_to_array(lower(p), '\\s+'), x -> x <> ''), " +
+        s"x -> list_contains($listCase, x))) AS h FROM (" +
+        "SELECT lang, text || CASE WHEN doc_id % 3 = 0 THEN " +
+        s"$plantCase ELSE '' END AS p FROM documents)) GROUP BY lang"
+    },
     "q_pii" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(len(regexp_extract_all(p, '" + graft.spark.text.TextFunctions.emailPattern +
@@ -627,6 +647,23 @@ object SparkEntry {
         "('ru', 1206, 472875, 6490, true, true, true), " +
         "('zh', 1863, 737452, 6377, true, true, true)) " +
         "AS t(lang, n_pages, merged_tokens, max_merged, codegen_parity_ok, bounds_ok, gt_codepoint_ok)"),
+    // CCNet-style char-LM perplexity (Stupid-Backoff order-4, milli-bits
+    // per char, floored integers); literals from `runMain graft.tools
+    // .LmTruth 20000`. separation_ok pins that a natural-English suffix
+    // scores strictly cheaper than equal-length gibberish on EVERY page —
+    // the property that makes perplexity a usable quality filter
+    "q_perplexity" ->
+      ("SELECT * FROM (VALUES " +
+        "('de', CAST(3700 AS BIGINT), CAST(17930286 AS BIGINT), CAST(8154 AS BIGINT), true, true, true), " +
+        "('en', 7488, 36461850, 8193, true, true, true), " +
+        "('es', 1423, 6921477, 8229, true, true, true), " +
+        "('fr', 2341, 11360570, 8399, true, true, true), " +
+        "('ja', 1079, 5241036, 7673, true, true, true), " +
+        "('pt', 900, 4359076, 8025, true, true, true), " +
+        "('ru', 1206, 5844734, 7899, true, true, true), " +
+        "('zh', 1863, 9031632, 8309, true, true, true)) " +
+        "AS t(lang, n_pages, sum_bits_milli, max_bits_milli, codegen_parity_ok, " +
+        "positive_ok, separation_ok)"),
     // literals generated by `runMain graft.tools.PagesTruth 20000` —
     // deterministic ground truth of the synthetic pages table (seed 42)
     "q_pages_battery" ->

@@ -317,6 +317,28 @@ object SparkQueries {
         sum(col("na")).as("total_alpha_words"))
   }
 
+  /** The language-bound Gopher STOP-WORD rule (the one gopherStats leaves
+    * out): per-lang occurrence counts of the language's stop-word list and
+    * the >= 2-hits pass count. The fixture docs are synthetic word-salad, so
+    * each lang's own stop words are planted on the doc_id % 3 class (same
+    * transform on the oracle side) — pass decisions carry real signal;
+    * ja/zh have no whitespace stop-word list, so they honestly fail. */
+  def gopherStopwordStats(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = TextFunctions.gopherStopwords.toSeq.sortBy(_._1)
+    val plant = byLang.foldLeft(lit("")) { case (acc, (l, ws)) =>
+      when(col("lang") === l, lit(" " + ws.mkString(" "))).otherwise(acc)
+    }
+    val planted = concat(col("text"), when(col("doc_id") % 3 === 0, plant).otherwise(lit("")))
+    val hits = byLang.foldLeft(lit(0)) { case (acc, (l, ws)) =>
+      when(col("lang") === l, TextFunctions.stopwordHits(planted, ws)).otherwise(acc)
+    }
+    tbl(spark, dir, "documents")
+      .select(col("lang"), hits.cast("long").as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("total_hits"),
+        sum(when(col("h") >= 2, 1L).otherwise(0L)).as("n_pass"))
+  }
+
   /** PII detection + redaction accounting. The documents fixture carries no
     * PII, so deterministic synthetic PII is appended per doc (same transform
     * on the oracle side); the regex kernels then run over real text + the

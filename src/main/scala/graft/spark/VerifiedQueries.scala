@@ -508,6 +508,42 @@ object VerifiedQueries {
     * codepoint-level on EVERY planted page. */
   val bpeBytePlant = "café señor straße 東京 москва"
 
+  /** In-distribution / out-of-distribution plants for [[perplexityVerified]]:
+    * natural English prose vs same-length high-entropy junk — the LM must
+    * score the former strictly cheaper appended to ANY page. */
+  val lmNaturalPlant = "the work is divided between the machines that share it"
+  val lmGibberishPlant = "zq xvj qkz wxq jzv qxz kjq vzx qwj zxk vqj xjz qzk wvq"
+
+  /** CCNet-style perplexity scoring (Wenzek et al. 2020) over the pages
+    * fixture: per-lang totals of the char-LM milli-bits/char score
+    * (codegen'd [[graft.spark.fns.CharLmBitsExpr]], Stupid-Backoff order-4
+    * model trained on the embedded English prose). Verified three ways
+    * in-query: codegen parity vs an independent ScalaUDF evaluation of the
+    * same model; score positivity; and SEPARATION — for every page,
+    * appending natural English scores strictly fewer bits than appending
+    * equal-length gibberish (the property that makes perplexity a usable
+    * quality filter). Oracle = LmTruth-generated literals. */
+  def perplexityVerified(spark: SparkSession, nPages: Long): DataFrame = {
+    import graft.spark.fns.TextExpressions
+    val lm = graft.spark.text.CharLm.standard
+    val udfBits = udf((t: String) => lm.bitsMilli(t))
+    graft.spark.io.PagesGen.pages(spark, nPages)
+      .select(col("lang"),
+        TextExpressions.charLmBitsNative(col("text"), lm).as("m"),
+        udfBits(col("text")).as("mu"),
+        TextExpressions.charLmBitsNative(
+          concat(col("text"), lit(" " + lmNaturalPlant)), lm).as("mn"),
+        TextExpressions.charLmBitsNative(
+          concat(col("text"), lit(" " + lmGibberishPlant)), lm).as("mg"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("m")).as("sum_bits_milli"),
+        max(col("m")).as("max_bits_milli"),
+        every(col("m") === col("mu")).as("codegen_parity_ok"),
+        every(col("m") > 0L).as("positive_ok"),
+        every(col("mn") < col("mg")).as("separation_ok"))
+  }
+
   /** Rolling fingerprints are a pure function of content, so the per-lang
     * distinct-fingerprint count can never exceed the distinct-text count. */
   def fingerprintRollingVerified(spark: SparkSession, dir: String): DataFrame =

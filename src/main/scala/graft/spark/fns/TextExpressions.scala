@@ -429,6 +429,29 @@ case class BpeCountExpr(child: Expression, bpe: graft.spark.text.BpeTokenizer)
   override def prettyName: String = "bpe_count"
 }
 
+/** Codegen'd char-LM perplexity score (milli-bits per character, floored to
+  * a Long — integer-exact thresholds): the CCNet-style quality signal. The
+  * model (count maps) rides the plan as a shared per-executor reference
+  * object, like [[BpeCountExpr]]'s merge table. */
+case class CharLmBitsExpr(child: Expression, lm: graft.spark.text.CharLm)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    lm.bitsMilli(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCharLm", lm,
+      classOf[graft.spark.text.CharLm].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.bitsMilli($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "charlm_bits_milli"
+}
+
 object TextExpressions {
   def simhash64Native(c: Column): Column =
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c)))
@@ -468,4 +491,10 @@ object TextExpressions {
   /** Codegen'd per-mille confidence of the language-ID decision. */
   def langConfidenceNative(c: Column): Column =
     GraftColumnBridge.column(LangConfidenceExpr(GraftColumnBridge.expression(c)))
+
+  /** Codegen'd char-LM score (milli-bits/char) under the given model
+    * (defaults to the deterministic [[graft.spark.text.CharLm.standard]]). */
+  def charLmBitsNative(c: Column,
+      lm: graft.spark.text.CharLm = graft.spark.text.CharLm.standard): Column =
+    GraftColumnBridge.column(CharLmBitsExpr(GraftColumnBridge.expression(c), lm))
 }

@@ -1,0 +1,117 @@
+package graft.spark.text
+
+/** From-scratch character-n-gram language model for CCNet-style perplexity
+  * quality filtering (Wenzek et al. 2020 score documents with a KenLM 5-gram
+  * and filter/partition the corpus on perplexity; the idea and the backoff
+  * scheme here — Stupid Backoff, Brants et al. 2007 — are public).
+  *
+  * Scoring: per character, `S(c | ctx)` with contexts up to `order − 1`
+  * chars; a context hit scores `count(ctx·c) / count(ctx)`, a miss backs
+  * off with factor 0.4 to the shorter context, bottoming out at a Laplace
+  * unigram over the training alphabet + one OOV slot (strictly positive for
+  * ANY input). Text is normalized first (Locale.ROOT lowercase, whitespace
+  * runs → single space) — the same normalization CCNet applies before
+  * scoring. The document score is bits per character,
+  * `−Σ log2 S / n`; [[bitsMilli]] floors ×1000 into a Long so thresholds
+  * and oracle literals are integer-exact.
+  *
+  * Fully deterministic: fixed training corpus, fixed iteration-free count
+  * maps, no sampling — the same text scores the same milli-bits on every
+  * JVM, which is what makes q_perplexity a hard literal oracle.
+  */
+final class CharLm private (order: Int,
+                            grams: java.util.HashMap[String, Long],
+                            unigram: java.util.HashMap[String, Long],
+                            totalChars: Long,
+                            alphabetSize: Int) extends Serializable {
+
+  private val backoff = 0.4
+
+  /** CCNet-style normalization: lowercase + collapse whitespace runs. */
+  private def normalize(text: String): String = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lower.length)
+    var lastWs = false
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+      if (ws) { if (!lastWs && sb.length() > 0) sb.append(' '); lastWs = true }
+      else { sb.append(c); lastWs = false }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Stupid-Backoff score of char at position i given its context.
+    * NOTE: the count maps erase to boxed values, and Scala unboxes an
+    * absent-key null to 0L for a primitive-typed value — so membership is
+    * tested with getOrDefault + `> 0`, never `!= null`. */
+  private def scoreAt(s: String, i: Int): Double = {
+    var k = math.min(order - 1, i) // context length to try first
+    var factor = 1.0
+    while (k >= 1) {
+      val c = grams.getOrDefault(s.substring(i - k, i), 0L)
+      if (c > 0L) {
+        val hit = grams.getOrDefault(s.substring(i - k, i + 1), 0L)
+        if (hit > 0L) return factor * hit.toDouble / c.toDouble
+      }
+      factor *= backoff
+      k -= 1
+    }
+    // Laplace unigram floor (alphabet + 1 OOV slot): strictly positive
+    val cnt = unigram.getOrDefault(s.substring(i, i + 1), 0L)
+    factor * (cnt + 1).toDouble / (totalChars + alphabetSize + 1).toDouble
+  }
+
+  /** Bits per character of the normalized text (0.0 for empty/blank). */
+  def bitsPerChar(text: String): Double = {
+    if (text == null) return 0.0
+    val s = normalize(text)
+    if (s.isEmpty) return 0.0
+    var bits = 0.0
+    var i = 0
+    while (i < s.length) {
+      bits -= math.log(scoreAt(s, i)) / math.log(2.0)
+      i += 1
+    }
+    bits / s.length
+  }
+
+  /** floor(1000 × bits/char) — the integer-exact thresholding surface. */
+  def bitsMilli(text: String): Long = math.floor(1000.0 * bitsPerChar(text)).toLong
+}
+
+object CharLm {
+
+  /** Train an order-n char LM: counts of every 1..order-gram of the
+    * normalized corpus texts. */
+  def train(corpus: Iterable[String], order: Int = 4): CharLm = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    val grams = new java.util.HashMap[String, Long]()
+    val unigram = new java.util.HashMap[String, Long]()
+    var total = 0L
+    // companion objects see private members: reuse the instance normalizer
+    val probe = new CharLm(order, grams, unigram, 0L, 0)
+    corpus.foreach { text =>
+      val s = probe.normalize(text)
+      var i = 0
+      while (i < s.length) {
+        var k = 1
+        while (k <= order && i + k <= s.length) {
+          val g = s.substring(i, i + k)
+          grams.merge(g, 1L, (a, b) => a + b)
+          if (k == 1) { unigram.merge(g, 1L, (a, b) => a + b); total += 1 }
+          k += 1
+        }
+        i += 1
+      }
+    }
+    new CharLm(order, grams, unigram, total, unigram.size())
+  }
+
+  /** The standard deterministic model: order-4 over the same embedded
+    * English training prose the BPE table learns from (disjoint from every
+    * evaluation fixture). Real deployments train their own with [[train]]. */
+  lazy val standard: CharLm = train(BpeTokenizer.trainingCorpus, 4)
+}

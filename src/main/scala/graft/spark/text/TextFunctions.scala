@@ -130,6 +130,31 @@ object TextFunctions extends Serializable {
       (alphaWordCount(c) * 10 >= nw * 8)
   }
 
+  /** The Gopher STOP-WORD rule (Rae et al. 2021 §A1.1), the one rule
+    * [[gopherPass]] deliberately left out because it is language-bound: a
+    * document passes when at least `minHits` occurrences of its language's
+    * stop-word list appear among its (lowercased) tokens. [[gopherStopwords]]
+    * carries the en list verbatim from the paper and same-role function
+    * words for the other Latin/Cyrillic fixture languages; whitespace-free
+    * scripts (ja/zh) have no entry — the rule is inapplicable there (0 hits,
+    * fail), which is the honest reading of an English-corpus heuristic.
+    * Pure built-in expressions (filter + In), integer-exact. */
+  val gopherStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "von", "mit", "haben"),
+    "es" -> Seq("el", "la", "de", "que", "y", "con", "ser", "haber"),
+    "fr" -> Seq("le", "la", "de", "que", "et", "avec", "être", "avoir"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "com", "ser", "ter"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "быть", "с", "он"))
+
+  /** Occurrences of `words` among the lowercased whitespace tokens of `c`. */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokenArray(lower(c)), t => t.isInCollection(words)))
+
+  /** The stop-word gate: hits >= minHits (Gopher's threshold is 2). */
+  def stopwordPass(c: Column, words: Seq[String], minHits: Int = 2): Column =
+    stopwordHits(c, words) >= minHits
+
   // ---- PII detection / redaction ----
   // Patterns are deliberately lookaround-free and ASCII-classed so Java
   // regex (engine) and RE2 (DuckDB oracle) match identically.

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.text.CharLm
+
+/** Char-n-gram LM perplexity scorer (CCNet-style quality filtering):
+  * determinism, normalization, strict positivity, in/out-of-distribution
+  * ordering, and the Expression reference-object serialization path. */
+class CharLmSpec extends AnyFunSuite {
+
+  test("deterministic: identical corpus -> identical scores") {
+    val a = CharLm.train(Seq("the cat sat on the mat", "the dog ate the food"))
+    val b = CharLm.train(Seq("the cat sat on the mat", "the dog ate the food"))
+    Seq("the cat", "a dog", "zzz qqq", "").foreach { s =>
+      assert(a.bitsMilli(s) == b.bitsMilli(s), s"'$s'")
+    }
+  }
+
+  test("scores are finite and strictly positive for any non-blank input") {
+    val lm = CharLm.standard
+    Seq("the quick brown fox", "zq xvj qkz wxq", "東京 москва", "a",
+      "!@#$%^&*()", "0123456789").foreach { s =>
+      val bits = lm.bitsPerChar(s)
+      assert(!bits.isNaN && !bits.isInfinite, s"'$s' -> $bits")
+      assert(bits > 0.0, s"'$s' -> $bits")
+      assert(lm.bitsMilli(s) > 0L, s"'$s'")
+    }
+    assert(lm.bitsMilli("") == 0L)
+    assert(lm.bitsMilli("   \n\t  ") == 0L)
+    assert(lm.bitsMilli(null) == 0L)
+  }
+
+  test("normalization: case and whitespace runs do not change the score") {
+    val lm = CharLm.standard
+    assert(lm.bitsMilli("The Quick   Brown\t\tFox") == lm.bitsMilli("the quick brown fox"))
+  }
+
+  test("orders in/out-of-distribution text correctly") {
+    val lm = CharLm.standard
+    val natural = lm.bitsPerChar("the work is divided between the machines that share it")
+    val salad = lm.bitsPerChar("data page web crawl spark sketch filter count text")
+    val gibberish = lm.bitsPerChar("zq xvj qkz wxq jzv qxz kjq vzx qwj zxk")
+    assert(natural < salad, s"natural $natural vs salad $salad")
+    assert(salad < gibberish, s"salad $salad vs gibberish $gibberish")
+  }
+
+  test("survives serialization (the Expression reference-object path)") {
+    val lm = CharLm.standard
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(lm); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[CharLm]
+    Seq("the quick brown fox", "zq xvj").foreach { s =>
+      assert(back.bitsMilli(s) == lm.bitsMilli(s))
+    }
+  }
+}
