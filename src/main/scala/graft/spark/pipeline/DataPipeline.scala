@@ -37,17 +37,30 @@ object DataPipeline {
     *
     * `tokenCounter` is the budgeting unit — whitespace tokens by default;
     * pass `graft.spark.fns.TextExpressions.bpeMergedCountNative(_)` to
-    * budget by TRUE merged-BPE token counts (training realism) with no
-    * other change to the pipeline. */
+    * budget by TRUE merged-BPE token counts (training realism), or the
+    * byte-level `bpeMergedCountNative(_, BpeTokenizer.standardBytes)`, with
+    * no other change to the pipeline.
+    *
+    * `maxLmBitsMilli`: optional CCNet-style perplexity gate — drop docs the
+    * standard char LM scores above this many milli-bits/char (the codegen'd
+    * [[graft.spark.fns.CharLmBitsExpr]]; fuses into the same stage-1
+    * scan/filter as the heuristic quality gate). None = off (the default,
+    * and the q_pipeline oracle shape). */
   def curate(docs: DataFrame, benchDocs: DataFrame,
              domainCap: Int = 5, tokenBudget: Long = 2000L,
              tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-               TextFunctions.tokenCount(_)): DataFrame = {
+               TextFunctions.tokenCount(_),
+             maxLmBitsMilli: Option[Long] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
       md5(col("text")).as("digest"),
       tokenCounter(col("text")).cast("long").as("toks"))
-    // 1. per-doc quality gate (pure codegen'd expressions)
-    val quality = base.filter(TextFunctions.isQuality(col("text")))
+    // 1. per-doc quality gate (pure codegen'd expressions), optionally
+    // composed with the char-LM perplexity threshold in the same filter
+    val gate = maxLmBitsMilli.foldLeft(TextFunctions.isQuality(col("text"))) {
+      (q, maxBits) =>
+        q && (graft.spark.fns.TextExpressions.charLmBitsNative(col("text")) <= maxBits)
+    }
+    val quality = base.filter(gate)
     // 2. exact dedup: keep the min doc_id per content digest
     val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
     val deduped = quality

@@ -256,5 +256,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t) => graft.spark.fns.LangIdExpr(t)
         case _ => throw new IllegalArgumentException("lang_id takes (text)")
       }))
+
+    e.injectFunction((FunctionIdentifier("lang_confidence"),
+      info("lang_confidence",
+        "lang_confidence(text) - per-mille confidence of the lang_id decision"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.LangConfidenceExpr(t)
+        case _ => throw new IllegalArgumentException("lang_confidence takes (text)")
+      }))
+
+    e.injectFunction((FunctionIdentifier("bpe_count_bytes"),
+      info("bpe_count_bytes",
+        "bpe_count_bytes(text) - byte-level merged-BPE token count (GPT-2 byte alphabet)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) =>
+          graft.spark.fns.BpeCountExpr(t, graft.spark.text.BpeTokenizer.standardBytes)
+        case _ => throw new IllegalArgumentException("bpe_count_bytes takes (text)")
+      }))
+
+    e.injectFunction((FunctionIdentifier("charlm_bits_milli"),
+      info("charlm_bits_milli",
+        "charlm_bits_milli(text) - char-LM perplexity score, milli-bits/char (standard model)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.CharLmBitsExpr(t, graft.spark.text.CharLm.standard)
+        case _ => throw new IllegalArgumentException("charlm_bits_milli takes (text)")
+      }))
   }
 }

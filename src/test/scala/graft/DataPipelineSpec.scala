@@ -68,6 +68,27 @@ class DataPipelineSpec extends AnyFunSuite {
     new Directory(new java.io.File(work)).deleteRecursively()
   }
 
+  test("optional perplexity gate drops gibberish the heuristic gate passes") {
+    import spark.implicits._
+    val natural = "the work is divided between the machines that share it and " +
+      "each worker can read its own piece without waiting for the others here"
+    val gibberish = "zq xvj qkz wxq jzv qxz kjq vzx qwj zxk vqj xjz qzk wvq " +
+      "jqx zvk qjw xkz vjq zxq kwj qvz xjk zqw vkx jzq xwv kqj zvw qxj"
+    val docs = Seq((1L, "en", "a.com", natural), (2L, "en", "a.com", gibberish))
+      .toDF("doc_id", "lang", "source", "text")
+    val bench = Seq.empty[String].toDF("text")
+    // both pass the heuristic gate (length/punct/token rules see no difference)
+    val off = DataPipeline.curate(docs, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(off == Set(1L, 2L))
+    // the LM gate separates them: gibberish scores far above natural prose
+    val cut = graft.spark.text.CharLm.standard.bitsMilli(natural) + 1000L
+    assert(graft.spark.text.CharLm.standard.bitsMilli(gibberish) > cut)
+    val on = DataPipeline.curate(docs, bench, maxLmBitsMilli = Some(cut))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(on == Set(1L))
+  }
+
   test("shard assignment is content-addressed and covers all shards") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")

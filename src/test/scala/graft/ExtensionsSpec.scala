@@ -156,6 +156,22 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getSeq[Long](0)
       assert(spans.length == 2) // "a b c", "b c d"
       assert(spans(0) != spans(1))
+
+      // round-4 kernels straight from SQL: lang confidence, byte-level BPE,
+      // char-LM perplexity score
+      val conf = spark.sql(
+        "SELECT lang_confidence('the train was late again so we waited') AS c")
+        .head().getLong(0)
+      assert(conf == graft.spark.text.TextFunctions
+        .classifyConfidence("the train was late again so we waited"))
+      assert(conf > 0L)
+      val bpeB = spark.sql("SELECT bpe_count_bytes('café 東京') AS n").head().getLong(0)
+      assert(bpeB == graft.spark.text.BpeTokenizer.standardBytes.countText("café 東京"))
+      assert(bpeB > spark.sql("SELECT bpe_count('café 東京') AS n").head().getLong(0))
+      val lmBits = spark.sql(
+        "SELECT charlm_bits_milli('the quick brown fox') AS b").head().getLong(0)
+      assert(lmBits == graft.spark.text.CharLm.standard.bitsMilli("the quick brown fox"))
+      assert(lmBits > 0L)
     }
   }
 
