@@ -100,6 +100,7 @@ object SparkEntry {
     "q_bpe_merge" -> ((s, _) => VerifiedQueries.bpeMergeVerified(s, 20000L)),
     "q_bpe_bytes" -> ((s, _) => VerifiedQueries.bpeByteMergeVerified(s, 20000L)),
     "q_perplexity" -> ((s, _) => VerifiedQueries.perplexityVerified(s, 20000L)),
+    "q_url_canon" -> ((s, _) => VerifiedQueries.urlCanonVerified(s, 20000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
     "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
   )
@@ -647,6 +648,21 @@ object SparkEntry {
         "('ru', 1206, 472875, 6490, true, true, true), " +
         "('zh', 1863, 737452, 6377, true, true, true)) " +
         "AS t(lang, n_pages, merged_tokens, max_merged, codegen_parity_ok, bounds_ok, gt_codepoint_ok)"),
+    // URL canonicalization: per-lang page counts are the PagesTruth
+    // literals; all four verification flags (exact canonical match on both
+    // dirtied variants, idempotence, canonical-distinct preservation) true
+    "q_url_canon" ->
+      ("SELECT * FROM (VALUES " +
+        "('de', CAST(3700 AS BIGINT), true, true, true, true), " +
+        "('en', 7488, true, true, true, true), " +
+        "('es', 1423, true, true, true, true), " +
+        "('fr', 2341, true, true, true, true), " +
+        "('ja', 1079, true, true, true, true), " +
+        "('pt', 900, true, true, true, true), " +
+        "('ru', 1206, true, true, true, true), " +
+        "('zh', 1863, true, true, true, true)) " +
+        "AS t(lang, n_pages, match_full_ok, match_portless_ok, idempotent_ok, " +
+        "distinct_preserved_ok)"),
     // CCNet-style char-LM perplexity (Stupid-Backoff order-4, milli-bits
     // per char, floored integers); literals from `runMain graft.tools
     // .LmTruth 20000`. separation_ok pins that a natural-English suffix

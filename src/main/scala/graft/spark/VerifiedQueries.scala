@@ -544,6 +544,37 @@ object VerifiedQueries {
         every(col("mn") < col("mg")).as("separation_ok"))
   }
 
+  /** URL canonicalization over the pages fixture (the pre-dedup crawl
+    * stage): each clean fixture url is deterministically "dirtied" in-query
+    * (uppercase scheme/host, default port, unsorted + tracking params,
+    * fragment) and must canonicalize back to the closed-form expected
+    * string; a portless/query-less variant exercises the other branch.
+    * Verified: both exact-match flags, idempotence, and that canonical
+    * distinct-url counts equal the clean fixture's (dedup by canonical URL
+    * sees through the decoration). Oracle = PagesTruth per-lang counts. */
+  def urlCanonVerified(spark: SparkSession, nPages: Long): DataFrame = {
+    import graft.spark.fns.TextExpressions.urlCanonicalizeNative
+    val host = regexp_extract(col("url"), "https://([^/]+)(/.*)", 1)
+    val path = regexp_extract(col("url"), "https://([^/]+)(/.*)", 2)
+    val messy = concat(lit("HTTPS://"), upper(host), lit(":443"), path,
+      lit("?utm_source=x&b=2&a=1&utm_medium=z#frag"))
+    val messy2 = concat(lit("HTTP://"), upper(host), lit(":80"), path, lit("#s"))
+    val expected = concat(lit("https://"), host, path, lit("?a=1&b=2"))
+    val expected2 = concat(lit("http://"), host, path)
+    graft.spark.io.PagesGen.pages(spark, nPages)
+      .select(col("lang"), col("url"),
+        urlCanonicalizeNative(messy).as("c1"),
+        urlCanonicalizeNative(messy2).as("c2"),
+        expected.as("e1"), expected2.as("e2"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        every(col("c1") === col("e1")).as("match_full_ok"),
+        every(col("c2") === col("e2")).as("match_portless_ok"),
+        every(urlCanonicalizeNative(col("c1")) === col("c1")).as("idempotent_ok"),
+        (countDistinct(col("c1")) === countDistinct(col("url")))
+          .as("distinct_preserved_ok"))
+  }
+
   /** Rolling fingerprints are a pure function of content, so the per-lang
     * distinct-fingerprint count can never exceed the distinct-text count. */
   def fingerprintRollingVerified(spark: SparkSession, dir: String): DataFrame =

@@ -406,6 +406,27 @@ case class LangConfidenceExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lang_confidence"
 }
 
+/** Codegen'd URL canonicalization (RFC 3986 §6 normalizations + tracking
+  * param strip — [[graft.spark.text.UrlCanon]]): the step before URL-keyed
+  * crawl dedup. */
+case class UrlCanonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.spark.text.UrlCanon.canonicalize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.spark.text.UrlCanon.canonicalize($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "url_canonicalize"
+}
+
 /** Codegen'd true-BPE merged-token count: pre-tokenize + run the learned
   * merge loop per pre-token, sum piece counts. The tokenizer (merge ranks)
   * rides the plan as a shared per-executor reference object — the same
@@ -497,4 +518,8 @@ object TextExpressions {
   def charLmBitsNative(c: Column,
       lm: graft.spark.text.CharLm = graft.spark.text.CharLm.standard): Column =
     GraftColumnBridge.column(CharLmBitsExpr(GraftColumnBridge.expression(c), lm))
+
+  /** Codegen'd URL canonicalization. */
+  def urlCanonicalizeNative(c: Column): Column =
+    GraftColumnBridge.column(UrlCanonExpr(GraftColumnBridge.expression(c)))
 }

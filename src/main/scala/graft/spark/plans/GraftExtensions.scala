@@ -274,6 +274,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("bpe_count_bytes takes (text)")
       }))
 
+    e.injectFunction((FunctionIdentifier("url_canonicalize"),
+      info("url_canonicalize",
+        "url_canonicalize(url) - RFC 3986 normalization + tracking-param strip"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.UrlCanonExpr(t)
+        case _ => throw new IllegalArgumentException("url_canonicalize takes (url)")
+      }))
+
     e.injectFunction((FunctionIdentifier("charlm_bits_milli"),
       info("charlm_bits_milli",
         "charlm_bits_milli(text) - char-LM perplexity score, milli-bits/char (standard model)"),

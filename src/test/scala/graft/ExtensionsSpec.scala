@@ -172,6 +172,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT charlm_bits_milli('the quick brown fox') AS b").head().getLong(0)
       assert(lmBits == graft.spark.text.CharLm.standard.bitsMilli("the quick brown fox"))
       assert(lmBits > 0L)
+      val canon = spark.sql(
+        "SELECT url_canonicalize('HTTPS://E.com:443/a?b=2&a=1&utm_source=x#f') AS u")
+        .head().getString(0)
+      assert(canon == "https://e.com/a?a=1&b=2")
     }
   }
 
