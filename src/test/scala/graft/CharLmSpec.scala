@@ -45,6 +45,28 @@ class CharLmSpec extends AnyFunSuite {
     assert(salad < gibberish, s"salad $salad vs gibberish $gibberish")
   }
 
+  test("fuzz: random unicode soup always scores finite, positive, idempotent-stable") {
+    val lm = CharLm.standard
+    val rng = new graft.core.SplitMix64(0xBEEFL)
+    (0 until 1000).foreach { i =>
+      val len = (Math.floorMod(rng.nextLong(), 60L) + 1).toInt
+      val s = new String(Array.fill(len) {
+        // mix ASCII, Latin-1, CJK, surrogate-pair plane chars
+        Math.floorMod(rng.nextLong(), 4L) match {
+          case 0 => (32 + Math.floorMod(rng.nextLong(), 95L)).toChar
+          case 1 => (0xC0 + Math.floorMod(rng.nextLong(), 63L)).toChar
+          case 2 => (0x4E00 + Math.floorMod(rng.nextLong(), 1000L)).toChar
+          case _ => '\t'
+        }
+      })
+      val bits = lm.bitsPerChar(s)
+      if (s.exists(c => !Character.isWhitespace(c))) {
+        assert(!bits.isNaN && !bits.isInfinite && bits > 0.0, s"'$s' -> $bits")
+      }
+      assert(lm.bitsMilli(s) == lm.bitsMilli(s)) // deterministic
+    }
+  }
+
   test("survives serialization (the Expression reference-object path)") {
     val lm = CharLm.standard
     val bos = new java.io.ByteArrayOutputStream()

@@ -44,6 +44,18 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(canonicalize("https://e.com/p%20q?A=%2F") == "https://e.com/p%20q?A=%2F")
   }
 
+  test("fuzz: random byte soup never throws, output is always idempotent") {
+    val rng = new graft.core.SplitMix64(0xF00DL)
+    val alphabet = "aZ09:/?#@&=%._-[]é中 \t".toCharArray
+    (0 until 2000).foreach { i =>
+      val len = (Math.floorMod(rng.nextLong(), 40L) + 1).toInt
+      val s = new String(Array.fill(len)(
+        alphabet(Math.floorMod(rng.nextLong(), alphabet.length.toLong).toInt)))
+      val once = canonicalize(s) // must not throw on any input
+      assert(canonicalize(once) == once, s"not idempotent for '$s' -> '$once'")
+    }
+  }
+
   test("idempotent on a messy zoo") {
     val zoo = Seq(
       "HTTPS://A.B:443/x/y?z=1&utm_source=s#f", "http://e.com", "https://e.com/a?b&a",
