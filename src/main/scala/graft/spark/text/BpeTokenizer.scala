@@ -180,6 +180,48 @@ object BpeTokenizer {
           wordFreq.update(syms, wordFreq.getOrElse(syms, 0L) + 1L)
       }
     }
+    learnFromWordFreq(wordFreq, numMerges, minPairCount)
+  }
+
+  /** Learn merges from a CORPUS-SCALE pre-token frequency table computed
+    * distributively ([[preTokenCounts]]): the standard industrial shape —
+    * the corpus-sized work (pre-tokenize + count) is one Spark aggregation;
+    * the merge loop then runs over the (Zipf-bounded, driver-sized) distinct
+    * pre-token vocabulary, NOT the corpus. Truncating to the top-`topK`
+    * pre-tokens is the usual pruning (the dropped tail carries a vanishing
+    * share of occurrences); with `topK` covering the whole vocabulary the
+    * result is IDENTICAL to in-memory [[learn]] (BpeSpec pins this). */
+  def learnDistributed(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       numMerges: Int, topK: Int = 1000000,
+                       minPairCount: Long = 2L,
+                       byteLevel: Boolean = false): Vector[(String, String)] = {
+    val wordFreq = new scala.collection.mutable.HashMap[Vector[String], Long]()
+    preTokenCounts(docs, textCol, topK).foreach { case (tok, n) =>
+      val syms = initialSymbols(tok, byteLevel).toVector
+      if (syms.nonEmpty)
+        wordFreq.update(syms, wordFreq.getOrElse(syms, 0L) + n)
+    }
+    learnFromWordFreq(wordFreq, numMerges, minPairCount)
+  }
+
+  /** Distributed pre-token frequency table: ONE explode + count aggregation
+    * (8-byte counts shuffle keyed by token), top-`topK` by (count desc,
+    * token) — deterministic under count ties — collected to the driver. */
+  def preTokenCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     topK: Int): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    docs
+      .select(explode(TextFunctions.bpeTokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(topK)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  private def learnFromWordFreq(
+      wordFreq: scala.collection.mutable.HashMap[Vector[String], Long],
+      numMerges: Int, minPairCount: Long): Vector[(String, String)] = {
     var words = wordFreq.toVector
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var k = 0

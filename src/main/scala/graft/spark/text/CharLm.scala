@@ -110,8 +110,56 @@ object CharLm {
     new CharLm(order, grams, unigram, total, unigram.size())
   }
 
+  /** Train the LM FROM THE CORPUS, distributed — the 100-TB shape: gram
+    * extraction + counting is ONE Spark explode + aggregate; only the
+    * (bounded) distinct-gram table reaches the driver. All unigrams are kept
+    * unconditionally (they are the alphabet — the Laplace floor and the
+    * per-char totals depend on them; alphabet size is tiny); higher-order
+    * grams are pruned to the top `maxGrams` by (count desc, gram) —
+    * deterministic under ties, and the standard pruned-LM trade (a dropped
+    * tail gram just backs off). With `maxGrams` covering every observed gram
+    * the model is IDENTICAL to in-memory [[train]] (CharLmSpec pins this). */
+  def trainDistributed(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       order: Int = 4, maxGrams: Int = 2000000): CharLm = {
+    import org.apache.spark.sql.functions._
+    require(order >= 2, s"order must be >= 2, got $order")
+    val probe = new CharLm(order, new java.util.HashMap, new java.util.HashMap, 0L, 0)
+    val gramsOf = udf((t: String) => {
+      if (t == null) Array.empty[String]
+      else {
+        val s = probe.normalize(t)
+        val out = new scala.collection.mutable.ArrayBuffer[String](s.length * order)
+        var i = 0
+        while (i < s.length) {
+          var k = 1
+          while (k <= order && i + k <= s.length) { out += s.substring(i, i + k); k += 1 }
+          i += 1
+        }
+        out.toArray
+      }
+    })
+    val counts = docs
+      .select(explode(gramsOf(col(textCol))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val uni = counts.filter(length(col("g")) === 1).collect() // alphabet-bounded
+    val higher = counts.filter(length(col("g")) > 1)
+      .orderBy(col("n").desc, col("g"))
+      .limit(maxGrams)
+      .collect()
+    val grams = new java.util.HashMap[String, Long]((uni.length + higher.length) * 2)
+    val unigram = new java.util.HashMap[String, Long](uni.length * 2)
+    var total = 0L
+    uni.foreach { r =>
+      val g = r.getString(0); val n = r.getLong(1)
+      grams.put(g, n); unigram.put(g, n); total += n
+    }
+    higher.foreach(r => grams.put(r.getString(0), r.getLong(1)))
+    new CharLm(order, grams, unigram, total, unigram.size())
+  }
+
   /** The standard deterministic model: order-4 over the same embedded
     * English training prose the BPE table learns from (disjoint from every
-    * evaluation fixture). Real deployments train their own with [[train]]. */
+    * evaluation fixture). Real deployments train their own with [[train]]
+    * or, at corpus scale, [[trainDistributed]]. */
   lazy val standard: CharLm = train(BpeTokenizer.trainingCorpus, 4)
 }

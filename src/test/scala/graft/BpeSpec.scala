@@ -124,6 +124,26 @@ class BpeSpec extends AnyFunSuite {
     assert(byTotal > cpTotal, "byte-level budget must exceed codepoint on non-ASCII docs")
   }
 
+  test("distributed merge learning == in-memory learning when nothing is pruned") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val corpus = Seq("aa aa ab low lower lowest", "the the them there lowest",
+      "répété répété tokens 中文 here")
+    val local = BpeTokenizer.learn(corpus, numMerges = 20)
+    val dist = BpeTokenizer.learnDistributed(corpus.toDF("text"), "text",
+      numMerges = 20, topK = 100000)
+    assert(dist == local)
+    // byte-level alphabet too
+    val localB = BpeTokenizer.learn(corpus, numMerges = 20, byteLevel = true)
+    val distB = BpeTokenizer.learnDistributed(corpus.toDF("text"), "text",
+      numMerges = 20, topK = 100000, byteLevel = true)
+    assert(distB == localB)
+    // truncation keeps the learner functional (head of the Zipf mass)
+    val pruned = BpeTokenizer.learnDistributed(corpus.toDF("text"), "text",
+      numMerges = 20, topK = 3)
+    assert(pruned.nonEmpty)
+  }
+
   test("merge table survives serialization (the Expression reference-object path)") {
     val bpe = BpeTokenizer.standard
     val bos = new java.io.ByteArrayOutputStream()

@@ -67,6 +67,26 @@ class CharLmSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed training == in-memory training when nothing is pruned") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val corpus = Seq("The cat sat on the mat and looked out",
+      "Counting things exactly requires remembering everything",
+      "zq unusual 東京 bytes   here\tand more text")
+    val local = CharLm.train(corpus)
+    val dist = CharLm.trainDistributed(corpus.toDF("text"), "text")
+    Seq("the cat", "count remember", "zq 東京", "never seen input xyz",
+      "requires everything exactly").foreach { s =>
+      assert(dist.bitsMilli(s) == local.bitsMilli(s), s"'$s'")
+    }
+    // pruning keeps the model usable: heavy truncation still scores finite
+    val pruned = CharLm.trainDistributed(corpus.toDF("text"), "text", maxGrams = 10)
+    Seq("the cat", "zq").foreach { s =>
+      val b = pruned.bitsPerChar(s)
+      assert(!b.isNaN && !b.isInfinite && b > 0.0, s"'$s' -> $b")
+    }
+  }
+
   test("survives serialization (the Expression reference-object path)") {
     val lm = CharLm.standard
     val bos = new java.io.ByteArrayOutputStream()
