@@ -101,6 +101,7 @@ object SparkEntry {
     "q_bpe_bytes" -> ((s, _) => VerifiedQueries.bpeByteMergeVerified(s, 20000L)),
     "q_perplexity" -> ((s, _) => VerifiedQueries.perplexityVerified(s, 20000L)),
     "q_url_canon" -> ((s, _) => VerifiedQueries.urlCanonVerified(s, 20000L)),
+    "q_compress_ratio" -> ((s, _) => VerifiedQueries.compressRatioVerified(s, 20000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
     "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
   )
@@ -663,6 +664,22 @@ object SparkEntry {
         "('zh', 1863, true, true, true, true)) " +
         "AS t(lang, n_pages, match_full_ok, match_portless_ok, idempotent_ok, " +
         "distinct_preserved_ok)"),
+    // compressibility quality signal (per-mille DEFLATE ratio, JDK zlib
+    // level 6); literals from `runMain graft.tools.LmTruth 20000`.
+    // separation_ok pins that a repetitive plant compresses strictly below
+    // an equal-length high-entropy plant on EVERY page
+    "q_compress_ratio" ->
+      ("SELECT * FROM (VALUES " +
+        "('de', CAST(3700 AS BIGINT), CAST(1941543 AS BIGINT), CAST(1086 AS BIGINT), true, true, true), " +
+        "('en', 7488, 3987925, 1090, true, true, true), " +
+        "('es', 1423, 749167, 1083, true, true, true), " +
+        "('fr', 2341, 1236207, 1086, true, true, true), " +
+        "('ja', 1079, 572325, 1090, true, true, true), " +
+        "('pt', 900, 469983, 1086, true, true, true), " +
+        "('ru', 1206, 639924, 1080, true, true, true), " +
+        "('zh', 1863, 981474, 1086, true, true, true)) " +
+        "AS t(lang, n_pages, sum_ratio_pm, max_ratio_pm, codegen_parity_ok, " +
+        "positive_ok, separation_ok)"),
     // CCNet-style char-LM perplexity (Stupid-Backoff order-4, milli-bits
     // per char, floored integers); literals from `runMain graft.tools
     // .LmTruth 20000`. separation_ok pins that a natural-English suffix

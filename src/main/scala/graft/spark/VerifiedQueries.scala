@@ -544,6 +544,40 @@ object VerifiedQueries {
         every(col("mn") < col("mg")).as("separation_ok"))
   }
 
+  /** Fixed-length plants for [[compressRatioVerified]]: same byte length,
+    * opposite compressibility. */
+  val zRepetitivePlant = "spark spark spark spark spark spark spark spark spark spark"
+  val zRandomPlant = "qj3xv8zk1wm5bd7ng2ctfy4hp9lr6s0w aeiou qj3xv8zk1wm5bd7ng2cz"
+
+  /** Compressibility quality signal (the RedPajama-V2-style zlib signal)
+    * over the pages fixture: per-lang totals of the per-mille DEFLATE ratio
+    * (codegen'd [[graft.spark.fns.DeflateRatioExpr]], JDK zlib level 6).
+    * Verified in-query: codegen parity vs a ScalaUDF of the same kernel,
+    * positivity, and SEPARATION — appending a repetitive plant yields a
+    * strictly lower ratio than appending an equal-length high-entropy plant
+    * on every page (what makes compressibility a usable boilerplate
+    * signal). Oracle = LmTruth-generated literals. */
+  def compressRatioVerified(spark: SparkSession, nPages: Long): DataFrame = {
+    import graft.spark.fns.TextExpressions.deflateRatioNative
+    val udfRatio = udf((t: String) => graft.spark.fns.CompressKernel.deflateRatioMilli(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    require(zRepetitivePlant.length == zRandomPlant.length,
+      "plants must have identical length for a fair separation test")
+    graft.spark.io.PagesGen.pages(spark, nPages)
+      .select(col("lang"),
+        deflateRatioNative(col("text")).as("r"),
+        udfRatio(col("text")).as("ru"),
+        deflateRatioNative(concat(col("text"), lit(" " + zRepetitivePlant))).as("rr"),
+        deflateRatioNative(concat(col("text"), lit(" " + zRandomPlant))).as("rx"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("r")).as("sum_ratio_pm"),
+        max(col("r")).as("max_ratio_pm"),
+        every(col("r") === col("ru")).as("codegen_parity_ok"),
+        every(col("r") > 0L).as("positive_ok"),
+        every(col("rr") < col("rx")).as("separation_ok"))
+  }
+
   /** URL canonicalization over the pages fixture (the pre-dedup crawl
     * stage): each clean fixture url is deterministically "dirtied" in-query
     * (uppercase scheme/host, default port, unsorted + tracking params,

@@ -406,6 +406,45 @@ case class LangConfidenceExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lang_confidence"
 }
 
+/** Shared kernel for [[DeflateRatioExpr]] (static so codegen can call it). */
+object CompressKernel {
+  /** Per-mille DEFLATE compression ratio of the UTF-8 bytes (level 6,
+    * nowrap): floor(1000 · compressed / raw); 0 for empty. Repetitive
+    * boilerplate compresses far below natural text, which sits far below
+    * random noise — the RedPajama-V2-style compressibility quality signal.
+    * Deterministic: the JDK's zlib with fixed level and strategy. */
+  def deflateRatioMilli(s: UTF8String): Long = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 0L
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed * 1000L / raw.length
+    } finally d.end()
+  }
+}
+
+/** Codegen'd per-mille DEFLATE compression ratio of a string column. */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    CompressKernel.deflateRatioMilli(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.spark.fns.CompressKernel.deflateRatioMilli($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_ratio_milli"
+}
+
 /** Codegen'd URL canonicalization (RFC 3986 §6 normalizations + tracking
   * param strip — [[graft.spark.text.UrlCanon]]): the step before URL-keyed
   * crawl dedup. */
@@ -522,4 +561,9 @@ object TextExpressions {
   /** Codegen'd URL canonicalization. */
   def urlCanonicalizeNative(c: Column): Column =
     GraftColumnBridge.column(UrlCanonExpr(GraftColumnBridge.expression(c)))
+
+  /** Codegen'd per-mille DEFLATE compression ratio (compressibility quality
+    * signal). */
+  def deflateRatioNative(c: Column): Column =
+    GraftColumnBridge.column(DeflateRatioExpr(GraftColumnBridge.expression(c)))
 }

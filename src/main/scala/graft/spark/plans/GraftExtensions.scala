@@ -274,6 +274,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("bpe_count_bytes takes (text)")
       }))
 
+    e.injectFunction((FunctionIdentifier("deflate_ratio_milli"),
+      info("deflate_ratio_milli",
+        "deflate_ratio_milli(text) - per-mille DEFLATE compression ratio (compressibility signal)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.DeflateRatioExpr(t)
+        case _ => throw new IllegalArgumentException("deflate_ratio_milli takes (text)")
+      }))
+
     e.injectFunction((FunctionIdentifier("url_canonicalize"),
       info("url_canonicalize",
         "url_canonicalize(url) - RFC 3986 normalization + tracking-param strip"),

@@ -2,12 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: dump the deterministic q_perplexity ground truth (per-lang
-  * char-LM milli-bit totals over the synthetic pages fixture, seed 42) as
-  * the VALUES literals pasted into [[graft.SparkEntry.oracleSql]]. Rerun
-  * after ANY change to [[graft.spark.text.CharLm]] (training corpus, order,
-  * backoff, normalization) or PagesGen. Also prints spot scores for
-  * BpeSpec-style goldens. */
+/** Dev tool: dump the deterministic q_perplexity AND q_compress_ratio
+  * ground truth (per-lang char-LM milli-bit / deflate-ratio totals over the
+  * synthetic pages fixture, seed 42) as the VALUES literals pasted into
+  * [[graft.SparkEntry.oracleSql]]. Rerun after ANY change to
+  * [[graft.spark.text.CharLm]] (training corpus, order, backoff,
+  * normalization), the compression kernel/plants, or PagesGen. Also prints
+  * spot scores for BpeSpec-style goldens. */
 object LmTruth {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 20000L
@@ -26,6 +27,17 @@ object LmTruth {
       .orderBy("lang").collect()
     println("-- q_perplexity oracle literals --")
     rows.zipWithIndex.foreach { case (r, i) =>
+      val cast = if (i == 0) s"('${r.getString(0)}', CAST(${r.getLong(1)} AS BIGINT), " +
+        s"CAST(${r.getLong(2)} AS BIGINT), CAST(${r.getLong(3)} AS BIGINT), true, true, true), "
+      else s"('${r.getString(0)}', ${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)}, " +
+        "true, true, true), "
+      println(cast + s"  -- parity=${r.getBoolean(4)} positive=${r.getBoolean(5)} " +
+        s"separation=${r.getBoolean(6)}")
+    }
+    val zRows = graft.spark.VerifiedQueries.compressRatioVerified(spark, n)
+      .orderBy("lang").collect()
+    println("-- q_compress_ratio oracle literals --")
+    zRows.zipWithIndex.foreach { case (r, i) =>
       val cast = if (i == 0) s"('${r.getString(0)}', CAST(${r.getLong(1)} AS BIGINT), " +
         s"CAST(${r.getLong(2)} AS BIGINT), CAST(${r.getLong(3)} AS BIGINT), true, true, true), "
       else s"('${r.getString(0)}', ${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)}, " +

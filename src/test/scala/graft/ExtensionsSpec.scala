@@ -176,6 +176,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT url_canonicalize('HTTPS://E.com:443/a?b=2&a=1&utm_source=x#f') AS u")
         .head().getString(0)
       assert(canon == "https://e.com/a?a=1&b=2")
+      val zr = spark.sql(
+        "SELECT deflate_ratio_milli('spark spark spark spark spark spark') AS r")
+        .head().getLong(0)
+      assert(zr == graft.spark.fns.CompressKernel.deflateRatioMilli(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "spark spark spark spark spark spark")))
+      assert(zr > 0L && zr < 1000L) // repetitive text compresses below 1:1
     }
   }
 
