@@ -264,11 +264,13 @@ object ScalingBench {
          |
          |The five corpus-level operators (line/span frequency flags,
          |decontamination, fractional contamination, minhash+CC near-dup
-         |clustering) have their own measured sf0.1-vs-10x growth curve in
-         |**BENCH/CORPUS_SCALE.md** (`runMain graft.tools.CorpusScale`):
-         |per-doc rates hold or improve at 10x the rows (ratios 1.1-8.3x —
-         |the small level is fixed-overhead-bound), i.e. every corpus op is
-         |measured linear-in-rows at these sizes.
+         |clustering) have their own measured sf0.1-vs-10x growth curve —
+         |see the table in **BENCH/CORPUS_SCALE.md** (generated by
+         |`runMain graft.tools.CorpusScale report`, the single source of
+         |those numbers). Expectation and measured outcome: per-doc rates
+         |hold or improve at 10x the rows (the small level is
+         |fixed-overhead-bound), i.e. every corpus op is linear-in-rows at
+         |these sizes.
          |
          |Reproduce (one fresh JVM per level — in-process back-to-back sessions
          |carry heap/GC state and poison the comparison):

@@ -433,15 +433,15 @@ object VerifiedQueries {
     * (still 100%). */
   def langIdVerified(spark: SparkSession): DataFrame =
     graft.spark.text.LangEval.docs(spark, docsPerLang = 50)
+      // the FUSED struct expr: label + per-mille confidence (integer margin
+      // — exactly reproducible, so the per-lang MIN is a hard oracle
+      // literal) from ONE classification pass per row
       .select(col("lang"),
-        graft.spark.fns.TextExpressions.langIdNative(col("text")).as("predicted"),
-        // per-mille decision confidence (integer margin — exactly
-        // reproducible, so the per-lang MIN is a hard oracle literal)
-        graft.spark.fns.TextExpressions.langConfidenceNative(col("text")).as("conf"))
+        graft.spark.fns.TextExpressions.langIdWithConfidenceNative(col("text")).as("lc"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
-        min(col("conf")).as("min_conf_pm"))
+        sum(when(col("lc.lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
+        min(col("lc.conf_pm")).as("min_conf_pm"))
 
   /** TRUE-BPE merged-token counts over the deterministic pages fixture
     * (seed 42): the learned 256-merge table ([[graft.spark.text.BpeTokenizer.standard]],

@@ -115,12 +115,11 @@ object Ann extends Serializable {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  private def cosineArr(a: Array[Float], b: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-  }
+  /** ONE cosine kernel: the Array view delegates to [[cosineLocal]] via a
+    * zero-copy wrap, so driver-side and distributed assignment can never
+    * desynchronize numerically. */
+  private def cosineArr(a: Array[Float], b: Array[Float]): Double =
+    cosineLocal(scala.collection.immutable.ArraySeq.unsafeWrapArray(a), b)
 
   private def dotArr(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
@@ -461,10 +460,14 @@ object Ann extends Serializable {
     val spark = corpus.sparkSession
 
     // coarse quantizer — the SAME deterministic distributed spherical Lloyd
-    // ivfTopK trains (shared helper; `lloydIters` governs it)
+    // ivfTopK trains (shared helper; `lloydIters` governs it). A corpus
+    // smaller than nlist yields fewer centroids; all dense-by-cell tables
+    // below are sized to the ACTUAL count (cell ids are 0..n-1 by
+    // construction), so a tiny corpus cannot leave null slots.
     val centroids = trainCoarseCentroids(corpus, nlist, lloydIters)
+    require(centroids.nonEmpty, "ivfPqTopK needs a non-empty corpus")
     val centByCell: Array[Array[Float]] = {
-      val out = new Array[Array[Float]](nlist)
+      val out = new Array[Array[Float]](centroids.length)
       centroids.foreach { case (i, c) => out(i) = c }
       out
     }

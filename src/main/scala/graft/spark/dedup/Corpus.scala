@@ -68,13 +68,16 @@ object Corpus {
     *    joins against the persisted DataFrame. The persisted set stays alive
     *    inside the returned plan — caller-managed lifetime (see class doc).
     *
-    * Returns (base, Left(collected array) | Right(persisted DataFrame),
-    * bloomBytes). */
+    * Returns (base, Left(broadcast exact set) | Right(persisted DataFrame),
+    * bloomBytes) — the broadcast set is built HERE so the two operators'
+    * exact-verify stages cannot drift apart. */
   private def benchPrelude(docs: DataFrame, bench: DataFrame, idCol: String,
                            textCol: String, n: Int, bloomCapacity: Long,
                            fpr: Double, passthrough: Seq[String],
                            maxBenchCollect: Long)
-      : (DataFrame, Either[Array[String], DataFrame], Array[Byte]) = {
+      : (DataFrame,
+         Either[org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]], DataFrame],
+         Array[Byte]) = {
     val base = docs.select(col(idCol).cast("long").as("doc_id") +:
       col(textCol).as("__text") +: passthrough.map(col): _*)
     val distinctSh = bench
@@ -83,10 +86,14 @@ object Corpus {
     val lim = (math.min(maxBenchCollect, (Int.MaxValue - 2).toLong) + 1L).toInt
     val probe = distinctSh.limit(lim).collect()
     if (probe.length < lim) {
-      val arr = probe.map(_.getString(0))
       val bf = graft.core.BloomFilter.empty(bloomCapacity, fpr)
-      arr.foreach(bf.add)
-      (base, Left(arr), bf.toBytes)
+      val hs = new java.util.HashSet[String](probe.length * 2)
+      probe.foreach { r =>
+        val s = r.getString(0)
+        bf.add(s)
+        hs.add(s)
+      }
+      (base, Left(docs.sparkSession.sparkContext.broadcast(hs)), bf.toBytes)
     } else {
       val persisted = distinctSh.persist()
       val bloomBytes = persisted
@@ -117,10 +124,7 @@ object Corpus {
       docs, bench, idCol, textCol, n, bloomCapacity, fpr, passthrough, maxBenchCollect)
     val hit = TextExpressions.bloomShingleHitNative(bloomBytes, n, col("__text"))
     set match {
-      case Left(arr) =>
-        val hs = new java.util.HashSet[String](arr.length * 2)
-        arr.foreach(hs.add)
-        val bc = docs.sparkSession.sparkContext.broadcast(hs)
+      case Left(bc) =>
         val anyIn = udf((shs: Seq[String]) => shs.exists(bc.value.contains))
         base.select(col("doc_id") +: passthrough.map(col) :+
           when(hit, anyIn(shingles(col("__text"), n))).otherwise(lit(false))
@@ -155,10 +159,7 @@ object Corpus {
     val hit = TextExpressions.bloomShingleHitNative(bloomBytes, n, col("__text"))
     val nShingles = size(shingles(col("__text"), n)).cast("long").as("n_shingles")
     set match {
-      case Left(arr) =>
-        val hs = new java.util.HashSet[String](arr.length * 2)
-        arr.foreach(hs.add)
-        val bc = docs.sparkSession.sparkContext.broadcast(hs)
+      case Left(bc) =>
         val countIn = udf((shs: Seq[String]) => {
           var c = 0L
           shs.foreach(s => if (bc.value.contains(s)) c += 1L)

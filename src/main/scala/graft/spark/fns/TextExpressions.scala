@@ -385,6 +385,40 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lang_id"
 }
 
+/** Static bridge for [[LangIdConfExpr]] codegen: one classification pass,
+  * both outputs. */
+object LangKernel {
+  def classifyRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (lang, conf) = graft.spark.text.TextFunctions.classifyTextWithConfidence(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(lang), conf))
+  }
+}
+
+/** Codegen'd FUSED language ID + confidence: struct<lang, conf_pm> from ONE
+  * classification pass — selecting [[LangIdExpr]] and [[LangConfidenceExpr]]
+  * side by side runs the (2000-char profile build + 14 rank distances)
+  * kernel twice per row, because distinct expression classes cannot be
+  * merged by subexpression elimination; this single expression CAN (two
+  * field extractions of the same struct share one evaluation under codegen
+  * CSE). The single-output variants remain for the scalar API and SQL. */
+case class LangIdConfExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lang", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("conf_pm", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangKernel.classifyRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.fns.LangKernel.classifyRow($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id_conf"
+}
+
 /** Codegen'd language-ID confidence (per mille): the rank-distance margin of
   * the winning profile over the runner-up (script-tier decisions carry 1000,
   * the stopword fallback 0 — [[graft.spark.text.TextFunctions
@@ -408,6 +442,14 @@ case class LangConfidenceExpr(child: Expression) extends UnaryExpression {
 
 /** Shared kernel for [[DeflateRatioExpr]] (static so codegen can call it). */
 object CompressKernel {
+  // one native Deflater per task thread, reset() per row — allocating and
+  // end()ing a Deflater per ROW would pay a JNI pair + native window
+  // allocation on every document of a 10^12-doc corpus. reset() restores
+  // the exact initial state, so output bytes are identical to a fresh
+  // instance.
+  private val deflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+
   /** Per-mille DEFLATE compression ratio of the UTF-8 bytes (level 6,
     * nowrap): floor(1000 · compressed / raw); 0 for empty. Repetitive
     * boilerplate compresses far below natural text, which sits far below
@@ -416,15 +458,14 @@ object CompressKernel {
   def deflateRatioMilli(s: UTF8String): Long = {
     val raw = s.getBytes
     if (raw.isEmpty) return 0L
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](1024)
-      var compressed = 0L
-      while (!d.finished()) compressed += d.deflate(buf)
-      compressed * 1000L / raw.length
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](1024)
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    compressed * 1000L / raw.length
   }
 }
 
@@ -551,6 +592,11 @@ object TextExpressions {
   /** Codegen'd per-mille confidence of the language-ID decision. */
   def langConfidenceNative(c: Column): Column =
     GraftColumnBridge.column(LangConfidenceExpr(GraftColumnBridge.expression(c)))
+
+  /** Codegen'd FUSED struct<lang, conf_pm> — one classification pass for
+    * both outputs (use when a query needs label AND confidence). */
+  def langIdWithConfidenceNative(c: Column): Column =
+    GraftColumnBridge.column(LangIdConfExpr(GraftColumnBridge.expression(c)))
 
   /** Codegen'd char-LM score (milli-bits/char) under the given model
     * (defaults to the deterministic [[graft.spark.text.CharLm.standard]]). */

@@ -5,11 +5,11 @@ package graft.spark.text
   * and filter/partition the corpus on perplexity; the idea and the backoff
   * scheme here — Stupid Backoff, Brants et al. 2007 — are public).
   *
-  * Scoring: per character, `S(c | ctx)` with contexts up to `order − 1`
-  * chars; a context hit scores `count(ctx·c) / count(ctx)`, a miss backs
-  * off with factor 0.4 to the shorter context, bottoming out at a Laplace
-  * unigram over the training alphabet + one OOV slot (strictly positive for
-  * ANY input). Text is normalized first (Locale.ROOT lowercase, whitespace
+  * Scoring: per CODE POINT (surrogate-pair safe), `S(c | ctx)` with
+  * contexts up to `order − 1` code points; a context hit scores
+  * `count(ctx·c) / count(ctx)`, a miss backs off with factor 0.4 to the
+  * shorter context, bottoming out at a Laplace unigram over the training
+  * alphabet + one OOV slot (strictly positive for ANY input). Text is normalized first (Locale.ROOT lowercase, whitespace
   * runs → single space) — the same normalization CCNet applies before
   * scoring. The document score is bits per character,
   * `−Σ log2 S / n`; [[bitsMilli]] floors ×1000 into a Long so thresholds
@@ -43,39 +43,58 @@ final class CharLm private (order: Int,
     sb.toString
   }
 
-  /** Stupid-Backoff score of char at position i given its context.
+  /** Code-point start offsets of s plus an end sentinel: grams are built on
+    * CODE-POINT boundaries (surrogate-pair safe — a char-indexed gram would
+    * split supplementary-plane pairs into lone surrogates, which a
+    * String→UTF8String round-trip corrupts to '?', silently desynchronizing
+    * [[CharLm.trainDistributed]] from in-memory training). */
+  private def cpStarts(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var i = 0; var n = 0
+    while (i < s.length) {
+      out(n) = i; n += 1
+      i += Character.charCount(s.codePointAt(i))
+    }
+    out(n) = s.length
+    out
+  }
+
+  /** Stupid-Backoff score of the code point at position i given its context.
     * NOTE: the count maps erase to boxed values, and Scala unboxes an
     * absent-key null to 0L for a primitive-typed value — so membership is
     * tested with getOrDefault + `> 0`, never `!= null`. */
-  private def scoreAt(s: String, i: Int): Double = {
-    var k = math.min(order - 1, i) // context length to try first
+  private def scoreAt(s: String, starts: Array[Int], i: Int): Double = {
+    var k = math.min(order - 1, i) // context length (code points) to try first
     var factor = 1.0
     while (k >= 1) {
-      val c = grams.getOrDefault(s.substring(i - k, i), 0L)
+      val c = grams.getOrDefault(s.substring(starts(i - k), starts(i)), 0L)
       if (c > 0L) {
-        val hit = grams.getOrDefault(s.substring(i - k, i + 1), 0L)
+        val hit = grams.getOrDefault(s.substring(starts(i - k), starts(i + 1)), 0L)
         if (hit > 0L) return factor * hit.toDouble / c.toDouble
       }
       factor *= backoff
       k -= 1
     }
     // Laplace unigram floor (alphabet + 1 OOV slot): strictly positive
-    val cnt = unigram.getOrDefault(s.substring(i, i + 1), 0L)
+    val cnt = unigram.getOrDefault(s.substring(starts(i), starts(i + 1)), 0L)
     factor * (cnt + 1).toDouble / (totalChars + alphabetSize + 1).toDouble
   }
 
-  /** Bits per character of the normalized text (0.0 for empty/blank). */
+  /** Bits per character (code point) of the normalized text (0.0 for
+    * empty/blank). */
   def bitsPerChar(text: String): Double = {
     if (text == null) return 0.0
     val s = normalize(text)
     if (s.isEmpty) return 0.0
+    val starts = cpStarts(s)
+    val n = starts.length - 1
     var bits = 0.0
     var i = 0
-    while (i < s.length) {
-      bits -= math.log(scoreAt(s, i)) / math.log(2.0)
+    while (i < n) {
+      bits -= math.log(scoreAt(s, starts, i)) / math.log(2.0)
       i += 1
     }
-    bits / s.length
+    bits / n
   }
 
   /** floor(1000 × bits/char) — the integer-exact thresholding surface. */
@@ -95,11 +114,13 @@ object CharLm {
     val probe = new CharLm(order, grams, unigram, 0L, 0)
     corpus.foreach { text =>
       val s = probe.normalize(text)
+      val starts = probe.cpStarts(s)
+      val n = starts.length - 1
       var i = 0
-      while (i < s.length) {
+      while (i < n) {
         var k = 1
-        while (k <= order && i + k <= s.length) {
-          val g = s.substring(i, i + k)
+        while (k <= order && i + k <= n) {
+          val g = s.substring(starts(i), starts(i + k))
           grams.merge(g, 1L, (a, b) => a + b)
           if (k == 1) { unigram.merge(g, 1L, (a, b) => a + b); total += 1 }
           k += 1
@@ -128,11 +149,13 @@ object CharLm {
       if (t == null) Array.empty[String]
       else {
         val s = probe.normalize(t)
-        val out = new scala.collection.mutable.ArrayBuffer[String](s.length * order)
+        val starts = probe.cpStarts(s)
+        val n = starts.length - 1
+        val out = new scala.collection.mutable.ArrayBuffer[String](n * order)
         var i = 0
-        while (i < s.length) {
+        while (i < n) {
           var k = 1
-          while (k <= order && i + k <= s.length) { out += s.substring(i, i + k); k += 1 }
+          while (k <= order && i + k <= n) { out += s.substring(starts(i), starts(i + k)); k += 1 }
           i += 1
         }
         out.toArray

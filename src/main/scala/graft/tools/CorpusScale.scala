@@ -37,7 +37,13 @@ object CorpusScale {
     case Seq("gen") => gen()
     case Seq("run", mult) => run(mult.toInt)
     case Seq("report") => report()
-    case _ => gen(); levels.foreach(run); report()
+    case _ =>
+      // no catch-all same-JVM mode: back-to-back sessions carry heap/GC
+      // state and poison the level comparison (CLAUDE.md) — each level must
+      // be its own JVM invocation
+      System.err.println("usage: CorpusScale gen | run <1|10> | report  " +
+        "(one fresh JVM per `run` level)")
+      sys.exit(2)
   }
 
   private def session(): SparkSession = {

@@ -70,13 +70,18 @@ class CharLmSpec extends AnyFunSuite {
   test("distributed training == in-memory training when nothing is pruned") {
     val spark = SparkTestSession.spark
     import spark.implicits._
+    // incl. supplementary-plane code points: grams are built on CODE-POINT
+    // boundaries, so no lone surrogate ever crosses the String→UTF8String
+    // round-trip (which would corrupt it to '?' and desynchronize the paths)
     val corpus = Seq("The cat sat on the mat and looked out",
       "Counting things exactly requires remembering everything",
-      "zq unusual 東京 bytes   here\tand more text")
+      "zq unusual 東京 bytes   here\tand more text",
+      "emoji corpus 😀 twice 😀 and 🤖 done")
     val local = CharLm.train(corpus)
     val dist = CharLm.trainDistributed(corpus.toDF("text"), "text")
     Seq("the cat", "count remember", "zq 東京", "never seen input xyz",
-      "requires everything exactly").foreach { s =>
+      "requires everything exactly", "new 😀 emoji 🤖 here",
+      "unseen 🍕 emoji").foreach { s =>
       assert(dist.bitsMilli(s) == local.bitsMilli(s), s"'$s'")
     }
     // pruning keeps the model usable: heavy truncation still scores finite

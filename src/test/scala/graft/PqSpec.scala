@@ -102,6 +102,19 @@ class PqSpec extends AnyFunSuite {
     assert(n.forall(_ == 5L))
   }
 
+  test("ivfPqTopK handles a corpus smaller than nlist (cell tables sized to actual count)") {
+    import spark.implicits._
+    // 6 vectors, default-ish nlist 16: centroid/cell tables must size to 6
+    val corpus = (0L until 6L).map(i => (i, rngVec(600L + i, 16))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, rngVec(600L, 16))).toDF("query_id", "q_embedding")
+    Seq(true, false).foreach { residual =>
+      val rows = Ann.ivfPqTopK(corpus, queries, k = 3, dim = 16, nlist = 16,
+          nprobe = 4, m = 4, ksub = 4, trainSample = 6, residual = residual)
+        .collect()
+      assert(rows.length == 3, s"residual=$residual")
+    }
+  }
+
   test("planted near-neighbors survive quantization (recall@5 >= 0.8)") {
     import spark.implicits._
     val dim = 32
