@@ -31,6 +31,7 @@ object SparkEntry {
     "q_contamination_frac" -> (SparkQueries.contaminationOverlapStats(_, _)),
     "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
     "q_span_dedup" -> (SparkQueries.spanDedupStats(_, _)),
+    "q_span_clean" -> (SparkQueries.spanCleanStats(_, _)),
     "q_line_clean" -> (SparkQueries.lineCleanStats(_, _)),
     "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
     "q_temp_sample" -> (SparkQueries.temperatureSampleStats(_, _)),
@@ -246,6 +247,31 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN hv.b THEN 1 ELSE 0 END) AS BIGINT) AS repeated_spans, " +
         "CAST(COUNT(DISTINCT CASE WHEN hv.b THEN doc_id END) AS BIGINT) " +
         "AS docs_with_repeats FROM g LEFT JOIN hv USING (span) GROUP BY lang"),
+    // span-removal TRANSFORM: token-level rebuild with covered positions
+    // dropped; cleaned texts must match byte-for-byte (distinct-digest
+    // compare). Window starts are 1-based in SQL (0-based in the engine);
+    // fully-covered docs clean to '' (the coalesce)
+    "q_span_clean" ->
+      ("WITH p AS (SELECT lang, doc_id, text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' " + graft.spark.SparkQueries.spanPlant +
+        "' ELSE '' END AS text FROM documents), " +
+        "tok AS (SELECT lang, doc_id, text, " +
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lt FROM p), " +
+        "w AS (SELECT doc_id, i, array_to_string(lt[i:i+7], ' ') AS span " +
+        "FROM tok, LATERAL unnest(range(1, len(lt) - 6)) AS r(i) WHERE len(lt) >= 8), " +
+        "hv AS (SELECT span FROM w GROUP BY span HAVING COUNT(*) >= 4), " +
+        "st AS (SELECT w.doc_id, list(w.i) AS ws FROM w JOIN hv USING (span) " +
+        "GROUP BY w.doc_id), " +
+        "c AS (SELECT tok.lang, tok.text, coalesce(array_to_string(list_transform(" +
+        "list_filter(range(1, len(t) + 1), " +
+        "j -> len(list_filter(coalesce(st.ws, []), i -> i <= j AND j <= i + 7)) = 0), " +
+        "j -> t[j]), ' '), '') AS cl FROM tok LEFT JOIN st USING (doc_id)) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN cl <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+        "CAST(SUM(length(cl)) AS BIGINT) AS chars_after, " +
+        "CAST(COUNT(DISTINCT md5(cl)) AS BIGINT) AS n_distinct_clean " +
+        "FROM c GROUP BY lang"),
     // benchmark set = 8-token shingles of docs with doc_id % 17 = 0;
     // contaminated = any shared shingle (long n-grams, GPT-3 App. C style)
     "q_decontaminate" ->

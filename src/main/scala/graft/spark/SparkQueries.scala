@@ -123,6 +123,27 @@ object SparkQueries {
         countDistinct(when(col("repeated"), col("doc_id"))).as("docs_with_repeats"))
   }
 
+  /** The TRANSFORM stage of span dedup: texts rebuilt with every token
+    * inside a corpus-repeated 8-token window dropped (token-sequence
+    * semantics — kept tokens joined by single spaces). Same plants as
+    * q_span_dedup; verified by changed-doc counts, post-clean char volume
+    * and distinct cleaned digests — both engines must produce byte-identical
+    * cleaned texts. */
+  def spanCleanStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.Corpus
+    val planted = tbl(spark, dir, "documents").select(col("lang"), col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + spanPlant)).otherwise(lit("")))
+        .as("text"))
+    Corpus.removeRepeatedSpans(planted, "text", n = 8, minCount = 4L,
+        idCol = Some("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text_clean") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("text_clean")).cast("long")).as("chars_after"),
+        countDistinct(md5(col("text_clean"))).as("n_distinct_clean"))
+  }
+
   // shared boilerplate lines planted for the corpus-frequency line dedup
   // (apostrophe-free so they embed in the DuckDB oracle SQL literally)
   val lineDedupPlantA = "Sign up for our newsletter to get updates"

@@ -279,9 +279,12 @@ object Corpus {
     * cheap rows, no driver collect, heavy set stays persisted inside the
     * returned plan (caller-managed lifetime). CorpusSpec pins identical
     * output across both paths for all three flag operators. */
-  private def heavyFlagged(spans: DataFrame, minCount: Long, maxHeavyBroadcast: Long,
-                           flagName: String, out: Seq[Column]): DataFrame = {
-    val spark = spans.sparkSession
+  /** The guarded heavy-set materialization shared by every frequency-keyed
+    * operator: Left(sorted broadcast array) on the normal path (probe cache
+    * unpersisted before returning), Right(persisted DataFrame) above the
+    * bound (caller-managed lifetime). */
+  private def heavySet(spans: DataFrame, minCount: Long, maxHeavyBroadcast: Long)
+      : Either[org.apache.spark.broadcast.Broadcast[Array[Long]], DataFrame] = {
     val heavyDf = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("h"))
@@ -294,14 +297,20 @@ object Corpus {
       val arr = probe.map(_.getLong(0))
       heavyDf.unpersist(blocking = false) // the broadcast variable owns the data now
       java.util.Arrays.sort(arr)
-      val bc = spark.sparkContext.broadcast(arr)
-      val isHeavy = udf((h: Long) => java.util.Arrays.binarySearch(bc.value, h) >= 0)
-      spans.select(out :+ isHeavy(col("h")).as(flagName): _*)
-    } else {
-      spans.join(heavyDf.withColumn("__b", lit(true)), Seq("h"), "left")
-        .select(out :+ coalesce(col("__b"), lit(false)).as(flagName): _*)
-    }
+      Left(spans.sparkSession.sparkContext.broadcast(arr))
+    } else Right(heavyDf)
   }
+
+  private def heavyFlagged(spans: DataFrame, minCount: Long, maxHeavyBroadcast: Long,
+                           flagName: String, out: Seq[Column]): DataFrame =
+    heavySet(spans, minCount, maxHeavyBroadcast) match {
+      case Left(bc) =>
+        val isHeavy = udf((h: Long) => java.util.Arrays.binarySearch(bc.value, h) >= 0)
+        spans.select(out :+ isHeavy(col("h")).as(flagName): _*)
+      case Right(heavyDf) =>
+        spans.join(heavyDf.withColumn("__b", lit(true)), Seq("h"), "left")
+          .select(out :+ coalesce(col("__b"), lit(false)).as(flagName): _*)
+    }
 
   /** Span-level repetition flags (the sub-document signal behind
     * "Deduplicating Training Data Makes Language Models Better", Lee et al.
@@ -348,6 +357,92 @@ object Corpus {
         explode(TextExpressions.spanHashesNative(col(textCol), n)).as("h"): _*)
     heavyFlagged(spans, minCount, maxHeavyBroadcast, "repeated",
       passthrough.map(col) :+ col("h"))
+  }
+
+  /** The REMOVE stage of span-level dedup (the transform behind Lee et al.
+    * 2022's "drop duplicated substrings"): rebuild each doc's TOKEN sequence
+    * with every token that falls inside a corpus-repeated `n`-token window
+    * (>= `minCount` occurrences, position-level) dropped. Output text is the
+    * kept original-case tokens joined by single spaces — token-sequence
+    * semantics (inter-token whitespace is not preserved; that is the unit
+    * this operator works in, exactly like the paper's token-span removal).
+    * Adds `text_clean` (null text → null; fully-covered docs → "").
+    *
+    * Scale shape: window counting shuffles 8-byte fused-kernel hashes
+    * ([[graft.spark.fns.SpanHashesExpr]] — no window string ever exists);
+    * the thresholded heavy set takes the guarded two-path:
+    *
+    *  - **broadcast** (<= `maxHeavyBroadcast`): a per-row kernel recomputes
+    *    the doc's window hashes, marks covered token positions against the
+    *    sorted broadcast array, and rebuilds in place — no explode, no join;
+    *  - **join rebuild** (above the bound): posexplode window hashes, semi
+    *    join the heavy set (8-byte keys), collect covered window STARTS per
+    *    doc (bounded by tokens/doc), join back by row id and rebuild with
+    *    the same kernel. `idCol`/synthetic-id handling mirrors
+    *    [[removeBoilerplate]]. CorpusSpec pins identical output on both
+    *    paths. */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String, n: Int, minCount: Long,
+                          maxHeavyBroadcast: Long = 50000000L,
+                          idCol: Option[String] = None): DataFrame = {
+    import graft.spark.fns.{TextExpressions, TextKernels}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // kept-token rebuild given the covered window starts (0-based)
+    def rebuild(text: String, starts: Iterable[Int]): String = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val covered = new Array[Boolean](toks.length)
+      starts.foreach { w =>
+        var j = w
+        while (j < w + n && j < toks.length) { covered(j) = true; j += 1 }
+      }
+      val sb = new java.lang.StringBuilder(text.length)
+      var j = 0
+      while (j < toks.length) {
+        if (!covered(j)) { if (sb.length() > 0) sb.append(' '); sb.append(toks(j)) }
+        j += 1
+      }
+      sb.toString
+    }
+
+    val spans = docs.select(
+      explode(TextExpressions.spanHashesNative(col(textCol), n)).as("h"))
+    heavySet(spans, minCount, maxHeavyBroadcast) match {
+      case Left(bc) =>
+        val clean = udf((text: String) =>
+          if (text == null) null
+          else {
+            val hashes = TextKernels.spanHashes(UTF8String.fromString(text), n)
+            val starts = scala.collection.mutable.ArrayBuffer[Int]()
+            var w = 0
+            val nw = hashes.numElements()
+            while (w < nw) {
+              if (java.util.Arrays.binarySearch(bc.value, hashes.getLong(w)) >= 0)
+                starts += w
+              w += 1
+            }
+            rebuild(text, starts)
+          })
+        docs.withColumn("text_clean", clean(col(textCol)))
+      case Right(heavyDf) =>
+        val (tagged, rid) = idCol match {
+          case Some(c) => (docs, col(c))
+          case None =>
+            (docs.withColumn("__graft_rid", monotonically_increasing_id())
+              .localCheckpoint(true), col("__graft_rid"))
+        }
+        val starts = tagged
+          .select(rid.as("__rid"),
+            posexplode(TextExpressions.spanHashesNative(col(textCol), n))
+              .as(Seq("__w", "__h")))
+          .join(heavyDf.withColumnRenamed("h", "__h"), Seq("__h"), "left_semi")
+          .groupBy(col("__rid")).agg(collect_list(col("__w")).as("__ws"))
+        val rebuildUdf = udf((text: String, ws: Seq[Int]) =>
+          if (text == null) null
+          else rebuild(text, if (ws == null) Nil else ws))
+        tagged.join(starts, rid === col("__rid"), "left")
+          .withColumn("text_clean", rebuildUdf(col(textCol), col("__ws")))
+          .drop("__rid", "__ws", "__graft_rid")
+    }
   }
 
   /** Corpus-frequency line dedup (CCNet / RefinedWeb boilerplate removal):

@@ -142,6 +142,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(s.values.exists(_._2 > 0), "planted repeats must flag")
   }
 
+  test("removeRepeatedSpans drops exactly the covered token positions") {
+    import spark.implicits._
+    // n=3, minCount=3: "a b c" repeats in docs 1,2,3 -> tokens under any
+    // heavy window drop; surrounding tokens survive; original CASE kept
+    val docs = Seq(
+      (1L, "KEEP a b c tail"),       // covers positions 1..3
+      (2L, "a b c"),                 // fully covered -> ""
+      (3L, "x a b c Y z"),
+      (4L, "un related short"),      // its single window is unique
+      (5L, "a b c")                  // duplicate of 2 (counts toward >= 3)
+    ).toDF("doc_id", "text")
+    val got = Corpus.removeRepeatedSpans(docs, "text", n = 3, minCount = 3L,
+        idCol = Some("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "KEEP tail", 2L -> "", 3L -> "x Y z",
+      4L -> "un related short", 5L -> ""))
+  }
+
+  test("removeRepeatedSpans broadcast and join paths produce identical output") {
+    import spark.implicits._
+    val docs = ((0L until 30L).map(i =>
+      (i, s"alpha$i beta$i this exact repeated filler phrase here gamma$i")) ++
+      Seq((100L, "   irregular\t\twhitespace doc"), (101L, "short")))
+      .toDF("doc_id", "text")
+    def run(max: Long) = Corpus.removeRepeatedSpans(docs, "text", n = 4, minCount = 5L,
+        maxHeavyBroadcast = max, idCol = Some("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = run(50000000L)
+    val j = run(0L)
+    assert(b == j)
+    assert(b.values.exists(_.contains("alpha")), "unique tokens must survive")
+    assert(!b(0L).contains("repeated filler"), "planted repeats must drop")
+    // synthetic-id path (no idCol) agrees too
+    val noId = Corpus.removeRepeatedSpans(docs, "text", n = 4, minCount = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(noId == b)
+  }
+
   test("flag operators produce identical output on broadcast and join-fallback paths") {
     import spark.implicits._
     // maxHeavyBroadcast = 0 forces the shuffled-join fallback; default takes
