@@ -45,12 +45,20 @@ object DataPipeline {
     * standard char LM scores above this many milli-bits/char (the codegen'd
     * [[graft.spark.fns.CharLmBitsExpr]]; fuses into the same stage-1
     * scan/filter as the heuristic quality gate). None = off (the default,
+    * and the q_pipeline oracle shape).
+    *
+    * `nearDupThreshold`: optional FUZZY dedup stage after exact dedup (what
+    * real curation pipelines run — RefinedWeb/Dolma keep one doc per
+    * near-dup cluster): MinHash-LSH pairs at the given Jaccard threshold →
+    * connected components → drop every doc whose cluster representative is
+    * not itself (one anti-join keyed by doc_id). None = off (the default,
     * and the q_pipeline oracle shape). */
   def curate(docs: DataFrame, benchDocs: DataFrame,
              domainCap: Int = 5, tokenBudget: Long = 2000L,
              tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                TextFunctions.tokenCount(_),
-             maxLmBitsMilli: Option[Long] = None): DataFrame = {
+             maxLmBitsMilli: Option[Long] = None,
+             nearDupThreshold: Option[Double] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
       md5(col("text")).as("digest"),
       tokenCounter(col("text")).cast("long").as("toks"))
@@ -65,10 +73,24 @@ object DataPipeline {
     val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
     val deduped = quality
       .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1).drop("__rk")
+    // 2b. optional fuzzy dedup: keep one doc per near-dup cluster (the
+    // cluster representative is the min doc_id — connectedComponents'
+    // deterministic labeling); exact dedup already ran, so identical-content
+    // groups never reach the LSH stage (the documented ordering)
+    val fuzzy = nearDupThreshold match {
+      case None => deduped
+      case Some(th) =>
+        val pairs = graft.spark.dedup.Dedup.minhashLshPairs(
+          deduped, "doc_id", "text", threshold = th)
+        val losers = graft.spark.dedup.Dedup.connectedComponents(pairs)
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id"))
+        deduped.join(losers, Seq("doc_id"), "left_anti")
+    }
     // 3. benchmark decontamination (drop any doc sharing an 8-token
     // shingle — long n-grams so incidental vocabulary overlap does not
     // count as contamination, GPT-3 App. C style)
-    val clean = Corpus.decontaminate(deduped, benchDocs, "doc_id", "text", n = 8,
+    val clean = Corpus.decontaminate(fuzzy, benchDocs, "doc_id", "text", n = 8,
         passthrough = Seq("lang", "source", "digest", "toks"))
       .filter(!col("contaminated")).drop("contaminated")
     // 4. per-domain cap, priority = content digest

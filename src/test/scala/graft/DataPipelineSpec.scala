@@ -89,6 +89,24 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(on == Set(1L))
   }
 
+  test("optional fuzzy-dedup stage keeps one doc per near-dup cluster") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away today"
+    val docs = Seq(
+      (1L, "en", "a.com", base),
+      (2L, "en", "a.com", base + " extra"),       // near-dup of 1 (not exact)
+      (3L, "en", "a.com", base + " extra more"),  // near-dup of 1 and 2
+      (4L, "en", "b.com", "a completely different document about boats and rivers with plenty of words in it")
+    ).toDF("doc_id", "lang", "source", "text")
+    val bench = Seq.empty[String].toDF("text")
+    val off = DataPipeline.curate(docs, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(off == Set(1L, 2L, 3L, 4L), "exact dedup alone keeps all four")
+    val on = DataPipeline.curate(docs, bench, nearDupThreshold = Some(0.7))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(on == Set(1L, 4L), s"cluster collapses to its min-id representative: $on")
+  }
+
   test("shard assignment is content-addressed and covers all shards") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
