@@ -236,14 +236,7 @@ object Corpus {
           .mkString("\n"))
       docs.withColumn("text_clean", clean(col(textCol)))
     } else {
-      val (tagged, rid) = idCol match {
-        case Some(c) => (docs, col(c))
-        case None =>
-          // monotonically_increasing_id is only stable if both uses below
-          // see the SAME materialized rows — pin them
-          (docs.withColumn("__graft_rid", monotonically_increasing_id())
-            .localCheckpoint(true), col("__graft_rid"))
-      }
+      val (tagged, rid) = taggedWithRid(docs, idCol)
       val lines = tagged
         .select(rid.as("__rid"),
           posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
@@ -268,21 +261,27 @@ object Corpus {
     }
   }
 
-  /** Guarded heavy-set flag: given `spans` carrying an 8-byte hash column
-    * `h`, flag each row by whether `h`'s corpus-wide count reaches
-    * `minCount`. Normal path: the thresholded set (bounded by total rows /
-    * minCount) collects to a sorted primitive array, broadcasts once, and a
-    * binary-search probe flags rows in place — the probe cache is
-    * unpersisted before returning, nothing stays cached. Above
-    * `maxHeavyBroadcast` (the 10^12-doc-low-threshold regime that would OOM
-    * a driver or executor): a plain shuffled LEFT join on the 8-byte key —
-    * cheap rows, no driver collect, heavy set stays persisted inside the
-    * returned plan (caller-managed lifetime). CorpusSpec pins identical
-    * output across both paths for all three flag operators. */
+  /** Row-id tagging shared by the join-rebuild paths of the REMOVE
+    * operators: the caller's unique `idCol` when given; otherwise a
+    * synthetic id pinned via localCheckpoint — monotonically_increasing_id
+    * is only stable if every use downstream sees the SAME materialized
+    * rows, and the rebuild self-correlation uses the id on both sides. */
+  private def taggedWithRid(docs: DataFrame, idCol: Option[String]): (DataFrame, Column) =
+    idCol match {
+      case Some(c) => (docs, col(c))
+      case None =>
+        (docs.withColumn("__graft_rid", monotonically_increasing_id())
+          .localCheckpoint(true), col("__graft_rid"))
+    }
+
   /** The guarded heavy-set materialization shared by every frequency-keyed
-    * operator: Left(sorted broadcast array) on the normal path (probe cache
-    * unpersisted before returning), Right(persisted DataFrame) above the
-    * bound (caller-managed lifetime). */
+    * operator, given `spans` carrying an 8-byte hash column `h`: the
+    * thresholded (count >= minCount, bounded by total rows / minCount) hash
+    * set, as Left(sorted broadcast array) on the normal path (one
+    * limit-probe job; probe cache unpersisted before returning, nothing
+    * stays cached) or Right(persisted DataFrame) above `maxHeavyBroadcast`
+    * (the 10^12-doc-low-threshold regime that would OOM a driver or
+    * executor; caller-managed cache lifetime). */
   private def heavySet(spans: DataFrame, minCount: Long, maxHeavyBroadcast: Long)
       : Either[org.apache.spark.broadcast.Broadcast[Array[Long]], DataFrame] = {
     val heavyDf = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
@@ -301,6 +300,10 @@ object Corpus {
     } else Right(heavyDf)
   }
 
+  /** Flag each span row by heavy-set membership: binary-search probe
+    * against the broadcast array on the normal path, plain shuffled LEFT
+    * join on the 8-byte key above the bound. CorpusSpec pins identical
+    * output across both paths for all three flag operators. */
   private def heavyFlagged(spans: DataFrame, minCount: Long, maxHeavyBroadcast: Long,
                            flagName: String, out: Seq[Column]): DataFrame =
     heavySet(spans, minCount, maxHeavyBroadcast) match {
@@ -424,12 +427,7 @@ object Corpus {
           })
         docs.withColumn("text_clean", clean(col(textCol)))
       case Right(heavyDf) =>
-        val (tagged, rid) = idCol match {
-          case Some(c) => (docs, col(c))
-          case None =>
-            (docs.withColumn("__graft_rid", monotonically_increasing_id())
-              .localCheckpoint(true), col("__graft_rid"))
-        }
+        val (tagged, rid) = taggedWithRid(docs, idCol)
         val starts = tagged
           .select(rid.as("__rid"),
             posexplode(TextExpressions.spanHashesNative(col(textCol), n))

@@ -52,7 +52,12 @@ object DataPipeline {
     * near-dup cluster): MinHash-LSH pairs at the given Jaccard threshold →
     * connected components → drop every doc whose cluster representative is
     * not itself (one anti-join keyed by doc_id). None = off (the default,
-    * and the q_pipeline oracle shape). */
+    * and the q_pipeline oracle shape). NOTE: unlike every other stage, this
+    * one is EAGER — connected components is an iterative fixpoint (per-round
+    * checkpoints), so enabling it materializes the upstream stages at
+    * curate() call time; the upstream frame is persisted for the stage's
+    * repeated scans and unpersisted before returning (downstream recomputes
+    * its lineage once per action). */
   def curate(docs: DataFrame, benchDocs: DataFrame,
              domainCap: Int = 5, tokenBudget: Long = 2000L,
              tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -80,11 +85,21 @@ object DataPipeline {
     val fuzzy = nearDupThreshold match {
       case None => deduped
       case Some(th) =>
-        val pairs = graft.spark.dedup.Dedup.minhashLshPairs(
-          deduped, "doc_id", "text", threshold = th)
-        val losers = graft.spark.dedup.Dedup.connectedComponents(pairs)
-          .filter(col("doc_id") =!= col("rep"))
-          .select(col("doc_id"))
+        // pin the upstream frame: the LSH stage scans it for banding and
+        // joins it twice for the exact-Jaccard verify, and CC's iterative
+        // rounds run EAGERLY here — without the persist the quality gate +
+        // digest-dedup window would re-execute 4+ times
+        val pinned = deduped.persist()
+        val losers =
+          try graft.spark.dedup.Dedup.connectedComponents(
+              graft.spark.dedup.Dedup.minhashLshPairs(
+                pinned, "doc_id", "text", threshold = th))
+            .filter(col("doc_id") =!= col("rep"))
+            .select(col("doc_id"))
+            .localCheckpoint(true) // CC labels are checkpointed; pin the
+                                   // filtered losers so nothing below needs
+                                   // the pinned frame's cache
+          finally pinned.unpersist(blocking = false)
         deduped.join(losers, Seq("doc_id"), "left_anti")
     }
     // 3. benchmark decontamination (drop any doc sharing an 8-token
@@ -118,6 +133,12 @@ object DataPipeline {
   * lineage row (job stage, rows_in, rows_out, wall ms, finished ts) to
   * <workDir>/metrics/. A rerun skips every stage whose output already has a
   * _SUCCESS marker — kill it anywhere and rerun to resume.
+  *
+  * Scope: the staged main runs [[DataPipeline.curate]]'s DEFAULT stage set
+  * (the q_pipeline oracle shape). The optional curate() stages — perplexity
+  * gate (`maxLmBitsMilli`) and fuzzy dedup (`nearDupThreshold`) — are
+  * composed-pipeline options; wire them here only together with their own
+  * checkpoint dirs if a deployment needs them staged.
   */
 object CuratePipeline {
   def main(args: Array[String]): Unit = {

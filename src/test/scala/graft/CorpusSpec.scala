@@ -174,8 +174,10 @@ class CorpusSpec extends AnyFunSuite {
     assert(b == j)
     assert(b.values.exists(_.contains("alpha")), "unique tokens must survive")
     assert(!b(0L).contains("repeated filler"), "planted repeats must drop")
-    // synthetic-id path (no idCol) agrees too
-    val noId = Corpus.removeRepeatedSpans(docs, "text", n = 4, minCount = 5L)
+    // synthetic-id path (no idCol) agrees too — maxHeavyBroadcast = 0 forces
+    // the join-rebuild branch where the synthetic rid actually matters
+    val noId = Corpus.removeRepeatedSpans(docs, "text", n = 4, minCount = 5L,
+        maxHeavyBroadcast = 0L)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(noId == b)
   }
