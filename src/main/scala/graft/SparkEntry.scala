@@ -87,6 +87,7 @@ object SparkEntry {
     "q_ann_ivf_recall" -> ((s, d) => VerifiedQueries.annIvfRecallVerified(s, d, 0.4)),
     "q_ann_pq_recall" -> ((s, d) => VerifiedQueries.annPqRecallVerified(s, d, 0.4)),
     "q_ann_ivfpq_recall" -> ((s, d) => VerifiedQueries.annIvfPqRecallVerified(s, d, 0.6)),
+    "q_ann_index" -> (VerifiedQueries.annIndexRoundtripVerified(_, _)),
     "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
@@ -522,6 +523,11 @@ object SparkEntry {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
     "q_ann_ivfpq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+    // index persistence: searching the parquet-reloaded byte-codec index
+    // must reproduce the direct call rank-for-rank
+    "q_ann_index" ->
+      ("SELECT vec_id AS query_id, true AS roundtrip_ok, true AS codec_ok " +
+        "FROM embeddings WHERE vec_id < 10"),
     // HELD-OUT accuracy literals (graft.tools.LangTruth): measured, not
     // assumed — 700/700 at 2-4-sentence doc granularity across 14 languages
     // (round 4 added sv/cs/tr; single-sentence granularity is 111/112 —

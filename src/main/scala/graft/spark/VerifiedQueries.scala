@@ -1084,6 +1084,42 @@ object VerifiedQueries {
   private def recallOk(recalls: DataFrame, minRecall: Double): DataFrame =
     recalls.select(col("query_id"), (col("recall_at_5") >= minRecall).as("recall_ok"))
 
+  /** IVFPQ index PERSISTENCE round-trip (the build-once-query-many shape):
+    * train the model, byte-serialize + reload it (deterministic codec),
+    * write the encoded (vec_id, cell, codes) index to parquet + read it
+    * back, and search the reloaded index — every (query_id, vec_id, rank)
+    * must equal the direct in-memory [[graft.spark.ann.Ann.ivfPqTopK]] call
+    * (which also re-trains, so the flag additionally pins training
+    * determinism). codec_ok pins fromBytes(toBytes) byte identity. */
+  def annIndexRoundtripVerified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.ann.{Ann, IvfPqModel}
+    val emb = tbl(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val model = Ann.trainIvfPqModel(corpus, dim = 64)
+    val bytes = model.toBytes
+    val reloaded = IvfPqModel.fromBytes(bytes)
+    val codecOk = java.util.Arrays.equals(bytes, reloaded.toBytes)
+    // pid-suffixed path (concurrent sessions must not race, like Bucketing)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ann_index_${ProcessHandle.current().pid()}")
+    Ann.encodeIvfPq(corpus, model).write.mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    val loadedIndex = spark.read.parquet(tmp.getAbsolutePath)
+    val direct = Ann.ivfPqTopK(corpus, queries, 5, dim = 64, nprobe = 8)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val via = Ann.searchIvfPq(loadedIndex, reloaded, queries, 5, nprobe = 8,
+        refineFactor = 4, rawCorpus = Some(corpus))
+      .select(col("query_id").as("vq"), col("vec_id").as("vv"), col("rank").as("vr"))
+    direct.join(via,
+        direct("query_id") === col("vq") && direct("vec_id") === col("vv") &&
+          direct("rank") === col("vr"), "left")
+      .groupBy(col("query_id"))
+      .agg(every(col("vv").isNotNull).as("roundtrip_ok"))
+      .select(col("query_id"), col("roundtrip_ok"), lit(codecOk).as("codec_ok"))
+  }
+
   // ---------- flagship ----------
 
   /** The north-star pages battery, flattened to scalar columns and verified:

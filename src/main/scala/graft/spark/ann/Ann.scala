@@ -456,27 +456,30 @@ object Ann extends Serializable {
                 lloydIters: Int = 3, pqIters: Int = 5,
                 trainSample: Int = 4096, residual: Boolean = true,
                 refineFactor: Int = 4): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val spark = corpus.sparkSession
+    val model = trainIvfPqModel(corpus, dim, nlist, m, ksub, lloydIters,
+      pqIters, trainSample, residual)
+    searchIvfPq(encodeIvfPq(corpus, model), model, queries, k, nprobe,
+      refineFactor, rawCorpus = Some(corpus))
+  }
 
+  /** Train the IVFPQ model (coarse quantizer + PQ codebooks) WITHOUT
+    * encoding or searching — the build-once half of the production shape
+    * (build the index, persist it, query it many times). The model is a
+    * small driver-side object with a deterministic byte codec
+    * ([[IvfPqModel.toBytes]]) for persistence next to the encoded index. */
+  def trainIvfPqModel(corpus: DataFrame, dim: Int,
+                      nlist: Int = 16, m: Int = 16, ksub: Int = 256,
+                      lloydIters: Int = 3, pqIters: Int = 5,
+                      trainSample: Int = 4096, residual: Boolean = true): IvfPqModel = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     // coarse quantizer — the SAME deterministic distributed spherical Lloyd
     // ivfTopK trains (shared helper; `lloydIters` governs it). A corpus
     // smaller than nlist yields fewer centroids; all dense-by-cell tables
-    // below are sized to the ACTUAL count (cell ids are 0..n-1 by
-    // construction), so a tiny corpus cannot leave null slots.
+    // are sized to the ACTUAL count (cell ids are 0..n-1 by construction),
+    // so a tiny corpus cannot leave null slots.
     val centroids = trainCoarseCentroids(corpus, nlist, lloydIters)
-    require(centroids.nonEmpty, "ivfPqTopK needs a non-empty corpus")
-    val centByCell: Array[Array[Float]] = {
-      val out = new Array[Array[Float]](centroids.length)
-      centroids.foreach { case (i, c) => out(i) = c }
-      out
-    }
-    val cents = spark.sparkContext.broadcast(centroids)
-    val bcCentByCell = spark.sparkContext.broadcast(centByCell)
-    val probeCells = udf((v: Seq[Float]) =>
-      cents.value.map { case (i, c) => (i, cosineLocal(v, c)) }
-        .sortBy(-_._2).take(nprobe).map(_._1))
-
+    require(centroids.nonEmpty, "IVFPQ training needs a non-empty corpus")
+    val centByCell = IvfPqModel(dim, m, residual, centroids, Array.empty).centByCell
     // PQ codebooks — trained on residuals (or raw normalized vectors in
     // simple mode) of the SAME deterministic driver sample pqTopK uses
     val rawSample = pqTrainSample(corpus, dim, trainSample)
@@ -489,20 +492,29 @@ object Ann extends Serializable {
         while (i < dim) { r(i) = nv(i) - (if (i < c.length) c(i) else 0f); i += 1 }
         r
       }
-    val books = trainCodebooks(trainPts, dim, m, ksub, pqIters)
-    val bcBooks = spark.sparkContext.broadcast(books)
-    val bcLut = spark.sparkContext.broadcast(buildAdcLuts(queries, books, dim, m))
+    IvfPqModel(dim, m, residual, centroids,
+      trainCodebooks(trainPts, dim, m, ksub, pqIters))
+  }
 
-    // fused index UDF: normalize once, assign the cell, encode (the residual
-    // to that cell's centroid when enabled) — cell and codes cannot drift
+  /** Encode a corpus under a trained model: (vec_id, cell, codes) — the
+    * persistable index relation (cell id + m bytes per vector; write it as
+    * parquet partitioned/bucketed by `cell` for pruned scans). The fused
+    * per-row UDF normalizes once and assigns + encodes together, so cell
+    * and codes cannot drift. */
+  def encodeIvfPq(corpus: DataFrame, model: IvfPqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val dim = model.dim
+    val m = model.m
     val dsub = dim / m
     val encodeRow = udf((v: Seq[Float]) => {
+      val mm = bc.value
       val nv = normalizeVec(v, dim)
-      val cell = assignCellArr(nv, cents.value)
+      val cell = assignCellArr(nv, mm.centroids)
       val target =
-        if (!residual) nv
+        if (!mm.residual) nv
         else {
-          val c = bcCentByCell.value(cell)
+          val c = mm.centByCell(cell)
           val r = new Array[Float](dim)
           var i = 0
           while (i < dim) { r(i) = nv(i) - (if (i < c.length) c(i) else 0f); i += 1 }
@@ -513,23 +525,46 @@ object Ann extends Serializable {
       while (sub < m) {
         codes(sub) = nearestSub(
           java.util.Arrays.copyOfRange(target, sub * dsub, (sub + 1) * dsub),
-          bcBooks.value(sub)).toByte
+          mm.books(sub)).toByte
         sub += 1
       }
       (cell, codes)
     })
+    corpus
+      .select(col("vec_id"), encodeRow(col("embedding")).as("enc"))
+      .select(col("vec_id"), col("enc._1").as("cell"), col("enc._2").as("codes"))
+  }
 
+  /** Search a (possibly reloaded-from-parquet) encoded index under its
+    * model: probe `nprobe` cells, ADC-score the byte codes, optionally
+    * refine the shortlist exactly against `rawCorpus` (required when
+    * `refineFactor > 1` — refine needs the raw vectors). Identical results
+    * to [[ivfPqTopK]] by construction (PqSpec pins the round-trip). */
+  def searchIvfPq(index: DataFrame, model: IvfPqModel, queries: DataFrame,
+                  k: Int, nprobe: Int = 4, refineFactor: Int = 4,
+                  rawCorpus: Option[DataFrame] = None): DataFrame = {
+    require(refineFactor <= 1 || rawCorpus.isDefined,
+      "refineFactor > 1 needs rawCorpus (the exact re-rank reads raw vectors)")
+    val spark = index.sparkSession
+    val dim = model.dim
+    val m = model.m
+    val bc = spark.sparkContext.broadcast(model)
+    val probeCells = udf((v: Seq[Float]) =>
+      bc.value.centroids.map { case (i, c) => (i, cosineLocal(v, c)) }
+        .sortBy(-_._2).take(nprobe).map(_._1))
+    val bcLut = spark.sparkContext.broadcast(
+      buildAdcLuts(queries, model.books, dim, m))
     // exact per-(query, cell) q·centroid term of the linear decomposition
     val qDotCent: Map[Long, Array[Float]] = queries
       .select(col("query_id").cast("long"), col("q_embedding"))
       .collect()
       .map { r =>
         val qn = normalizeVec(r.getSeq[Float](1), dim)
-        r.getLong(0) -> centByCell.map(c => dotArr(qn, c).toFloat)
+        r.getLong(0) -> model.centByCell.map(c => dotArr(qn, c).toFloat)
       }.toMap
     val bcQDotCent = spark.sparkContext.broadcast(qDotCent)
     val score =
-      if (!residual) null
+      if (!model.residual) null
       else udf((qid: Long, cell: Int, codes: Array[Byte]) => {
         var s = bcQDotCent.value(qid)(cell).toDouble
         val lut = bcLut.value(qid)
@@ -538,17 +573,13 @@ object Ann extends Serializable {
         s
       })
 
-    // --- search: cell-pruned ADC scan ---
-    val index = corpus
-      .select(col("vec_id"), encodeRow(col("embedding")).as("enc"))
-      .select(col("vec_id"), col("enc._1").as("cell"), col("enc._2").as("codes"))
     val probed = queries
       .select(col("query_id").cast("long").as("query_id"), col("q_embedding"))
       .withColumn("cell", explode(probeCells(col("q_embedding"))))
       .drop("q_embedding")
     val cands = index.join(broadcast(probed), "cell")
       .withColumn("sim",
-        if (residual) score(col("query_id"), col("cell"), col("codes"))
+        if (model.residual) score(col("query_id"), col("cell"), col("codes"))
         else adcUdf(bcLut, m)(col("query_id"), col("codes")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     if (refineFactor <= 1) {
@@ -561,7 +592,7 @@ object Ann extends Serializable {
       val shortlist = cands.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= refineFactor * k)
         .select(col("query_id"), col("vec_id"))
-      val exact = corpus.select(col("vec_id"), col("embedding"))
+      val exact = rawCorpus.get.select(col("vec_id"), col("embedding"))
         .join(broadcast(shortlist), "vec_id")
         .join(broadcast(queries.select(col("query_id").cast("long").as("query_id"),
           col("q_embedding"))), "query_id")

@@ -1,0 +1,72 @@
+package graft.spark.ann
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+/** The trained half of an IVFPQ index: coarse centroids + per-subspace PQ
+  * codebooks (plus the layout parameters). A few MB at production settings
+  * (nlist·dim + m·ksub·dsub floats) — persist [[toBytes]] next to the
+  * encoded (vec_id, cell, codes) parquet written from
+  * [[Ann.encodeIvfPq]], reload with [[IvfPqModel.fromBytes]], and query
+  * with [[Ann.searchIvfPq]] — build once, search many (the FAISS
+  * index-file shape; PqSpec pins the byte round-trip and that a reloaded
+  * index searches identically).
+  *
+  * The codec is a deterministic explicit layout (magic + dims + IEEE-754
+  * floats big-endian via DataOutputStream), not Java serialization — bytes
+  * are stable across JVMs and md5-pinnable. */
+final case class IvfPqModel(dim: Int, m: Int, residual: Boolean,
+                            centroids: Array[(Int, Array[Float])],
+                            books: Array[Array[Array[Float]]]) {
+
+  /** Dense centroid-by-cell table (cell ids are 0..n-1 by construction). */
+  @transient lazy val centByCell: Array[Array[Float]] = {
+    val out = new Array[Array[Float]](centroids.length)
+    centroids.foreach { case (i, c) => out(i) = c }
+    out
+  }
+
+  def toBytes: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.writeInt(IvfPqModel.Magic)
+    o.writeInt(dim)
+    o.writeInt(m)
+    o.writeBoolean(residual)
+    o.writeInt(centroids.length)
+    centroids.foreach { case (i, c) =>
+      o.writeInt(i)
+      o.writeInt(c.length)
+      c.foreach(o.writeFloat)
+    }
+    o.writeInt(books.length)
+    books.foreach { book =>
+      o.writeInt(book.length)
+      book.foreach { cent =>
+        o.writeInt(cent.length)
+        cent.foreach(o.writeFloat)
+      }
+    }
+    o.flush()
+    bos.toByteArray
+  }
+}
+
+object IvfPqModel {
+  private val Magic = 0x47495051 // "GIPQ"
+
+  def fromBytes(b: Array[Byte]): IvfPqModel = {
+    val in = new DataInputStream(new ByteArrayInputStream(b))
+    require(in.readInt() == Magic, "not an IvfPqModel byte image")
+    val dim = in.readInt()
+    val m = in.readInt()
+    val residual = in.readBoolean()
+    val centroids = Array.fill(in.readInt()) {
+      val i = in.readInt()
+      (i, Array.fill(in.readInt())(in.readFloat()))
+    }
+    val books = Array.fill(in.readInt()) {
+      Array.fill(in.readInt())(Array.fill(in.readInt())(in.readFloat()))
+    }
+    IvfPqModel(dim, m, residual, centroids, books)
+  }
+}

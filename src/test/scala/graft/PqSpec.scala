@@ -102,6 +102,32 @@ class PqSpec extends AnyFunSuite {
     assert(n.forall(_ == 5L))
   }
 
+  test("IvfPqModel byte codec round-trips exactly; reloaded index searches identically") {
+    import spark.implicits._
+    val corpus = (0L until 120L).map(i => (i, rngVec(7000L + i, 16))).toDF("vec_id", "embedding")
+    val queries = (0L until 4L).map(i => (i, rngVec(7000L + i * 31, 16)))
+      .toDF("query_id", "q_embedding")
+    val model = Ann.trainIvfPqModel(corpus, dim = 16, nlist = 8, m = 4, ksub = 16,
+      trainSample = 120)
+    val bytes = model.toBytes
+    val back = graft.spark.ann.IvfPqModel.fromBytes(bytes)
+    assert(java.util.Arrays.equals(back.toBytes, bytes), "codec must be a fixpoint")
+    assert(back.dim == model.dim && back.m == model.m && back.residual == model.residual)
+    // search the encoded index under the RELOADED model == the direct call
+    val index = Ann.encodeIvfPq(corpus, model)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = rows(Ann.ivfPqTopK(corpus, queries, 3, dim = 16, nlist = 8,
+      nprobe = 4, m = 4, ksub = 16, trainSample = 120))
+    val via = rows(Ann.searchIvfPq(index, back, queries, 3, nprobe = 4,
+      refineFactor = 4, rawCorpus = Some(corpus)))
+    assert(via == direct)
+    // without refine, rawCorpus is not needed
+    assert(Ann.searchIvfPq(index, back, queries, 3, nprobe = 4, refineFactor = 1)
+      .count() == 12L)
+  }
+
   test("ivfPqTopK handles a corpus smaller than nlist (cell tables sized to actual count)") {
     import spark.implicits._
     // 6 vectors, default-ish nlist 16: centroid/cell tables must size to 6
