@@ -264,6 +264,20 @@ object BpeTokenizer {
     merges.toVector
   }
 
+  /** Persist a merge table as the standard merges.txt shape (one
+    * "left right" pair per line, rank = line order — the public BPE
+    * interchange format; symbols never contain spaces because pre-tokens
+    * never do). [[parseMerges]] reloads it. */
+  def formatMerges(merges: Vector[(String, String)]): String =
+    merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+
+  def parseMerges(text: String): Vector[(String, String)] =
+    text.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+      val sp = line.indexOf(' ')
+      require(sp > 0 && sp < line.length - 1, s"malformed merge line: '$line'")
+      (line.substring(0, sp), line.substring(sp + 1))
+    }.toVector
+
   /** The standard deterministic vocabulary: 256 merges learned from the
     * embedded English training paragraphs below (disjoint from every
     * verification fixture). A stable, dependency-free default — real

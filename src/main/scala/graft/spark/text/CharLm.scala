@@ -99,9 +99,49 @@ final class CharLm private (order: Int,
 
   /** floor(1000 × bits/char) — the integer-exact thresholding surface. */
   def bitsMilli(text: String): Long = math.floor(1000.0 * bitsPerChar(text)).toLong
+
+  /** Deterministic byte image (explicit layout, UTF-8 gram keys sorted so
+    * identical models always serialize to identical bytes regardless of
+    * map iteration order) — persist a trained LM next to the corpus it
+    * scores, reload with [[CharLm.fromBytes]]. */
+  def toBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeInt(CharLm.Magic)
+    o.writeInt(order)
+    o.writeLong(totalChars)
+    o.writeInt(alphabetSize)
+    def writeMap(m: java.util.HashMap[String, Long]): Unit = {
+      val keys = new java.util.ArrayList[String](m.keySet())
+      java.util.Collections.sort(keys)
+      o.writeInt(keys.size())
+      keys.forEach { k => o.writeUTF(k); o.writeLong(m.get(k)) }
+    }
+    writeMap(grams)
+    writeMap(unigram)
+    o.flush()
+    bos.toByteArray
+  }
 }
 
 object CharLm {
+  private val Magic = 0x47434c4d // "GCLM"
+
+  def fromBytes(b: Array[Byte]): CharLm = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    require(in.readInt() == Magic, "not a CharLm byte image")
+    val order = in.readInt()
+    val total = in.readLong()
+    val alphabet = in.readInt()
+    def readMap(): java.util.HashMap[String, Long] = {
+      val n = in.readInt()
+      val m = new java.util.HashMap[String, Long](n * 2)
+      var i = 0
+      while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+      m
+    }
+    new CharLm(order, readMap(), readMap(), total, alphabet)
+  }
 
   /** Train an order-n char LM: counts of every 1..order-gram of the
     * normalized corpus texts. */

@@ -144,6 +144,19 @@ class BpeSpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
   }
 
+  test("merges.txt round-trip: format + parse is the identity; reloaded table counts identically") {
+    val bpe = BpeTokenizer.standard
+    val text = BpeTokenizer.formatMerges(bpe.merges)
+    val back = BpeTokenizer.parseMerges(text)
+    assert(back == bpe.merges)
+    val reloaded = new BpeTokenizer(back)
+    assert(reloaded.countText("the quick brown fox jumps over the lazy dog") ==
+      bpe.countText("the quick brown fox jumps over the lazy dog"))
+    // byte-level tables (remapped-byte symbols are still space-free chars)
+    val bb = BpeTokenizer.standardBytes
+    assert(BpeTokenizer.parseMerges(BpeTokenizer.formatMerges(bb.merges)) == bb.merges)
+  }
+
   test("merge table survives serialization (the Expression reference-object path)") {
     val bpe = BpeTokenizer.standard
     val bos = new java.io.ByteArrayOutputStream()

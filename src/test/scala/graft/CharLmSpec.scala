@@ -92,6 +92,16 @@ class CharLmSpec extends AnyFunSuite {
     }
   }
 
+  test("byte codec: deterministic fixpoint, reloaded model scores identically") {
+    val lm = CharLm.standard
+    val bytes = lm.toBytes
+    val back = CharLm.fromBytes(bytes)
+    assert(java.util.Arrays.equals(back.toBytes, bytes), "codec must be a fixpoint")
+    Seq("the quick brown fox", "zq xvj 東京", "new 😀 emoji", "").foreach { s =>
+      assert(back.bitsMilli(s) == lm.bitsMilli(s), s"'$s'")
+    }
+  }
+
   test("survives serialization (the Expression reference-object path)") {
     val lm = CharLm.standard
     val bos = new java.io.ByteArrayOutputStream()
