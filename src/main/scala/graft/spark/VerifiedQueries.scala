@@ -1102,8 +1102,29 @@ object VerifiedQueries {
     val reloaded = IvfPqModel.fromBytes(bytes)
     val codecOk = java.util.Arrays.equals(bytes, reloaded.toBytes)
     // pid-suffixed path (concurrent sessions must not race, like Bucketing)
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ann_index_${ProcessHandle.current().pid()}")
+    // — the returned DataFrame reads the parquet lazily, so THIS process
+    // cannot delete it after the query; reap dirs whose pid is dead so
+    // repeated runs don't accumulate index copies forever (best-effort)
+    val tok = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val stale = "graft_ann_index_([0-9a-f]+)".r
+    try tmpRoot.listFiles().foreach { f =>
+      f.getName match {
+        case stale(pidHex) if pidHex != tok =>
+          val alive = try ProcessHandle.of(java.lang.Long.parseLong(pidHex, 16))
+            .map[Boolean](_.isAlive).orElse(false)
+          catch { case _: NumberFormatException => false }
+          if (!alive) {
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+              x.delete(): Unit
+            }
+            rm(f)
+          }
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val tmp = new java.io.File(tmpRoot, s"graft_ann_index_$tok")
     Ann.encodeIvfPq(corpus, model).write.mode("overwrite")
       .parquet(tmp.getAbsolutePath)
     val loadedIndex = spark.read.parquet(tmp.getAbsolutePath)

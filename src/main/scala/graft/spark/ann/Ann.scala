@@ -502,6 +502,7 @@ object Ann extends Serializable {
     * per-row UDF normalizes once and assigns + encodes together, so cell
     * and codes cannot drift. */
   def encodeIvfPq(corpus: DataFrame, model: IvfPqModel): DataFrame = {
+    model.validate() // fail on the driver, not inside an executor UDF
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     val dim = model.dim
@@ -543,6 +544,7 @@ object Ann extends Serializable {
   def searchIvfPq(index: DataFrame, model: IvfPqModel, queries: DataFrame,
                   k: Int, nprobe: Int = 4, refineFactor: Int = 4,
                   rawCorpus: Option[DataFrame] = None): DataFrame = {
+    model.validate() // fail on the driver, not inside an executor UDF
     require(refineFactor <= 1 || rawCorpus.isDefined,
       "refineFactor > 1 needs rawCorpus (the exact re-rank reads raw vectors)")
     val spark = index.sparkSession

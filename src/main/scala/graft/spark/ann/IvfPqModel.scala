@@ -18,6 +18,20 @@ final case class IvfPqModel(dim: Int, m: Int, residual: Boolean,
                             centroids: Array[(Int, Array[Float])],
                             books: Array[Array[Array[Float]]]) {
 
+  /** Structural consistency, enforced at the public Ann entry points and on
+    * [[IvfPqModel.fromBytes]] — an inconsistent model (wrong subspace split,
+    * book count != m) would otherwise silently mis-encode or die inside an
+    * executor UDF instead of failing clearly on the driver. */
+  def validate(): Unit = {
+    require(dim > 0 && m > 0 && dim % m == 0,
+      s"dim $dim must divide into m=$m subspaces")
+    require(centroids.nonEmpty, "model has no coarse centroids")
+    require(books.length == m, s"expected $m codebooks, found ${books.length}")
+    val dsub = dim / m
+    require(books.forall(_.forall(_.length == dsub)),
+      s"every codebook centroid must have dsub=$dsub dims")
+  }
+
   /** Dense centroid-by-cell table (cell ids are 0..n-1 by construction). */
   @transient lazy val centByCell: Array[Array[Float]] = {
     val out = new Array[Array[Float]](centroids.length)
@@ -67,6 +81,8 @@ object IvfPqModel {
     val books = Array.fill(in.readInt()) {
       Array.fill(in.readInt())(Array.fill(in.readInt())(in.readFloat()))
     }
-    IvfPqModel(dim, m, residual, centroids, books)
+    val model = IvfPqModel(dim, m, residual, centroids, books)
+    model.validate()
+    model
   }
 }

@@ -272,11 +272,16 @@ object BpeTokenizer {
     merges.map { case (a, b) => s"$a $b" }.mkString("\n")
 
   def parseMerges(text: String): Vector[(String, String)] =
-    text.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
-      val sp = line.indexOf(' ')
-      require(sp > 0 && sp < line.length - 1, s"malformed merge line: '$line'")
-      (line.substring(0, sp), line.substring(sp + 1))
-    }.toVector
+    text.split("\n", -1).iterator
+      // tolerate real-world merges.txt: CRLF endings and the standard
+      // '#version: …' header line (comment lines are not merges)
+      .map(l => if (l.endsWith("\r")) l.substring(0, l.length - 1) else l)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val sp = line.indexOf(' ')
+        require(sp > 0 && sp < line.length - 1, s"malformed merge line: '$line'")
+        (line.substring(0, sp), line.substring(sp + 1))
+      }.toVector
 
   /** The standard deterministic vocabulary: 256 merges learned from the
     * embedded English training paragraphs below (disjoint from every

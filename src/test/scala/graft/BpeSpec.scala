@@ -155,6 +155,9 @@ class BpeSpec extends AnyFunSuite {
     // byte-level tables (remapped-byte symbols are still space-free chars)
     val bb = BpeTokenizer.standardBytes
     assert(BpeTokenizer.parseMerges(BpeTokenizer.formatMerges(bb.merges)) == bb.merges)
+    // real-world merges.txt tolerance: CRLF endings and '#version:' header
+    assert(BpeTokenizer.parseMerges("#version: 0.2\r\nt h\r\nth e\r\n") ==
+      Vector(("t", "h"), ("th", "e")))
   }
 
   test("merge table survives serialization (the Expression reference-object path)") {

@@ -126,6 +126,14 @@ class PqSpec extends AnyFunSuite {
     // without refine, rawCorpus is not needed
     assert(Ann.searchIvfPq(index, back, queries, 3, nprobe = 4, refineFactor = 1)
       .count() == 12L)
+    // structurally inconsistent models fail loudly on the DRIVER
+    intercept[IllegalArgumentException] {
+      graft.spark.ann.IvfPqModel.fromBytes(
+        model.copy(books = model.books.take(2)).toBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.encodeIvfPq(corpus, model.copy(dim = 10))
+    }
   }
 
   test("ivfPqTopK handles a corpus smaller than nlist (cell tables sized to actual count)") {
