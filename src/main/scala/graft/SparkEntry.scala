@@ -79,6 +79,7 @@ object SparkEntry {
     "q_qf_hashes" -> (VerifiedQueries.qfHashesVerified(_, _)),
     // dedup / ANN / text / multimodal
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
+    "q_dedup_incremental" -> (SparkQueries.minhashPairsIncremental(_, _)),
     "q_dedup_clusters" -> (SparkQueries.dedupClusters(_, _)),
     "q_simhash_pairs" -> (VerifiedQueries.simhashPairsVerified(_, _)),
     "q_embed_neardup" -> (SparkQueries.embeddingNearDup(_, _)),
@@ -488,6 +489,11 @@ object SparkEntry {
         "FROM events GROUP BY 1, 2"),
     "q_minhash_pairs" ->
       (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
+    // incremental = the full exact pair set restricted to pairs touching a
+    // NEW-batch (odd-id) doc
+    "q_dedup_incremental" ->
+      (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs " +
+        "WHERE jaccard >= 0.5 AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
     // connected components over the same exact-Jaccard edge set, by
     // recursive min-root closure (tiny clusters at this SF keep the
     // recursive walk bounded)

@@ -617,6 +617,18 @@ object SparkQueries {
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "doc_id", "text",
       shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
 
+  /** Incremental near-dup pairs (the daily-crawl shape): odd doc_ids play
+    * the new batch, even ids the indexed history — the result must equal
+    * the FULL pair set restricted to pairs touching a new doc (the DuckDB
+    * oracle recomputes exactly that from the shared jaccard CTE). Same
+    * 128x32 configuration as q_minhash_pairs so candidate recall matches. */
+  def minhashPairsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    Dedup.minhashLshPairsIncremental(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+  }
+
   /** Bench-facing 64x16 variant (the common production configuration). */
   def minhashPairsBench(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "doc_id", "text",

@@ -161,6 +161,69 @@ object Dedup extends Serializable {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL MinHash-LSH near-dup pairs — the daily-crawl shape: find
+    * every near-dup pair that INVOLVES a new-batch doc (new↔old and
+    * new↔new), without re-generating the old↔old pairs history already
+    * produced. Both sides run the same fused band kernel and share ONE
+    * (band, hash) shuffle; the within-bucket pair generator emits only
+    * pairs touching a new doc, so a bucket of B_old history docs costs
+    * B_old·B_new inspections, never B_old² — at 10^12 indexed docs with a
+    * small daily batch that is the whole ballgame. Exact-Jaccard verify on
+    * candidates, as in [[minhashLshPairs]]. Ids must be unique ACROSS both
+    * frames. Returns (id_a, id_b, jaccard), id_a < id_b — exactly the
+    * full-corpus pairs restricted to those touching `newDocs`
+    * (q_dedup_incremental pins this against the full DuckDB closure). */
+  def minhashLshPairsIncremental(newDocs: DataFrame, oldDocs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleSize: Int = 3, numHashes: Int = 64,
+                                 bands: Int = 16, threshold: Double = 0.8,
+                                 maxBucket: Int = 4096,
+                                 telemetry: Option[TruncationTelemetry] = None): DataFrame = {
+    val tele = telemetry.getOrElse(TruncationTelemetry(newDocs.sparkSession, "minhash_incr"))
+    val tag = (df: DataFrame, isNew: Boolean) => df.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+      lit(isNew).as("is_new"))
+    val base = tag(newDocs, true).unionByName(tag(oldDocs, false))
+    val banded = base
+      .select(col("doc_id"), col("is_new"),
+        posexplode(TextExpressions.minhashBandsNative(
+          col("text"), shingleSize, numHashes, bands)).as(Seq("band", "bh")))
+    // pair generator: sorted ids with their side flags; emit only pairs
+    // where at least one side is new (old×old history pairs are not ours)
+    val pairsUdf = udf((ids: Seq[Long], flags: Seq[Boolean]) => {
+      val z = ids.zip(flags).sortBy(_._1).toArray
+      val capped = if (z.length > maxBucket) {
+        tele.truncatedBuckets.add(1L)
+        tele.droppedIds.add((z.length - maxBucket).toLong)
+        z.take(maxBucket)
+      } else z
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < capped.length) {
+        var j = i + 1
+        while (j < capped.length) {
+          if (capped(i)._2 || capped(j)._2) out += ((capped(i)._1, capped(j)._1))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    })
+    val candidates = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"), collect_list(col("is_new")).as("fs"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsUdf(col("ids"), col("fs"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard", jaccardText(col("text_a"), col("text_b"), lit(shingleSize)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Connected components over a near-dup pair list — the stage that turns
     * pairs into a DEDUP DECISION: every doc gets the min doc id of its
     * near-dup cluster as `rep`, so "keep one per cluster" is

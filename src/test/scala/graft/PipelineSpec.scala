@@ -70,6 +70,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => b - a == 1000 })
   }
 
+  test("incremental minhash == full pairs restricted to pairs touching the new batch") {
+    import spark.implicits._
+    val base = (0 until 120).map(i => (i.toLong,
+      s"unique document number $i " +
+        (0 until 30).map(j => s"tok${(i * 31 + j * 17) % 997}").mkString(" ")))
+    // planted dups INSIDE history (600+i ~ i, both even-ish ids), inside the
+    // new batch, and across the boundary
+    val dups = (0 until 10).map(i => (600L + i, base(i)._2 + " suffix"))
+    val docs = spark.createDataset(base ++ dups).toDF("doc_id", "text")
+    val isNew = (id: Long) => id % 3 == 0 // an arbitrary batch split
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleSize = 3,
+        numHashes = 64, bands = 16, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = Dedup.minhashLshPairsIncremental(
+        docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => isNew(a) || isNew(b) }
+    assert(incr == expected, s"incr=$incr expected=$expected")
+    assert(incr.nonEmpty && expected.size < full.size,
+      "fixture must exercise both included and excluded (old-old) pairs")
+  }
+
   test("simhash pairs find planted near-duplicates") {
     import spark.implicits._
     // 300-token docs: a one-token edit flips ~2-3 of 64 simhash bits
