@@ -155,6 +155,38 @@ object TextFunctions extends Serializable {
   def stopwordPass(c: Column, words: Seq[String], minHits: Int = 2): Column =
     stopwordHits(c, words) >= minHits
 
+  /** The RedPajama-V2-style per-document QUALITY-SIGNALS bundle: every
+    * signal the library computes, emitted as named columns in ONE pass over
+    * the text (all codegen'd expressions or built-ins — one scan, no
+    * shuffles; downstream filtering/partitioning picks thresholds per
+    * signal). Integer/exact outputs throughout, so decisions are
+    * reproducible across engines. The corpus-level signals (line/span
+    * frequency, contamination) need corpus context and stay in
+    * [[graft.spark.dedup.Corpus]]. */
+  def qualitySignals(text: Column): Column = {
+    import graft.spark.fns.TextExpressions
+    struct(
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      bpeTokenCount(text).as("n_bpe_tokens"),
+      TextExpressions.bpeMergedCountNative(text).as("n_merged_tokens"),
+      punctCount(text).as("n_punct"),
+      upperCount(text).as("n_upper"),
+      digitCount(text).as("n_digit"),
+      dupLineCount(text).as("dup_lines"),
+      dupBigramCount(text).as("dup_bigrams"),
+      ellipsisLineCount(text).as("ellipsis_lines"),
+      bulletLineCount(text).as("bullet_lines"),
+      alphaWordCount(text).as("alpha_words"),
+      isQuality(text).as("quality_pass"),
+      gopherPass(text).as("gopher_pass"),
+      TextExpressions.langIdWithConfidenceNative(text).as("lang"),
+      TextExpressions.charLmBitsNative(text).as("lm_bits_milli"),
+      TextExpressions.deflateRatioNative(text).as("deflate_ratio_pm"),
+      emailCount(text).as("n_emails"),
+      ipv4Count(text).as("n_ipv4"))
+  }
+
   // ---- PII detection / redaction ----
   // Patterns are deliberately lookaround-free and ASCII-classed so Java
   // regex (engine) and RE2 (DuckDB oracle) match identically.

@@ -81,4 +81,38 @@ class TextRepetitionSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
+
+  test("qualitySignals bundle: one scan, every field equals its individual surface") {
+    import spark.implicits._
+    import graft.spark.text.TextFunctions
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog near the river bank today again",
+      "tiny",
+      "Contact me at a@b.co from 10.0.0.7\nrepeat line\nrepeat line")
+    val df = texts.toDF("text").repartition(2)
+      .select(col("text"), TextFunctions.qualitySignals(col("text")).as("q"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val q = r.getStruct(1)
+      assert(q.getAs[Int]("n_chars") == text.length)
+      assert(q.getAs[Long]("lm_bits_milli") ==
+        graft.spark.text.CharLm.standard.bitsMilli(text))
+      assert(q.getAs[Long]("deflate_ratio_pm") ==
+        graft.spark.fns.CompressKernel.deflateRatioMilli(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text)))
+      val (lang, conf) = TextFunctions.classifyTextWithConfidence(text)
+      val lc = q.getStruct(q.fieldIndex("lang"))
+      assert(lc.getString(0) == lang && lc.getLong(1) == conf)
+    }
+    val pii = rows.find(_.getString(0).contains("a@b.co")).get.getStruct(1)
+    assert(pii.getAs[Int]("n_emails") == 1 && pii.getAs[Int]("n_ipv4") == 1)
+    assert(pii.getAs[Int]("dup_lines") == 1)
+    // one scan: the only Exchange is the test's own repartition — the
+    // signal bundle itself adds no shuffle (AQE prints final + initial plan
+    // sections; inspect the final one)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==", 2)(0)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan.take(500))
+  }
 }
