@@ -153,12 +153,7 @@ object Dedup extends Serializable {
       .distinct()
 
     // exact-Jaccard verification only on the (few) candidate pairs
-    candidates
-      .join(base.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
-      .withColumn("jaccard", jaccardText(col("text_a"), col("text_b"), lit(shingleSize)))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyCandidatePairs(base, candidates, shingleSize, threshold)
   }
 
   /** INCREMENTAL MinHash-LSH near-dup pairs — the daily-crawl shape: find
@@ -188,8 +183,11 @@ object Dedup extends Serializable {
       .select(col("doc_id"), col("is_new"),
         posexplode(TextExpressions.minhashBandsNative(
           col("text"), shingleSize, numHashes, bands)).as(Seq("band", "bh")))
-    // pair generator: sorted ids with their side flags; emit only pairs
-    // where at least one side is new (old×old history pairs are not ours)
+    // pair generator over the sorted bucket (truncation = the SAME sorted
+    // prefix the full operator takes, so the restricted-equality contract
+    // holds under caps too): loop NEW docs against everything — a bucket of
+    // B_old history docs costs B_old·B_new inspections, never B_old², and
+    // both-new pairs dedupe by the id(n) < id(j) guard
     val pairsUdf = udf((ids: Seq[Long], flags: Seq[Boolean]) => {
       val z = ids.zip(flags).sortBy(_._1).toArray
       val capped = if (z.length > maxBucket) {
@@ -198,31 +196,44 @@ object Dedup extends Serializable {
         z.take(maxBucket)
       } else z
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      var i = 0
-      while (i < capped.length) {
-        var j = i + 1
-        while (j < capped.length) {
-          if (capped(i)._2 || capped(j)._2) out += ((capped(i)._1, capped(j)._1))
-          j += 1
+      var n = 0
+      while (n < capped.length) {
+        if (capped(n)._2) {
+          var j = 0
+          while (j < capped.length) {
+            if (j != n && !(capped(j)._2 && capped(j)._1 < capped(n)._1)) {
+              val a = capped(n)._1; val b = capped(j)._1
+              out += (if (a < b) (a, b) else (b, a))
+            }
+            j += 1
+          }
         }
-        i += 1
+        n += 1
       }
       out
     })
     val candidates = banded
       .groupBy(col("band"), col("bh"))
+      // history-only buckets never emit — drop them BEFORE pair generation
+      // (the aggregate sees them, but the quadratic loop never runs)
       .agg(collect_list(col("doc_id")).as("ids"), collect_list(col("is_new")).as("fs"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && array_contains(col("fs"), true))
       .select(explode(pairsUdf(col("ids"), col("fs"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
+    verifyCandidatePairs(base, candidates, shingleSize, threshold)
+  }
+
+  /** The exact-Jaccard candidate-verify tail shared by the full and
+    * incremental LSH operators (two text joins + the kernel-parity UDF). */
+  private def verifyCandidatePairs(base: DataFrame, candidates: DataFrame,
+                                   shingleSize: Int, threshold: Double): DataFrame =
     candidates
       .join(base.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", jaccardText(col("text_a"), col("text_b"), lit(shingleSize)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Connected components over a near-dup pair list — the stage that turns
     * pairs into a DEDUP DECISION: every doc gets the min doc id of its

@@ -106,10 +106,12 @@ object CorpusScale {
         Corpus.removeRepeatedSpans(docs, "text", n = 8, minCount = 4L,
           idCol = Some("doc_id")).count()
       case "neardup_incremental" =>
-        // new batch = 1/16 of the level (one replica class) vs the rest as
-        // history — the daily-crawl proportion
+        // new batch = the docs whose ORIGINAL id (doc_id = 16·orig + rep)
+        // is ≡ 0 mod 10 — a LEVEL-INVARIANT 1/10 split, so x1 and x10
+        // measure the same workload shape (a doc_id-mod split would make
+        // the whole x1 corpus "new": gen uses rep 0..mult-1)
         Dedup.minhashLshPairsIncremental(
-          docs.filter(col("doc_id") % 16 === 0), docs.filter(col("doc_id") % 16 =!= 0),
+          docs.filter(col("doc_id") % 160 < 16), docs.filter(col("doc_id") % 160 >= 16),
           "doc_id", "text", threshold = 0.5).count()
     }
   }
@@ -173,7 +175,8 @@ object CorpusScale {
          |Notes: neardup_cc at x10 clusters ~10-way replica groups (pairs grow
          |with within-bucket duplicate density, C(10,2) per group — run exact
          |dedup first in a real pipeline, the documented ordering);
-         |neardup_incremental (a 1/16 new batch vs the rest as history) skips
+         |neardup_incremental (a level-invariant 1/10 new batch vs the rest as
+         |history) skips
          |the history-internal pairs, which is why its x10 wall time sits far
          |below neardup_cc's on the same dup-heavy corpus — the measured
          |incremental win; the decontamination operators run against a FIXED

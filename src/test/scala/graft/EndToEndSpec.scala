@@ -61,8 +61,7 @@ class EndToEndSpec extends AnyFunSuite {
     assert(!ids.contains(901L), "decontamination must drop the benchmark leak")
     assert(!ids.contains(900L), "fuzzy dedup must drop the near-dup (min-id rep wins)")
     assert(ids.contains(103L), "the near-dup cluster representative survives")
-    assert((100L until 140L).filterNot(_ == 903).forall(i => ids.contains(i) || i == 900L),
-      "every clean doc survives")
+    assert((100L until 140L).forall(ids.contains), "every clean doc survives")
     // shards are content-addressed and within range
     val shards = back.select("shard").collect().map(_.getLong(0))
     assert(shards.forall(s => s >= 0 && s < 8))
