@@ -91,6 +91,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr == expected, s"incr=$incr expected=$expected")
     assert(incr.nonEmpty && expected.size < full.size,
       "fixture must exercise both included and excluded (old-old) pairs")
+    // the restricted-equality contract survives bucket TRUNCATION: both
+    // operators cap the same sorted prefix, so capped-full restricted ==
+    // capped-incremental
+    val fullCapped = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleSize = 3,
+        numHashes = 64, bands = 16, threshold = 0.6, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incrCapped = Dedup.minhashLshPairsIncremental(
+        docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.6, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incrCapped == fullCapped.filter { case (a, b) => isNew(a) || isNew(b) })
   }
 
   test("simhash pairs find planted near-duplicates") {
