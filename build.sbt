@@ -16,6 +16,11 @@ run / fork := true
 // bench JSON is the ONLY stdout line and the driver's parse cannot miss it
 // (Spark's own log4j output goes to stderr).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and under a PLAIN `sbt -batch "runMain graft.Bench"` the trailing
+// "[success] Total time" summary was the one line still printed AFTER the
+// JSON (three rounds of BENCH parsed:null). Suppress it globally: the bench
+// JSON is then the LAST stdout line under any log level.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
