@@ -262,9 +262,10 @@ object ScalingBench {
          |
          |## Corpus-operator scaling
          |
-         |The five corpus-level operators (line/span frequency flags,
-         |decontamination, fractional contamination, minhash+CC near-dup
-         |clustering) have their own measured sf0.1-vs-10x growth curve —
+         |The seven corpus-level operators (line/span frequency flags, span
+         |removal, decontamination, fractional contamination, minhash+CC
+         |near-dup clustering, incremental minhash) have their own measured
+         |sf0.1-vs-10x growth curve —
          |see the table in **BENCH/CORPUS_SCALE.md** (generated by
          |`runMain graft.tools.CorpusScale report`, the single source of
          |those numbers). Expectation and measured outcome: per-doc rates

@@ -568,7 +568,15 @@ object Ann extends Serializable {
     val score =
       if (!model.residual) null
       else udf((qid: Long, cell: Int, codes: Array[Byte]) => {
-        var s = bcQDotCent.value(qid)(cell).toDouble
+        val cents = bcQDotCent.value(qid)
+        // an index encoded under a DIFFERENT (larger-nlist) model passes
+        // validate() but carries cell ids this model never trained — fail
+        // with the actual mismatch instead of an opaque AIOOBE
+        if (cell < 0 || cell >= cents.length)
+          throw new IllegalArgumentException(
+            s"index/model mismatch: encoded cell $cell out of range for a model " +
+              s"with ${cents.length} cells — this index was encoded under a different IvfPqModel")
+        var s = cents(cell).toDouble
         val lut = bcLut.value(qid)
         var sub = 0
         while (sub < m) { s += lut(sub)(codes(sub) & 0xff); sub += 1 }

@@ -1,6 +1,6 @@
 package graft.spark.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
@@ -188,8 +188,8 @@ object Dedup extends Serializable {
     // holds under caps too): loop NEW docs against everything — a bucket of
     // B_old history docs costs B_old·B_new inspections, never B_old², and
     // both-new pairs dedupe by the id(n) < id(j) guard
-    val pairsUdf = udf((ids: Seq[Long], flags: Seq[Boolean]) => {
-      val z = ids.zip(flags).sortBy(_._1).toArray
+    val pairsUdf = udf((members: Seq[Row]) => {
+      val z = members.map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toArray
       val capped = if (z.length > maxBucket) {
         tele.truncatedBuckets.add(1L)
         tele.droppedIds.add((z.length - maxBucket).toLong)
@@ -214,11 +214,14 @@ object Dedup extends Serializable {
     })
     val candidates = banded
       .groupBy(col("band"), col("bh"))
+      // ONE collect_list of (id, flag) structs: the pairing is explicit in
+      // the row, not positional across two aggregates (Spark aligns parallel
+      // collect_lists per-execution in practice but guarantees nothing)
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("members"))
       // history-only buckets never emit — drop them BEFORE pair generation
       // (the aggregate sees them, but the quadratic loop never runs)
-      .agg(collect_list(col("doc_id")).as("ids"), collect_list(col("is_new")).as("fs"))
-      .filter(size(col("ids")) > 1 && array_contains(col("fs"), true))
-      .select(explode(pairsUdf(col("ids"), col("fs"))).as("p"))
+      .filter(size(col("members")) > 1 && exists(col("members"), m => m.getField("is_new")))
+      .select(explode(pairsUdf(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
     verifyCandidatePairs(base, candidates, shingleSize, threshold)

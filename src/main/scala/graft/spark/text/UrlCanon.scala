@@ -13,8 +13,11 @@ package graft.spark.text
   *   - fragment dropped;
   *   - query: tracking parameters removed (utm_* prefix, fbclid, gclid,
   *     msclkid, mc_eid, igshid), empty components dropped, the rest sorted
-  *     by (key, value) — param ORDER is presentation, not identity; a query
-  *     left empty drops its '?'.
+  *     lexicographically as whole "key=value" strings — param ORDER is
+  *     presentation, not identity (deterministic and idempotent; note this
+  *     is NOT a (key, value) tuple sort when one key is a prefix of
+  *     another, e.g. 'a' vs 'a-b', since '-' < '='); a query left empty
+  *     drops its '?'.
   *
   * Non-URLs (no "://") pass through unchanged. Idempotent by construction
   * (UrlCanonSpec pins canon(canon(x)) == canon(x) on every fixture).

@@ -6,10 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-operator scaling datapoints (round-3 verdict next-round #9): the
-  * five corpus-level operators timed at sf0.1 (5k docs) and a synthesized
-  * 10x level ("sf1", 50k docs), reporting docs/sec at both and the rate
-  * ratio — the measured growth curve of the heavy-set and pair-generation
-  * stages before a real cluster sees them.
+  * corpus-level operators (`ops` below — seven as of round 4) timed at
+  * sf0.1 (5k docs) and a synthesized 10x level ("sf1", 50k docs), reporting
+  * docs/sec at both and the rate ratio — the measured growth curve of the
+  * heavy-set and pair-generation stages before a real cluster sees them.
   *
   * The 10x level replicates each sf0.1 document with a per-replica suffix
   * (docs stay DISTINCT — replication without it would degenerate line dedup
@@ -159,7 +159,7 @@ object CorpusScale {
     val md =
       s"""# Corpus-operator scaling (sf0.1 vs synthesized 10x)
          |
-         |The five corpus-level operators at 5k docs (sf0.1) and 50k docs (10x
+         |The ${ops.size} corpus-level operators at 5k docs (sf0.1) and 50k docs (10x
          |replicated-with-distinct-suffix + plants; FIXED benchmark set;
          |`runMain graft.tools.CorpusScale` — fresh JVM per level, warm-up +
          |min-of-3, best across invocations). rate = docs/sec of the level;
