@@ -300,16 +300,19 @@ object Corpus {
     } else Right(heavyDf)
   }
 
-  /** Flag each span row by heavy-set membership: binary-search probe
-    * against the broadcast array on the normal path, plain shuffled LEFT
-    * join on the 8-byte key above the bound. CorpusSpec pins identical
-    * output across both paths for all three flag operators. */
+  /** Flag each span row by heavy-set membership: codegen'd binary-search
+    * probe against the broadcast array on the normal path
+    * ([[graft.spark.fns.SortedLongContainsExpr]] — no boxed-Long UDF
+    * boundary on the hottest corpus-op path), plain shuffled LEFT join on
+    * the 8-byte key above the bound. CorpusSpec pins identical output
+    * across both paths for all three flag operators. */
   private def heavyFlagged(spans: DataFrame, minCount: Long, maxHeavyBroadcast: Long,
                            flagName: String, out: Seq[Column]): DataFrame =
     heavySet(spans, minCount, maxHeavyBroadcast) match {
       case Left(bc) =>
-        val isHeavy = udf((h: Long) => java.util.Arrays.binarySearch(bc.value, h) >= 0)
-        spans.select(out :+ isHeavy(col("h")).as(flagName): _*)
+        spans.select(out :+
+          graft.spark.fns.TextExpressions.sortedLongContainsNative(col("h"), bc)
+            .as(flagName): _*)
       case Right(heavyDf) =>
         spans.join(heavyDf.withColumn("__b", lit(true)), Seq("h"), "left")
           .select(out :+ coalesce(col("__b"), lit(false)).as(flagName): _*)
@@ -387,10 +390,11 @@ object Corpus {
   def removeRepeatedSpans(docs: DataFrame, textCol: String, n: Int, minCount: Long,
                           maxHeavyBroadcast: Long = 50000000L,
                           idCol: Option[String] = None): DataFrame = {
-    import graft.spark.fns.{TextExpressions, TextKernels}
-    import org.apache.spark.unsafe.types.UTF8String
+    import graft.spark.fns.TextExpressions
 
-    // kept-token rebuild given the covered window starts (0-based)
+    // kept-token rebuild given the covered window starts (0-based) — the
+    // join-rebuild fallback's formula; the broadcast path's codegen'd
+    // kernel (TextKernels.removeCoveredSpans) must match it byte-for-byte
     def rebuild(text: String, starts: Iterable[Int]): String = {
       val toks = text.split("\\s+").filter(_.nonEmpty)
       val covered = new Array[Boolean](toks.length)
@@ -411,21 +415,12 @@ object Corpus {
       explode(TextExpressions.spanHashesNative(col(textCol), n)).as("h"))
     heavySet(spans, minCount, maxHeavyBroadcast) match {
       case Left(bc) =>
-        val clean = udf((text: String) =>
-          if (text == null) null
-          else {
-            val hashes = TextKernels.spanHashes(UTF8String.fromString(text), n)
-            val starts = scala.collection.mutable.ArrayBuffer[Int]()
-            var w = 0
-            val nw = hashes.numElements()
-            while (w < nw) {
-              if (java.util.Arrays.binarySearch(bc.value, hashes.getLong(w)) >= 0)
-                starts += w
-              w += 1
-            }
-            rebuild(text, starts)
-          })
-        docs.withColumn("text_clean", clean(col(textCol)))
+        // whole transform as ONE codegen'd kernel (hash + probe + rebuild,
+        // no per-doc UDF boundary); TextKernels.removeCoveredSpans mirrors
+        // `rebuild` exactly — CorpusSpec pins kernel == rebuild parity and
+        // both-path equivalence
+        docs.withColumn("text_clean",
+          TextExpressions.removeCoveredSpansNative(col(textCol), n, bc))
       case Right(heavyDf) =>
         val (tagged, rid) = taggedWithRid(docs, idCol)
         val starts = tagged

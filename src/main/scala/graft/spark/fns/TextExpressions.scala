@@ -212,6 +212,42 @@ object TextKernels extends Serializable {
     false
   }
 
+  /** Fused span-removal kernel: recompute the doc's n-token window hashes
+    * ([[spanHashes]] formula — same tokenization, same per-char lowercase,
+    * same fnv fold), mark every token covered by a window whose hash is in
+    * the SORTED `heavy` array (binary search), and rebuild the kept
+    * ORIGINAL-CASE tokens joined by single spaces. One pass, no window
+    * string, no token array of Strings — the whole span-removal transform
+    * stays inside whole-stage codegen (round-4 verdict "what's wrong" #3).
+    * Token-sequence semantics exactly as the UDF it replaces: fewer than n
+    * tokens → nothing covered → tokens joined by ' ' (whitespace
+    * normalization is part of the operator's contract). */
+  def removeCoveredSpans(s: UTF8String, n: Int, heavy: Array[Long]): UTF8String = {
+    val text = s.toString
+    val (chars, bounds, ntoks) = tokenBounds(text)
+    val covered = new Array[Boolean](ntoks)
+    var w = 0
+    while (w + n <= ntoks) {
+      if (java.util.Arrays.binarySearch(heavy, shingleHash(chars, bounds, w, w + n)) >= 0) {
+        var j = w
+        while (j < w + n) { covered(j) = true; j += 1 }
+      }
+      w += 1
+    }
+    val sb = new java.lang.StringBuilder(text.length)
+    var t = 0
+    while (t < ntoks) {
+      if (!covered(t)) {
+        if (sb.length() > 0) sb.append(' ')
+        // bounds index the lowered buffer, but per-char lowercase is 1:1 so
+        // the same offsets slice the ORIGINAL text
+        sb.append(text, bounds(2 * t), bounds(2 * t + 1))
+      }
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Fused LSH path: minhash signature -> per-band fnv fold, returning only
     * the `bands` band hashes — the 64-long signature never reaches the plan,
     * so the exploded/shuffled relation stays narrow. */
@@ -340,6 +376,65 @@ case class BloomShingleHitExpr(child: Expression, n: Int, filter: graft.core.Blo
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "bloom_shingle_hit"
+}
+
+/** Codegen'd membership probe of a LONG column against a SORTED broadcast
+  * long array — the heavy-set flag on the corpus-op hot path (one probe per
+  * line/window occurrence at 10^12 docs). The expression carries the
+  * BROADCAST HANDLE, not the array: the task binary stays small and each
+  * executor fetches the blocks once via the broadcast machinery (a plan
+  * reference object would re-serialize up to maxHeavyBroadcast longs into
+  * every task). Codegen hoists the `.value` fetch into generated-class init,
+  * so the per-row work is one primitive binary search — no boxed-Long UDF
+  * boundary (round-4 verdict "what's wrong" #3). */
+case class SortedLongContainsExpr(child: Expression,
+                                  heavy: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.util.Arrays.binarySearch(heavy.value, input.asInstanceOf[Long]) >= 0
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftHeavyBc", heavy,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Long]]].getName)
+    val arr = ctx.addMutableState("long[]", "graftHeavyArr",
+      v => s"$v = (long[])$bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"(java.util.Arrays.binarySearch($arr, $c) >= 0)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sorted_long_contains"
+}
+
+/** Codegen'd whole-doc span-removal transform against a SORTED broadcast
+  * heavy-hash array — [[TextKernels.removeCoveredSpans]] as a native
+  * expression (broadcast-handle + hoisted-fetch mechanics as
+  * [[SortedLongContainsExpr]]). */
+case class RemoveCoveredSpansExpr(child: Expression, n: Int,
+                                  heavy: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  require(n >= 1, s"window size must be >= 1, got $n")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.removeCoveredSpans(input.asInstanceOf[UTF8String], n, heavy.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftSpanHeavyBc", heavy,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Long]]].getName)
+    val arr = ctx.addMutableState("long[]", "graftSpanHeavyArr",
+      v => s"$v = (long[])$bcRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.spark.fns.TextKernels.removeCoveredSpans($c, $n, $arr)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "remove_covered_spans"
 }
 
 /** Codegen'd Unicode NFC normalization (java.text.Normalizer — the standard
@@ -571,6 +666,17 @@ object TextExpressions {
   /** Codegen'd fused non-distinct window hashes (the span-dedup key). */
   def spanHashesNative(c: Column, n: Int): Column =
     GraftColumnBridge.column(SpanHashesExpr(GraftColumnBridge.expression(c), n))
+
+  /** Codegen'd sorted-broadcast-array membership probe (heavy-set flag). */
+  def sortedLongContainsNative(
+      c: Column, heavy: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(SortedLongContainsExpr(GraftColumnBridge.expression(c), heavy))
+
+  /** Codegen'd whole-doc span-removal transform (broadcast heavy set). */
+  def removeCoveredSpansNative(text: Column, n: Int,
+      heavy: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      RemoveCoveredSpansExpr(GraftColumnBridge.expression(text), n, heavy))
 
   def nfcNormalize(c: Column): Column =
     GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(c)))
