@@ -96,6 +96,7 @@ object Bench {
       "q_line_dedup" -> (SparkQueries.lineDedupStats(_, _)),
       "q_span_clean" -> (SparkQueries.spanCleanStats(_, _)),
       "q_dedup_incremental" -> (SparkQueries.minhashPairsIncremental(_, _)),
+      "q_dedup_index" -> (SparkQueries.minhashPairsFromIndex(_, _)),
       "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
       "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
       "q_contamination_frac" -> (SparkQueries.contaminationOverlapStats(_, _)),

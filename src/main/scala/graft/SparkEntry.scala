@@ -80,6 +80,7 @@ object SparkEntry {
     // dedup / ANN / text / multimodal
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
     "q_dedup_incremental" -> (SparkQueries.minhashPairsIncremental(_, _)),
+    "q_dedup_index" -> (SparkQueries.minhashPairsFromIndex(_, _)),
     "q_dedup_clusters" -> (SparkQueries.dedupClusters(_, _)),
     "q_simhash_pairs" -> (VerifiedQueries.simhashPairsVerified(_, _)),
     "q_embed_neardup" -> (SparkQueries.embeddingNearDup(_, _)),
@@ -492,6 +493,12 @@ object SparkEntry {
     // incremental = the full exact pair set restricted to pairs touching a
     // NEW-batch (odd-id) doc
     "q_dedup_incremental" ->
+      (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs " +
+        "WHERE jaccard >= 0.5 AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
+    // index-backed incremental search: same restricted pair set as
+    // q_dedup_incremental (the persisted band index must change the COST,
+    // not the answer)
+    "q_dedup_index" ->
       (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs " +
         "WHERE jaccard >= 0.5 AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
     // connected components over the same exact-Jaccard edge set, by

@@ -629,6 +629,24 @@ object SparkQueries {
       "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
   }
 
+  /** INDEX-BACKED incremental near-dup pairs (the round-5 persisted-band-
+    * index path): build the (bkey, doc_id) index over the even-id history,
+    * then search the odd-id batch against the STORED index — no history
+    * re-signing. Same split, same 128x32 configuration and the same oracle
+    * as q_dedup_incremental: the result must equal the full pair set
+    * restricted to pairs touching a new doc. The index table stays in the
+    * warehouse across the call (the returned plan reads it lazily);
+    * create() overwrites it on the next run. */
+  def minhashPairsFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.BandIndex
+    val docs = tbl(spark, dir, "documents")
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    BandIndex.create(history, "doc_id", "text", "graft_q_dedup_index",
+      BandIndex.Conf(shingleSize = 3, numHashes = 128, bands = 32, numBuckets = 32))
+    BandIndex.incrementalPairs(docs.filter(col("doc_id") % 2 === 1), history,
+      "doc_id", "text", "graft_q_dedup_index", threshold = 0.5)
+  }
+
   /** Bench-facing 64x16 variant (the common production configuration). */
   def minhashPairsBench(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "doc_id", "text",

@@ -183,12 +183,32 @@ object Dedup extends Serializable {
       .select(col("doc_id"), col("is_new"),
         posexplode(TextExpressions.minhashBandsNative(
           col("text"), shingleSize, numHashes, bands)).as(Seq("band", "bh")))
-    // pair generator over the sorted bucket (truncation = the SAME sorted
-    // prefix the full operator takes, so the restricted-equality contract
-    // holds under caps too): loop NEW docs against everything — a bucket of
-    // B_old history docs costs B_old·B_new inspections, never B_old², and
-    // both-new pairs dedupe by the id(n) < id(j) guard
-    val pairsUdf = udf((members: Seq[Row]) => {
+    val pairsUdf = newTouchingPairsUdf(maxBucket, tele)
+    val candidates = banded
+      .groupBy(col("band"), col("bh"))
+      // ONE collect_list of (id, flag) structs: the pairing is explicit in
+      // the row, not positional across two aggregates (Spark aligns parallel
+      // collect_lists per-execution in practice but guarantees nothing)
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("members"))
+      // history-only buckets never emit — drop them BEFORE pair generation
+      // (the aggregate sees them, but the quadratic loop never runs)
+      .filter(size(col("members")) > 1 && exists(col("members"), m => m.getField("is_new")))
+      .select(explode(pairsUdf(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    verifyCandidatePairs(base, candidates, shingleSize, threshold)
+  }
+
+  /** Pair generator over a sorted (id, is_new) bucket, shared by the
+    * incremental operator and the index-backed [[BandIndex]] search
+    * (truncation = the SAME sorted prefix the full operator takes, so the
+    * restricted-equality contract holds under caps too): loop NEW docs
+    * against everything — a bucket of B_old history docs costs B_old·B_new
+    * inspections, never B_old², and both-new pairs dedupe by the
+    * id(n) < id(j) guard. */
+  private[dedup] def newTouchingPairsUdf(maxBucket: Int,
+                                         tele: TruncationTelemetry): UserDefinedFunction =
+    udf((members: Seq[Row]) => {
       val z = members.map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toArray
       val capped = if (z.length > maxBucket) {
         tele.truncatedBuckets.add(1L)
@@ -212,25 +232,11 @@ object Dedup extends Serializable {
       }
       out
     })
-    val candidates = banded
-      .groupBy(col("band"), col("bh"))
-      // ONE collect_list of (id, flag) structs: the pairing is explicit in
-      // the row, not positional across two aggregates (Spark aligns parallel
-      // collect_lists per-execution in practice but guarantees nothing)
-      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("members"))
-      // history-only buckets never emit — drop them BEFORE pair generation
-      // (the aggregate sees them, but the quadratic loop never runs)
-      .filter(size(col("members")) > 1 && exists(col("members"), m => m.getField("is_new")))
-      .select(explode(pairsUdf(col("members"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
-    verifyCandidatePairs(base, candidates, shingleSize, threshold)
-  }
 
   /** The exact-Jaccard candidate-verify tail shared by the full and
     * incremental LSH operators (two text joins + the kernel-parity UDF). */
-  private def verifyCandidatePairs(base: DataFrame, candidates: DataFrame,
-                                   shingleSize: Int, threshold: Double): DataFrame =
+  private[dedup] def verifyCandidatePairs(base: DataFrame, candidates: DataFrame,
+                                          shingleSize: Int, threshold: Double): DataFrame =
     candidates
       .join(base.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")

@@ -22,26 +22,44 @@ object Bucketing {
                     numBuckets: Int, mode: String = "overwrite"): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    def save(): Unit = df.write.mode(mode).format("parquet")
-      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
-      .saveAsTable(table)
-    try save()
+    saveTableWithStaleLocationRetry(spark, table) {
+      df.write.mode(mode).format("parquet")
+        .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+        .saveAsTable(table)
+    }
+  }
+
+  /** Run a `saveAsTable`-shaped write, recovering ONCE from a stale
+    * warehouse directory: the embedded in-memory catalog forgets table
+    * METADATA between JVMs but leaves the warehouse DIRECTORY behind, so a
+    * fresh session's saveAsTable fails with LOCATION_ALREADY_EXISTS (a
+    * SparkRuntimeException in Spark 4, not an AnalysisException). Only then
+    * clear the stale location and retry — deleting up-front would race a
+    * concurrent session legitimately owning the directory (unqualified names
+    * land in the default database: <warehouse>/<table>). */
+  def saveTableWithStaleLocationRetry(spark: SparkSession, table: String)
+                                     (save: => Unit): Unit =
+    try save
     catch {
-      // the embedded in-memory catalog forgets table METADATA between JVMs
-      // but leaves the warehouse DIRECTORY behind, so a fresh session's
-      // saveAsTable fails with LOCATION_ALREADY_EXISTS. Only then clear the
-      // stale location and retry — deleting up-front would race a concurrent
-      // session legitimately owning the directory (unqualified names land in
-      // the default database: <warehouse>/<table>)
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("LOCATION_ALREADY_EXISTS") && !table.contains(".") =>
+      case e: Exception
+          if e.getMessage != null &&
+            e.getMessage.contains("LOCATION_ALREADY_EXISTS") && !table.contains(".") =>
         val loc = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
-        save()
+        save
     }
-  }
+
+  /** Append rows to an EXISTING bucketed table with the same layout (the
+    * per-batch ingestion path of the persisted indexes): no drop, no
+    * location cleanup — Spark validates the bucket spec against the
+    * catalog's and fails loudly on a mismatch. */
+  def appendBucketed(df: DataFrame, table: String, keyCol: String,
+                     numBuckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
