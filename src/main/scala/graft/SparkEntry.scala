@@ -83,7 +83,9 @@ object SparkEntry {
     "q_dedup_index" -> (SparkQueries.minhashPairsFromIndex(_, _)),
     "q_dedup_clusters" -> (SparkQueries.dedupClusters(_, _)),
     "q_simhash_pairs" -> (VerifiedQueries.simhashPairsVerified(_, _)),
+    "q_simhash_incremental" -> (VerifiedQueries.simhashIncrementalVerified(_, _)),
     "q_embed_neardup" -> (SparkQueries.embeddingNearDup(_, _)),
+    "q_embed_incremental" -> (SparkQueries.embedIncrementalFromIndex(_, _)),
     "q_ann_topk" -> (VerifiedQueries.annBruteForceVerified(_, _)),
     "q_ann_lsh_recall" -> ((s, d) => VerifiedQueries.annLshRecallVerified(s, d, 0.6)),
     "q_ann_ivf_recall" -> ((s, d) => VerifiedQueries.annIvfRecallVerified(s, d, 0.4)),
@@ -514,11 +516,25 @@ object SparkEntry {
     "q_simhash_pairs" ->
       (jaccardPairsCte +
         "SELECT id_a, id_b, true AS consistent_ok FROM pairs WHERE jaccard >= 0.5"),
+    // index-backed incremental simhash: the q_simhash_pairs contract
+    // restricted to pairs touching the odd-id batch (the persisted
+    // SimHashIndex must change the COST, not the answer)
+    "q_simhash_incremental" ->
+      (jaccardPairsCte +
+        "SELECT id_a, id_b, true AS consistent_ok FROM pairs " +
+        "WHERE jaccard >= 0.5 AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
     "q_embed_neardup" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "list_cosine_similarity(a.v, b.v) AS c FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b FROM p WHERE c >= 0.4"),
+    // index-backed incremental embedding near-dup: the q_embed_neardup
+    // oracle restricted to pairs touching the odd-id batch
+    "q_embed_incremental" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_cosine_similarity(a.v, b.v) AS c FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b FROM p WHERE c >= 0.4 AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
     "q_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
         "WHERE vec_id < 10), " +

@@ -647,6 +647,22 @@ object SparkQueries {
       "doc_id", "text", "graft_q_dedup_index", threshold = 0.5)
   }
 
+  /** INDEX-BACKED incremental embedding near-dup (round-5): persist the
+    * [[graft.spark.dedup.EmbedIndex]] hyperplane buckets over the even-id
+    * history, search the odd-id batch against the STORED index — only the
+    * batch is hashed. Same geometry and oracle shape as q_embed_neardup
+    * restricted to new-touching pairs (the index must change the COST, not
+    * the answer). */
+  def embedIncrementalFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.EmbedIndex
+    val vecs = tbl(spark, dir, "embeddings")
+    val history = vecs.filter(col("vec_id") % 2 === 0)
+    EmbedIndex.create(history, "vec_id", "embedding", "graft_q_embed_incr",
+      dim = 64, tables = 32, bitsPerTable = 3, numBuckets = 16)
+    EmbedIndex.incrementalPairs(vecs.filter(col("vec_id") % 2 === 1), history,
+      "vec_id", "embedding", "graft_q_embed_incr", threshold = 0.4)
+  }
+
   /** Bench-facing 64x16 variant (the common production configuration). */
   def minhashPairsBench(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "doc_id", "text",

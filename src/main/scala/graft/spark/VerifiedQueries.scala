@@ -357,18 +357,21 @@ object VerifiedQueries {
 
   // ---------- dedup ----------
 
-  /** SimHash blocking consistency over the exact near-dup pair set: for every
-    * pair with exact shingle-Jaccard >= 0.5 (DuckDB-reproducible), the
-    * C(6,3)-block candidate path must surface it iff full hamming <= 3. */
-  def simhashPairsVerified(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+  /** Exact shingle-Jaccard >= minJ ground-truth pairs of a document frame
+    * (brute force — verification-scale only; DuckDB-reproducible), shared by
+    * the simhash consistency queries. */
+  private def exactJaccardPairs(spark: SparkSession, docs: DataFrame,
+                                minJ: Double): DataFrame = {
+    // the 2x size-bound prune below is exactness-preserving only for
+    // minJ >= 0.5 (J >= t bounds the size ratio by 1/t)
+    require(minJ >= 0.5, s"exactJaccardPairs needs minJ >= 0.5, got $minJ")
     // exact near-dup ground truth (brute force — verification-scale only),
     // made tractable at 10x scale without losing exactness:
     //  - shingle sets hashed (fnv-64) + sorted ONCE per doc and BROADCAST
     //    (verification corpora are ~MBs) — the all-pairs join carries only
     //    (id, set size), never the arrays;
-    //  - pairs pruned by the exactness-preserving size bound
-    //    (J >= 0.5 ⟹ I <= min(|A|,|B|) and I >= 0.5·max ⟹ sizes within 2x);
+    //  - pairs pruned by the exactness-preserving size bound (at minJ=0.5:
+    //    J >= 0.5 ⟹ I <= min(|A|,|B|) and I >= 0.5·max ⟹ sizes within 2x);
     //  - per-pair jaccard = primitive merge-walk over the sorted hashes
     //    (identical to string-set jaccard barring 64-bit collisions)
     import org.apache.spark.sql.Row
@@ -404,13 +407,51 @@ object VerifiedQueries {
         org.apache.spark.sql.types.StructField("ns", org.apache.spark.sql.types.IntegerType))))
     val a = idsDf.select(col("id").as("id_a"), col("ns").as("ns_a"))
     val b = idsDf.select(col("id").as("id_b"), col("ns").as("ns_b"))
-    val exactPairs = a.join(b, col("id_a") < col("id_b") &&
+    a.join(b, col("id_a") < col("id_b") &&
         col("ns_a") <= col("ns_b") * 2 && col("ns_b") <= col("ns_a") * 2)
-      .filter(jacByIds(col("id_a"), col("id_b")) >= 0.5)
+      .filter(jacByIds(col("id_a"), col("id_b")) >= minJ)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash blocking consistency over the exact near-dup pair set: for every
+    * pair with exact shingle-Jaccard >= 0.5 (DuckDB-reproducible), the
+    * C(6,3)-block candidate path must surface it iff full hamming <= 3. */
+  def simhashPairsVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val exactPairs = exactJaccardPairs(spark, docs, 0.5)
     val sims = docs.select(col("doc_id"),
       graft.spark.fns.TextExpressions.simhash64Native(col("text")).as("sim"))
     val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a").as("f_a"), col("id_b").as("f_b"), lit(true).as("found"))
+    exactPairs
+      .join(sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sims.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .join(found, col("id_a") === col("f_a") && col("id_b") === col("f_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("found"), lit(false)) ===
+          (bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)).as("consistent_ok"))
+  }
+
+  /** INDEX-BACKED incremental simhash consistency (round-5): build the
+    * persisted [[graft.spark.dedup.SimHashIndex]] over the even-id history,
+    * search the odd-id batch against the STORED index — no history
+    * re-signing — and check, for every exact-Jaccard >= 0.5 pair TOUCHING
+    * the batch, that the index path surfaces it iff full hamming <= 3 (the
+    * same contract as q_simhash_pairs, restricted to new-touching pairs;
+    * the persisted index must change the COST, not the answer). */
+  def simhashIncrementalVerified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.SimHashIndex
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    SimHashIndex.create(history, "doc_id", "text", "graft_q_simhash_incr",
+      numBuckets = 16)
+    val exactPairs = exactJaccardPairs(spark, docs, 0.5)
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+    val sims = docs.select(col("doc_id"),
+      graft.spark.fns.TextExpressions.simhash64Native(col("text")).as("sim"))
+    val found = SimHashIndex.incrementalPairs(batch, "doc_id", "text",
+      "graft_q_simhash_incr", maxHamming = 3)
       .select(col("id_a").as("f_a"), col("id_b").as("f_b"), lit(true).as("found"))
     exactPairs
       .join(sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")

@@ -54,8 +54,6 @@ object BandIndex {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
   }
 
-  private def confTable(table: String): String = s"${table}__conf"
-
   /** The 8-byte storage/join key of a (band, band_hash) bucket. Both the
     * stored relation and every query batch compute it with this ONE
     * function, so the two sides cannot drift. */
@@ -86,43 +84,18 @@ object BandIndex {
     * [[compactTo]] (on a cluster, the table format's rewrite/compaction
     * does the same job). */
   def create(history: DataFrame, idCol: String, textCol: String, table: String,
-             conf: Conf = Conf()): Unit = {
-    val spark = history.sparkSession
-    Bucketing.writeBucketed(
-      bandRelation(history, idCol, textCol, conf)
-        .repartition(conf.numBuckets, col("bkey")),
-      table, "bkey", conf.numBuckets)
-    writeConf(spark, table, conf)
-  }
-
-  private def writeConf(spark: SparkSession, table: String, conf: Conf): Unit = {
-    import spark.implicits._
-    Bucketing.dropTable(spark, confTable(table))
-    Bucketing.saveTableWithStaleLocationRetry(spark, confTable(table)) {
-      Seq((conf.shingleSize, conf.numHashes, conf.bands, conf.numBuckets))
-        .toDF("shingle_size", "num_hashes", "bands", "num_buckets")
-        .write.mode("overwrite").format("parquet").saveAsTable(confTable(table))
-    }
-  }
+             conf: Conf = Conf()): Unit =
+    IndexIO.create(bandRelation(history, idCol, textCol, conf), table, "bkey",
+      conf.numBuckets, Seq("shingle_size" -> conf.shingleSize,
+        "num_hashes" -> conf.numHashes, "bands" -> conf.bands,
+        "num_buckets" -> conf.numBuckets))
 
   /** The stored configuration of an index (fails with a clear message on a
     * missing/malformed companion table — e.g. a plain parquet dir that was
     * never written through [[create]]). */
   def readConf(spark: SparkSession, table: String): Conf = {
-    val rows =
-      try spark.table(confTable(table)).collect()
-      catch {
-        case e: Exception =>
-          throw new IllegalArgumentException(
-            s"band index '$table' has no readable configuration table " +
-              s"'${confTable(table)}' — was it written via BandIndex.create?", e)
-      }
-    require(rows.length == 1,
-      s"band index configuration '${confTable(table)}' must hold exactly one row, " +
-        s"found ${rows.length}")
-    val r = rows(0)
-    Conf(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
-      r.getAs[Int]("bands"), r.getAs[Int]("num_buckets"))
+    val m = IndexIO.readConf(spark, table, "BandIndex.create")
+    Conf(m("shingle_size"), m("num_hashes"), m("bands"), m("num_buckets"))
   }
 
   /** Append a processed batch's bands to the index (run AFTER searching the
@@ -131,7 +104,7 @@ object BandIndex {
     * index. */
   def append(batch: DataFrame, idCol: String, textCol: String, table: String): Unit = {
     val conf = readConf(batch.sparkSession, table)
-    Bucketing.appendBucketed(bandRelation(batch, idCol, textCol, conf),
+    IndexIO.append(bandRelation(batch, idCol, textCol, conf),
       table, "bkey", conf.numBuckets)
   }
 
@@ -181,17 +154,8 @@ object BandIndex {
     * search path. Kept as a copy (not in-place) so a failed rewrite never
     * loses the live index; on a cluster the table format's compaction
     * (e.g. Iceberg rewriteDataFiles) replaces this. */
-  def compactTo(spark: SparkSession, from: String, to: String): Unit = {
-    require(from != to, "compaction target must differ from the source table")
-    val conf = readConf(spark, from)
-    Bucketing.writeBucketed(
-      Bucketing.readTable(spark, from).repartition(conf.numBuckets, col("bkey")),
-      to, "bkey", conf.numBuckets)
-    writeConf(spark, to, conf)
-  }
+  def compactTo(spark: SparkSession, from: String, to: String): Unit =
+    IndexIO.compactTo(spark, from, to, "bkey")
 
-  def drop(spark: SparkSession, table: String): Unit = {
-    Bucketing.dropTable(spark, table)
-    Bucketing.dropTable(spark, confTable(table))
-  }
+  def drop(spark: SparkSession, table: String): Unit = IndexIO.drop(spark, table)
 }

@@ -340,6 +340,17 @@ object Dedup extends Serializable {
           shiftleft(blockOf(sim, j), 11) bitwiseOR blockOf(sim, k)).as("key"))
     }: _*)
 
+  /** The 20 combo keys FUSED into single 38-bit longs (combo id in bits
+    * 33-37, the 33-bit 3-block key below) — collision-free by construction,
+    * so grouping by this single column is EXACTLY grouping by (combo, key);
+    * the storage/join key of [[SimHashIndex]]. */
+  private[dedup] def comboKeysLong(sim: Column): Column =
+    array(blockCombos.zipWithIndex.map { case ((i, j, k), c) =>
+      lit(c.toLong << 33) bitwiseOR
+        shiftleft(blockOf(sim, i), 22) bitwiseOR
+        shiftleft(blockOf(sim, j), 11) bitwiseOR blockOf(sim, k)
+    }: _*)
+
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH bucketing
     * (a pair is a candidate if it collides in ANY of `tables` buckets) +
     * exact-cosine verify — the embedding-space sibling of minhashLshPairs.
@@ -404,6 +415,115 @@ object Dedup extends Serializable {
       }
       out
     })
+
+  /** New-touching pair generator over a sorted (id, sim, is_new) bucket with
+    * the hamming filter PUSHED INSIDE — the simhash sibling of
+    * [[newTouchingPairsUdf]], shared by [[simhashPairsIncremental]] and the
+    * index-backed [[SimHashIndex]] search (same sorted-prefix truncation as
+    * the full operator, so the restricted-equality contract holds under
+    * caps too). A bucket of B_old history docs costs B_old·B_new hamming
+    * inspections, never B_old². */
+  private[dedup] def newTouchingSimPairsUdf(maxBucket: Int, maxHamming: Int,
+                                            tele: TruncationTelemetry): UserDefinedFunction =
+    udf((members: Seq[Row]) => {
+      val z = members.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toArray
+      val capped = if (z.length > maxBucket) {
+        tele.truncatedBuckets.add(1L)
+        tele.droppedIds.add((z.length - maxBucket).toLong)
+        z.take(maxBucket)
+      } else z
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      var n = 0
+      while (n < capped.length) {
+        if (capped(n)._3) {
+          var j = 0
+          while (j < capped.length) {
+            // skip self; dedupe new↔new by letting only the smaller id drive
+            if (j != n && !(capped(j)._3 && capped(j)._1 < capped(n)._1)) {
+              val h = java.lang.Long.bitCount(capped(n)._2 ^ capped(j)._2)
+              if (h <= maxHamming) {
+                val a = capped(n)._1; val b = capped(j)._1
+                out += (if (a < b) (a, b, h) else (b, a, h))
+              }
+            }
+            j += 1
+          }
+        }
+        n += 1
+      }
+      out
+    })
+
+  /** INCREMENTAL SimHash near-dup pairs — every pair with hamming <=
+    * maxHamming that INVOLVES a `newDocs` doc (new↔old and new↔new),
+    * without re-generating history↔history pairs: both sides share ONE
+    * (combo, key) shuffle and the within-bucket generator only loops new
+    * docs against bucket members. For maxHamming <= 3 the C(6,3) pigeonhole
+    * makes recall exact, so the result EQUALS [[simhashPairs]] restricted
+    * to new-touching pairs (IncrementalDedupSpec pins this). Ids must be
+    * unique across both frames. Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Like [[minhashLshPairsIncremental]] this still signs the history every
+    * call (one cheap kernel pass, but O(history)); the PERSISTED form that
+    * signs only the batch is [[SimHashIndex]]. */
+  def simhashPairsIncremental(newDocs: DataFrame, oldDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              maxHamming: Int = 3, maxBucket: Int = 4096,
+                              telemetry: Option[TruncationTelemetry] = None): DataFrame = {
+    val tele = telemetry.getOrElse(TruncationTelemetry(newDocs.sparkSession, "simhash_incr"))
+    val tag = (df: DataFrame, isNew: Boolean) => df.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextExpressions.simhash64Native(col(textCol)).as("sim"),
+      lit(isNew).as("is_new"))
+    val keyed = tag(newDocs, true).unionByName(tag(oldDocs, false))
+      .select(col("doc_id"), col("sim"), col("is_new"),
+        explode(comboKeysLong(col("sim"))).as("skey"))
+    keyed
+      .groupBy(col("skey"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"), col("is_new"))).as("members"))
+      .filter(size(col("members")) > 1 && exists(col("members"), m => m.getField("is_new")))
+      .select(explode(newTouchingSimPairsUdf(maxBucket, maxHamming, tele)(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
+      .distinct()
+  }
+
+  /** INCREMENTAL embedding-cosine near-dup pairs — every pair with cosine >=
+    * threshold that INVOLVES a `newVecs` vector, without re-generating
+    * history↔history pairs: one shared (table, bucket) shuffle, new-touching
+    * pair generation within buckets, exact-cosine verify on candidates (the
+    * embedding sibling of [[minhashLshPairsIncremental]]; equals
+    * [[embeddingNearDupPairs]] restricted to new-touching pairs whenever the
+    * bucket settings give full recall — IncrementalDedupSpec pins this on
+    * the q_embed_neardup settings). Ids must be unique across both frames.
+    * The PERSISTED form that signs only the batch is [[EmbedIndex]]. */
+  def embeddingNearDupPairsIncremental(newVecs: DataFrame, oldVecs: DataFrame,
+                                       idCol: String, embCol: String,
+                                       threshold: Double, dim: Int, tables: Int = 32,
+                                       bitsPerTable: Int = 12, maxBucket: Int = 4096,
+                                       telemetry: Option[TruncationTelemetry] = None): DataFrame = {
+    import graft.spark.ann.Ann
+    val tele = telemetry.getOrElse(
+      TruncationTelemetry(newVecs.sparkSession, "embed_neardup_incr"))
+    val tag = (df: DataFrame, isNew: Boolean) => df.select(
+      col(idCol).cast("long").as("vid"), col(embCol).as("emb"), lit(isNew).as("is_new"))
+    val base = tag(newVecs, true).unionByName(tag(oldVecs, false))
+    val sigsAll = Ann.hyperplaneSigs(tables, bitsPerTable, dim, seedBase = 2000L)
+    val bucketed = base
+      .select(col("vid"), col("is_new"), posexplode(sigsAll(col("emb"))).as(Seq("t", "h")))
+    val candidates = bucketed
+      .groupBy(col("t"), col("h"))
+      .agg(collect_list(struct(col("vid"), col("is_new"))).as("members"))
+      .filter(size(col("members")) > 1 && exists(col("members"), m => m.getField("is_new")))
+      .select(explode(newTouchingPairsUdf(maxBucket, tele)(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("vid").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(base.select(col("vid").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .filter(Ann.cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
 
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming.
     *

@@ -1,0 +1,94 @@
+package graft.spark.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.spark.io.Bucketing
+
+/** Shared storage layer of the persisted dedup indexes ([[BandIndex]],
+  * [[SimHashIndex]], [[EmbedIndex]]): a bucketed+sorted parquet relation
+  * keyed by an 8-byte bucket key, plus a one-row `<table>__conf` companion
+  * holding the modality's layout parameters — so a search or append under
+  * drifted parameters is impossible by construction (the IvfPqModel pattern
+  * applied to dedup, round-4 verdict top item).
+  *
+  * The relation is repartitioned to EXACTLY the bucket layout before the
+  * initial write (same hash, same count), so every bucket lands in ONE
+  * sorted file — the condition under which Spark's bucketed scan reports
+  * its written sort order and the search's sort-merge semi-join elides BOTH
+  * the exchange and the sort on the index side. Appends add a second file
+  * per bucket and give that up — [[compactTo]] restores it (on a cluster,
+  * the table format's rewrite/compaction does the same job).
+  */
+private[dedup] object IndexIO {
+
+  def confTable(table: String): String = s"${table}__conf"
+
+  /** Overwrite the index relation + its conf companion. `conf` values are
+    * ints keyed by column name; map iteration order fixes the column order
+    * (pass a ListMap / ordered Seq for readability — readers go by name). */
+  def create(rel: DataFrame, table: String, keyCol: String, numBuckets: Int,
+             conf: Seq[(String, Int)]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = rel.sparkSession
+    Bucketing.writeBucketed(rel.repartition(numBuckets, col(keyCol)),
+      table, keyCol, numBuckets)
+    writeConf(spark, table, conf)
+  }
+
+  private def writeConf(spark: SparkSession, table: String,
+                        conf: Seq[(String, Int)]): Unit = {
+    val (names, values) = conf.unzip
+    Bucketing.dropTable(spark, confTable(table))
+    Bucketing.saveTableWithStaleLocationRetry(spark, confTable(table)) {
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(values)),
+        org.apache.spark.sql.types.StructType(names.map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+        .write.mode("overwrite").format("parquet").saveAsTable(confTable(table))
+    }
+  }
+
+  /** The stored configuration (name → int), failing with a clear message on
+    * a missing/malformed companion table — e.g. a plain parquet dir never
+    * written through [[create]]. */
+  def readConf(spark: SparkSession, table: String,
+               owner: String = "its index's create()"): Map[String, Int] = {
+    val rows =
+      try spark.table(confTable(table)).collect()
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"index '$table' has no readable configuration table " +
+              s"'${confTable(table)}' — was it written via $owner?", e)
+      }
+    require(rows.length == 1,
+      s"index configuration '${confTable(table)}' must hold exactly one row, " +
+        s"found ${rows.length}")
+    val r = rows(0)
+    r.schema.fieldNames.map(n => n -> r.getAs[Int](n)).toMap
+  }
+
+  /** Append a batch's relation rows to an existing index (bucket spec
+    * validated by Spark against the catalog's — a mismatched layout fails
+    * loudly). */
+  def append(rel: DataFrame, table: String, keyCol: String, numBuckets: Int): Unit =
+    Bucketing.appendBucketed(rel, table, keyCol, numBuckets)
+
+  /** Rewrite `from` as a fresh one-file-per-bucket index `to` (same stored
+    * conf) — the post-append maintenance that restores sort-elision on the
+    * search path. Kept as a copy (not in-place) so a failed rewrite never
+    * loses the live index. */
+  def compactTo(spark: SparkSession, from: String, to: String, keyCol: String): Unit = {
+    require(from != to, "compaction target must differ from the source table")
+    val conf = readConf(spark, from)
+    val ordered = spark.table(confTable(from)).schema.fieldNames.toSeq.map(n => n -> conf(n))
+    create(Bucketing.readTable(spark, from), to, keyCol, conf("num_buckets"), ordered)
+  }
+
+  def drop(spark: SparkSession, table: String): Unit = {
+    Bucketing.dropTable(spark, table)
+    Bucketing.dropTable(spark, confTable(table))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.spark.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spark.fns.TextExpressions
+import graft.spark.io.Bucketing
+
+/** PERSISTED SimHash C(6,3) key index — [[BandIndex]]'s pattern applied to
+  * the simhash modality (round-4 verdict next-round #7: the combo-key table
+  * is the same shape as the minhash band table).
+  *
+  * Stored relation: (skey, doc_id, sim) bucketed+sorted by skey, where skey
+  * is the FUSED 38-bit combo key ([[Dedup.comboKeysLong]] — collision-free,
+  * so grouping by skey is exactly grouping by (combo, key)). Unlike the
+  * minhash index, the 64-bit signature itself rides along in the row, so
+  * the search needs NO corpus-store lookup at all: hamming distance is
+  * computed from stored signatures and IS the exact verify.
+  *
+  * Per batch: sign the new docs (the only kernel work — O(batch)), semi-join
+  * the stored index (bucketed scan side crosses no Exchange), run the shared
+  * new-touching hamming pair generator, then [[append]] the batch's rows.
+  * For maxHamming <= 3 the C(6,3) pigeonhole makes recall exact, so
+  * index-backed pairs EQUAL [[Dedup.simhashPairsIncremental]]'s on the same
+  * split (IncrementalDedupSpec pins this across appends).
+  */
+object SimHashIndex {
+
+  /** (skey, doc_id, sim) relation of a document frame. */
+  private def keyRelation(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextExpressions.simhash64Native(col(textCol)).as("sim"))
+      .select(explode(Dedup.comboKeysLong(col("sim"))).as("skey"),
+        col("doc_id"), col("sim"))
+
+  def create(history: DataFrame, idCol: String, textCol: String, table: String,
+             numBuckets: Int = 32): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    IndexIO.create(keyRelation(history, idCol, textCol), table, "skey",
+      numBuckets, Seq("num_buckets" -> numBuckets))
+  }
+
+  /** Append a processed batch's keys (run AFTER searching the batch — the
+    * batch must not see itself as history). Ids must be new to the index. */
+  def append(batch: DataFrame, idCol: String, textCol: String, table: String): Unit = {
+    val conf = IndexIO.readConf(batch.sparkSession, table, "SimHashIndex.create")
+    IndexIO.append(keyRelation(batch, idCol, textCol), table, "skey",
+      conf("num_buckets"))
+  }
+
+  /** Every pair with hamming <= maxHamming involving a `newDocs` doc,
+    * against the PERSISTED index — no history re-signing, no corpus-store
+    * lookup. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def incrementalPairs(newDocs: DataFrame, idCol: String, textCol: String,
+                       table: String, maxHamming: Int = 3, maxBucket: Int = 4096,
+                       telemetry: Option[Dedup.TruncationTelemetry] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    IndexIO.readConf(spark, table, "SimHashIndex.create") // existence check
+    val tele = telemetry.getOrElse(Dedup.TruncationTelemetry(spark, "simhash_index"))
+    val newKeys = keyRelation(newDocs, idCol, textCol)
+    val touchedOld = Bucketing.readTable(spark, table)
+      .join(newKeys.select(col("skey")).distinct(), Seq("skey"), "left_semi")
+    val members = touchedOld.withColumn("is_new", lit(false))
+      .unionByName(newKeys.withColumn("is_new", lit(true)))
+    members
+      .groupBy(col("skey"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"), col("is_new"))).as("members"))
+      .filter(size(col("members")) > 1 && exists(col("members"), m => m.getField("is_new")))
+      .select(explode(
+        Dedup.newTouchingSimPairsUdf(maxBucket, maxHamming, tele)(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
+      .distinct()
+  }
+
+  def compactTo(spark: SparkSession, from: String, to: String): Unit =
+    IndexIO.compactTo(spark, from, to, "skey")
+
+  def drop(spark: SparkSession, table: String): Unit = IndexIO.drop(spark, table)
+}

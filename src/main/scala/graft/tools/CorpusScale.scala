@@ -6,10 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-operator scaling datapoints (round-3 verdict next-round #9): the
-  * corpus-level operators (`ops` below — seven as of round 4) timed at
-  * sf0.1 (5k docs) and a synthesized 10x level ("sf1", 50k docs), reporting
-  * docs/sec at both and the rate ratio — the measured growth curve of the
-  * heavy-set and pair-generation stages before a real cluster sees them.
+  * corpus-level operators (`ops` below — nine as of round 5, count derived
+  * from `ops.size` in the report) timed at sf0.1 (5k docs) and a
+  * synthesized 10x level ("sf1", 50k docs), reporting docs/sec at both and
+  * the rate ratio — the measured growth curve of the heavy-set and
+  * pair-generation stages before a real cluster sees them.
   *
   * The 10x level replicates each sf0.1 document with a per-replica suffix
   * (docs stay DISTINCT — replication without it would degenerate line dedup
@@ -23,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Modes (fresh JVM per level, best kept across invocations, like
   * ScalingBench):
   *   gen          — materialize /tmp/graft_corpus_x{1,10} parquet
-  *   run <mult>   — time the five ops at that level (warm-up + min-of-3)
+  *   run <mult>   — time every op at that level (warm-up + min-of-3)
   *   report       — write BENCH/CORPUS_SCALE.md
   */
 object CorpusScale {
