@@ -90,6 +90,7 @@ object SparkEntry {
     "q_ann_lsh_recall" -> ((s, d) => VerifiedQueries.annLshRecallVerified(s, d, 0.6)),
     "q_ann_ivf_recall" -> ((s, d) => VerifiedQueries.annIvfRecallVerified(s, d, 0.4)),
     "q_ann_pq_recall" -> ((s, d) => VerifiedQueries.annPqRecallVerified(s, d, 0.4)),
+    "q_ann_opq_recall" -> ((s, d) => VerifiedQueries.annOpqRecallVerified(s, d, 0.4)),
     "q_ann_ivfpq_recall" -> ((s, d) => VerifiedQueries.annIvfPqRecallVerified(s, d, 0.6)),
     "q_ann_index" -> (VerifiedQueries.annIndexRoundtripVerified(_, _)),
     "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
@@ -549,6 +550,8 @@ object SparkEntry {
     "q_ann_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
     "q_ann_pq_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+    "q_ann_opq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
     "q_ann_ivfpq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",

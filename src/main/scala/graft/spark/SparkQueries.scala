@@ -787,6 +787,24 @@ object SparkQueries {
       .agg((sum(when(col("av").isNotNull, 1).otherwise(0)) / count(lit(1))).as("recall_at_5"))
   }
 
+  /** [[annPqRecall]] with the OPQ rotation (Ge et al. 2013) learned on the
+    * same deterministic sample — measures what the learned rotation buys the
+    * pure compressed representation (no refine stage to hide behind). */
+  def annPqOpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = Ann.pqTopK(corpus, queries, 5, dim = 64, m = 16, ksub = 256,
+        opqIters = 8)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    exact.join(approx, exact("query_id") === col("aq") && exact("vec_id") === col("av"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(when(col("av").isNotNull, 1).otherwise(0)) / count(lit(1))).as("recall_at_5"))
+  }
+
   /** IVFPQ recall vs the exact baseline (per query): the composed layout —
     * coarse cells prune the scan AND in-cell candidates rank from byte
     * codes; recall compounds both approximations. */

@@ -1115,6 +1115,20 @@ object VerifiedQueries {
   def annPqRecallVerified(spark: SparkSession, dir: String, minRecall: Double): DataFrame =
     recallOk(SparkQueries.annPqRecall(spark, dir), minRecall)
 
+  /** PQ/ADC recall under the learned OPQ rotation (Ge et al. 2013,
+    * [[graft.spark.ann.Opq]]) — same 16-byte budget as q_ann_pq_recall, no
+    * refine stage, so any lift is the rotation's alone. Measured
+    * (graft.tools.PqProbe): per-query MEANS rise 0.70 → 0.82 (sf0.001) and
+    * 0.68 → 0.76 (sf0.1), the sf0.001 floor rises 0.4 → 0.6, and
+    * reconstruction MSE drops ~27% in both residual modes
+    * (graft.tools.ResidProbe: 0.032 → 0.023 simple, 0.043 → 0.031
+    * residual). The threshold stays at the honest cross-SF floor 0.4: one
+    * sf0.1 query (qid 2) keeps recall 0.4 under ANY rotation — the fixture
+    * is isotropic, so there is no cross-subspace correlation for OPQ to
+    * exploit there (the same honesty caveat as the residual finding). */
+  def annOpqRecallVerified(spark: SparkSession, dir: String, minRecall: Double): DataFrame =
+    recallOk(SparkQueries.annPqOpqRecall(spark, dir), minRecall)
+
   /** IVFPQ (cell pruning + byte-code ADC + exact refine of the shortlist)
     * recall >= threshold per query — the fully composed 10^12-row layout.
     * With the refine stage the measured floor equals the IVF cell-pruning

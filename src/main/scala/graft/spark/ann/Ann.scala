@@ -229,16 +229,21 @@ object Ann extends Serializable {
   }
 
   /** Per-query ADC lookup tables (m × ksub partial inner products against
-    * the normalized query), keyed by query_id. */
+    * the normalized query), keyed by query_id. Under OPQ the codebooks live
+    * in rotated space, so the query rotates too — inner products are
+    * preserved (q·r = (Rq)·(Rr)), which is exactly why an orthogonal R can
+    * be inserted without touching any other part of the search. */
   private def buildAdcLuts(queries: DataFrame, books: Array[Array[Array[Float]]],
-                           dim: Int, m: Int): Map[Long, Array[Array[Float]]] = {
+                           dim: Int, m: Int,
+                           rotation: Option[Array[Array[Float]]] = None): Map[Long, Array[Array[Float]]] = {
     val dsub = dim / m
     val ksub = books(0).length
     queries
       .select(col("query_id").cast("long"), col("q_embedding"))
       .collect()
       .map { r =>
-        val q = normalizeVec(r.getSeq[Float](1), dim)
+        val qn = normalizeVec(r.getSeq[Float](1), dim)
+        val q = rotation.map(Opq.rotate(_, qn)).getOrElse(qn)
         r.getLong(0) -> Array.tabulate(m) { sub =>
           val off = sub * dsub
           Array.tabulate(ksub) { c =>
@@ -251,13 +256,16 @@ object Ann extends Serializable {
       }.toMap
   }
 
-  /** Corpus-encoding UDF: normalize, nearest centroid per subspace. */
+  /** Corpus-encoding UDF: normalize, (optionally OPQ-rotate), nearest
+    * centroid per subspace. */
   private def pqEncodeUdf(
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]],
-      dim: Int, m: Int): UserDefinedFunction = {
+      dim: Int, m: Int,
+      rotation: Option[Array[Array[Float]]] = None): UserDefinedFunction = {
     val dsub = dim / m
     udf((v: Seq[Float]) => {
-      val nv = normalizeVec(v, dim)
+      val nv0 = normalizeVec(v, dim)
+      val nv = rotation.map(Opq.rotate(_, nv0)).getOrElse(nv0)
       val codes = new Array[Byte](m)
       var sub = 0
       while (sub < m) {
@@ -388,15 +396,24 @@ object Ann extends Serializable {
     * is a stable, oracle-checkable number. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
              m: Int = 16, ksub: Int = 32, lloydIters: Int = 5,
-             trainSample: Int = 4096): DataFrame = {
+             trainSample: Int = 4096, opqIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val spark = corpus.sparkSession
-    val books = trainCodebooks(pqTrainSample(corpus, dim, trainSample), dim, m, ksub, lloydIters)
+    val sample = pqTrainSample(corpus, dim, trainSample)
+    // OPQ (Ge et al. 2013): learn the orthogonal rotation on the same
+    // deterministic sample, then train the codebooks in rotated space —
+    // corpus and query rotate identically at encode/LUT time, so ranking
+    // semantics are unchanged while quantization error drops
+    val rotation =
+      if (opqIters <= 0) None
+      else Some(Opq.learnRotation(sample, dim, m, ksub, opqIters))
+    val trainPts = rotation.map(r => sample.map(Opq.rotate(r, _))).getOrElse(sample)
+    val books = trainCodebooks(trainPts, dim, m, ksub, lloydIters)
     val bcBooks = spark.sparkContext.broadcast(books)
-    val bcLut = spark.sparkContext.broadcast(buildAdcLuts(queries, books, dim, m))
+    val bcLut = spark.sparkContext.broadcast(buildAdcLuts(queries, books, dim, m, rotation))
 
     val encoded = corpus.select(col("vec_id"),
-      pqEncodeUdf(bcBooks, dim, m)(col("embedding")).as("codes"))
+      pqEncodeUdf(bcBooks, dim, m, rotation)(col("embedding")).as("codes"))
     val scored = encoded
       .crossJoin(broadcast(queries.select(col("query_id").cast("long").as("query_id"))))
       .withColumn("sim", adcUdf(bcLut, m)(col("query_id"), col("codes")))
@@ -455,9 +472,9 @@ object Ann extends Serializable {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 256,
                 lloydIters: Int = 3, pqIters: Int = 5,
                 trainSample: Int = 4096, residual: Boolean = true,
-                refineFactor: Int = 4): DataFrame = {
+                refineFactor: Int = 4, opqIters: Int = 0): DataFrame = {
     val model = trainIvfPqModel(corpus, dim, nlist, m, ksub, lloydIters,
-      pqIters, trainSample, residual)
+      pqIters, trainSample, residual, opqIters)
     searchIvfPq(encodeIvfPq(corpus, model), model, queries, k, nprobe,
       refineFactor, rawCorpus = Some(corpus))
   }
@@ -470,7 +487,8 @@ object Ann extends Serializable {
   def trainIvfPqModel(corpus: DataFrame, dim: Int,
                       nlist: Int = 16, m: Int = 16, ksub: Int = 256,
                       lloydIters: Int = 3, pqIters: Int = 5,
-                      trainSample: Int = 4096, residual: Boolean = true): IvfPqModel = {
+                      trainSample: Int = 4096, residual: Boolean = true,
+                      opqIters: Int = 0): IvfPqModel = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     // coarse quantizer — the SAME deterministic distributed spherical Lloyd
     // ivfTopK trains (shared helper; `lloydIters` governs it). A corpus
@@ -483,7 +501,7 @@ object Ann extends Serializable {
     // PQ codebooks — trained on residuals (or raw normalized vectors in
     // simple mode) of the SAME deterministic driver sample pqTopK uses
     val rawSample = pqTrainSample(corpus, dim, trainSample)
-    val trainPts =
+    val targets =
       if (!residual) rawSample
       else rawSample.map { nv =>
         val c = centByCell(assignCellArr(nv, centroids))
@@ -492,8 +510,17 @@ object Ann extends Serializable {
         while (i < dim) { r(i) = nv(i) - (if (i < c.length) c(i) else 0f); i += 1 }
         r
       }
+    // OPQ rotation learned on the PQ TARGETS (residuals in residual mode):
+    // the coarse quantizer stays in original space — since R is orthogonal,
+    // rotating only the quantization target is the same model family as
+    // FAISS's OPQ pre-transform, and the exact q·centroid term of the
+    // residual decomposition is untouched (q·nv = q·c + (Rq)·(Rr))
+    val rotation =
+      if (opqIters <= 0) None
+      else Some(Opq.learnRotation(targets, dim, m, ksub, opqIters))
+    val trainPts = rotation.map(r => targets.map(Opq.rotate(r, _))).getOrElse(targets)
     IvfPqModel(dim, m, residual, centroids,
-      trainCodebooks(trainPts, dim, m, ksub, pqIters))
+      trainCodebooks(trainPts, dim, m, ksub, pqIters), rotation)
   }
 
   /** Encode a corpus under a trained model: (vec_id, cell, codes) — the
@@ -512,7 +539,7 @@ object Ann extends Serializable {
       val mm = bc.value
       val nv = normalizeVec(v, dim)
       val cell = assignCellArr(nv, mm.centroids)
-      val target =
+      val target0 =
         if (!mm.residual) nv
         else {
           val c = mm.centByCell(cell)
@@ -521,6 +548,7 @@ object Ann extends Serializable {
           while (i < dim) { r(i) = nv(i) - (if (i < c.length) c(i) else 0f); i += 1 }
           r
         }
+      val target = mm.rotation.map(Opq.rotate(_, target0)).getOrElse(target0)
       val codes = new Array[Byte](m)
       var sub = 0
       while (sub < m) {
@@ -555,7 +583,7 @@ object Ann extends Serializable {
       bc.value.centroids.map { case (i, c) => (i, cosineLocal(v, c)) }
         .sortBy(-_._2).take(nprobe).map(_._1))
     val bcLut = spark.sparkContext.broadcast(
-      buildAdcLuts(queries, model.books, dim, m))
+      buildAdcLuts(queries, model.books, dim, m, model.rotation))
     // exact per-(query, cell) q·centroid term of the linear decomposition
     val qDotCent: Map[Long, Array[Float]] = queries
       .select(col("query_id").cast("long"), col("q_embedding"))

@@ -16,7 +16,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * are stable across JVMs and md5-pinnable. */
 final case class IvfPqModel(dim: Int, m: Int, residual: Boolean,
                             centroids: Array[(Int, Array[Float])],
-                            books: Array[Array[Array[Float]]]) {
+                            books: Array[Array[Array[Float]]],
+                            rotation: Option[Array[Array[Float]]] = None) {
 
   /** Structural consistency, enforced at the public Ann entry points and on
     * [[IvfPqModel.fromBytes]] — an inconsistent model (wrong subspace split,
@@ -30,6 +31,10 @@ final case class IvfPqModel(dim: Int, m: Int, residual: Boolean,
     val dsub = dim / m
     require(books.forall(_.forall(_.length == dsub)),
       s"every codebook centroid must have dsub=$dsub dims")
+    rotation.foreach { r =>
+      require(r.length == dim && r.forall(_.length == dim),
+        s"OPQ rotation must be ${dim}x$dim, found ${r.length}x${r.headOption.map(_.length).getOrElse(0)}")
+    }
   }
 
   /** Dense centroid-by-cell table (cell ids are 0..n-1 by construction). */
@@ -42,7 +47,10 @@ final case class IvfPqModel(dim: Int, m: Int, residual: Boolean,
   def toBytes: Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
-    o.writeInt(IvfPqModel.Magic)
+    // rotation-less models keep the original byte layout (and magic), so
+    // every pre-OPQ image and golden stays valid; a rotation bumps the
+    // magic to the v2 layout that appends the matrix
+    o.writeInt(if (rotation.isEmpty) IvfPqModel.Magic else IvfPqModel.MagicV2)
     o.writeInt(dim)
     o.writeInt(m)
     o.writeBoolean(residual)
@@ -60,17 +68,26 @@ final case class IvfPqModel(dim: Int, m: Int, residual: Boolean,
         cent.foreach(o.writeFloat)
       }
     }
+    rotation.foreach { r =>
+      o.writeInt(r.length)
+      r.foreach { row =>
+        o.writeInt(row.length)
+        row.foreach(o.writeFloat)
+      }
+    }
     o.flush()
     bos.toByteArray
   }
 }
 
 object IvfPqModel {
-  private val Magic = 0x47495051 // "GIPQ"
+  private val Magic = 0x47495051 // "GIPQ" — v1, no rotation
+  private val MagicV2 = 0x47495132 // "GIQ2" — appends the OPQ rotation
 
   def fromBytes(b: Array[Byte]): IvfPqModel = {
     val in = new DataInputStream(new ByteArrayInputStream(b))
-    require(in.readInt() == Magic, "not an IvfPqModel byte image")
+    val magic = in.readInt()
+    require(magic == Magic || magic == MagicV2, "not an IvfPqModel byte image")
     val dim = in.readInt()
     val m = in.readInt()
     val residual = in.readBoolean()
@@ -81,7 +98,11 @@ object IvfPqModel {
     val books = Array.fill(in.readInt()) {
       Array.fill(in.readInt())(Array.fill(in.readInt())(in.readFloat()))
     }
-    val model = IvfPqModel(dim, m, residual, centroids, books)
+    val rotation =
+      if (magic == MagicV2)
+        Some(Array.fill(in.readInt())(Array.fill(in.readInt())(in.readFloat())))
+      else None
+    val model = IvfPqModel(dim, m, residual, centroids, books, rotation)
     model.validate()
     model
   }

@@ -10,6 +10,7 @@ object PqProbe {
     spark.sparkContext.setLogLevel("WARN")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
       Seq("pq" -> graft.spark.SparkQueries.annPqRecall _,
+          "pq_opq" -> graft.spark.SparkQueries.annPqOpqRecall _,
           "ivfpq" -> graft.spark.SparkQueries.annIvfPqRecall _,
           // the IVF-exact ceiling: with the refine stage, ivfpq recall
           // should match this line (quantization error removed)

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Calibration tool: mean squared reconstruction error of the PQ codes with
-  * and without residual encoding, over the embeddings fixture. Documents the
+  * and without residual encoding — and with/without the round-5 OPQ
+  * rotation — over the embeddings fixture. Documents the
   * measured finding behind Ann.ivfPqTopK's residual caveat: on isotropic
   * vectors the residual carries ~2x the unit energy (‖nv−c‖² = 2(1−cos)),
   * so residual codes reconstruct WORSE (0.043 vs 0.032 at sf0.01) — the
@@ -54,38 +55,23 @@ object ResidProbe {
       }
     }
     val sample = nvs.take(4096)
-    def mse(residual: Boolean): Double = {
-      val pts = if (!residual) sample else sample.map { nv =>
+    def targetsOf(residual: Boolean, vs: Array[Array[Float]]): Array[Array[Float]] =
+      if (!residual) vs else vs.map { nv =>
         val c = cents(assign(nv))
         Array.tabulate(dim)(i => nv(i) - c(i))
       }
-      val books = graft.spark.ann.Ann.trainCodebooks(pts, dim, m, ksub, 5)
-      val dsub = dim / m
-      var err = 0.0
-      nvs.foreach { nv =>
-        val target = if (!residual) nv else {
-          val c = cents(assign(nv))
-          Array.tabulate(dim)(i => nv(i) - c(i))
-        }
-        var sub = 0
-        while (sub < m) {
-          val off = sub * dsub
-          // nearest by L2 over the subvector
-          var best = 0; var bd = Double.MaxValue
-          var k = 0
-          while (k < books(sub).length) {
-            var d = 0.0; var i = 0
-            while (i < dsub) { val x = target(off + i) - books(sub)(k)(i); d += x * x; i += 1 }
-            if (d < bd) { bd = d; best = k }
-            k += 1
-          }
-          err += bd
-          sub += 1
-        }
-      }
-      err / nvs.length
+    def mse(residual: Boolean, opq: Boolean): Double = {
+      import graft.spark.ann.Opq
+      val trainT = targetsOf(residual, sample)
+      val rot = if (opq) Some(Opq.learnRotation(trainT, dim, m, ksub, opqIters = 8)) else None
+      val train = rot.map(r => trainT.map(Opq.rotate(r, _))).getOrElse(trainT)
+      val books = graft.spark.ann.Ann.trainCodebooks(train, dim, m, ksub, 5)
+      val all = targetsOf(residual, nvs)
+      val pts = rot.map(r => all.map(Opq.rotate(r, _))).getOrElse(all)
+      Opq.reconstructionMse(pts, books, dim, m)
     }
-    println(f"n=${nvs.length} mse_simple=${mse(false)}%.5f mse_residual=${mse(true)}%.5f")
+    println(f"n=${nvs.length} mse_simple=${mse(false, false)}%.5f mse_residual=${mse(true, false)}%.5f " +
+      f"mse_simple_opq=${mse(false, true)}%.5f mse_residual_opq=${mse(true, true)}%.5f")
     spark.stop()
   }
 }
