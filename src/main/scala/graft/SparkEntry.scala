@@ -94,6 +94,7 @@ object SparkEntry {
     "q_ann_ivfpq_recall" -> ((s, d) => VerifiedQueries.annIvfPqRecallVerified(s, d, 0.6)),
     "q_ann_index" -> (VerifiedQueries.annIndexRoundtripVerified(_, _)),
     "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
+    "q_cjk_tokens" -> ((s, _) => VerifiedQueries.cjkTokensVerified(s)),
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
     "q_image_decode" -> ((s, _) => VerifiedQueries.imageDecodeVerified(s, 1500L)),
@@ -365,21 +366,34 @@ object SparkEntry {
         "' WHEN doc_id % 7 = 2 THEN '" + graft.spark.SparkQueries.gopherNumericPlant +
         "' ELSE '' END AS text FROM documents))) GROUP BY lang"),
     // language-bound Gopher stop-word rule: lists + plants are generated
-    // from the SAME gopherStopwords map the Spark side uses (no drift)
+    // from the SAME gopherStopwords map the Spark side uses (no drift).
+    // Latin langs: the engine's segmented tokenization == whitespace
+    // tokenization on the CJK-free fixture, so the oracle re-derives hits
+    // from tokens. CJK langs (zh; ja has no fixture rows): the plant is the
+    // stop words concatenated WITHOUT separators — only the greedy
+    // maximum-matching segmenter can find them, and the closed form is
+    // exactly |words| hits per planted doc (segment(concat(words)) == words,
+    // pinned by CjkSegmentSpec; the CJK-free base text contributes 0).
     "q_gopher_stopwords" -> {
       val byLang = graft.spark.text.TextFunctions.gopherStopwords.toSeq.sortBy(_._1)
-      val listCase = "CASE lang " + byLang.map { case (l, ws) =>
+      val (cjk, latin) =
+        byLang.partition { case (_, ws) => graft.spark.text.TextFunctions.isCjkStopwordList(ws) }
+      val listCase = "CASE lang " + latin.map { case (l, ws) =>
         s"WHEN '$l' THEN ${ws.map(w => s"'$w'").mkString("[", ", ", "]")} "
       }.mkString + "ELSE [] END"
-      val plantCase = "CASE lang " + byLang.map { case (l, ws) =>
+      val plantCase = "CASE lang " + latin.map { case (l, ws) =>
         s"WHEN '$l' THEN ' ${ws.mkString(" ")}' "
       }.mkString + "ELSE '' END"
+      val cjkHits = cjk.map { case (l, ws) =>
+        s"WHEN lang = '$l' THEN CASE WHEN doc_id % 3 = 0 THEN ${ws.length} ELSE 0 END "
+      }.mkString
       "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(h) AS BIGINT) AS total_hits, " +
         "CAST(SUM(CASE WHEN h >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass FROM (" +
-        "SELECT lang, len(list_filter(list_filter(" +
+        s"SELECT lang, CASE $cjkHits" +
+        "ELSE len(list_filter(list_filter(" +
         "regexp_split_to_array(lower(p), '\\s+'), x -> x <> ''), " +
-        s"x -> list_contains($listCase, x))) AS h FROM (" +
-        "SELECT lang, text || CASE WHEN doc_id % 3 = 0 THEN " +
+        s"x -> list_contains($listCase, x))) END AS h FROM (" +
+        "SELECT lang, doc_id, text || CASE WHEN doc_id % 3 = 0 THEN " +
         s"$plantCase ELSE '' END AS p FROM documents)) GROUP BY lang"
     },
     "q_pii" ->
@@ -575,6 +589,29 @@ object SparkEntry {
         "('ru', 50, 50, 1000), ('sv', 50, 50, 86), ('tr', 50, 50, 48), " +
         "('zh', 50, 50, 1000)) " +
         "AS t(lang, n_docs, n_correct, min_conf_pm)"),
+    // CJK segmentation literals (graft.tools.SegTruth): greedy maximum
+    // matching over the held-out CjkFixture — the SAME segmentations are
+    // HAND-DERIVED in CjkSegmentSpec from the algorithm contract, so the
+    // oracle and the spec break independently on drift. parity/bound are
+    // in-query self-checks (codegen == ScalaUDF; count >= whitespace count).
+    "q_cjk_tokens" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), 'zh', CAST(5 AS BIGINT), '我们 喜欢 学习 中 文', true, true), " +
+        "(1, 'zh', 4, '今天 天气 非常 好', true, true), " +
+        "(2, 'zh', 4, '这 是 一个 问题', true, true), " +
+        "(3, 'zh', 5, '你 好 ， 世界 。', true, true), " +
+        "(4, 'ja', 9, '日本 の 文化 は 歴史 が あ り ます', true, true), " +
+        "(5, 'ja', 6, '東京 で 勉強 し ます か', true, true), " +
+        "(6, 'ja', 14, 'コ ン ピ ュ ー タ と イ ン タ ー ネ ッ ト', true, true), " +
+        "(7, 'mixed', 7, 'Spark processes 中 文 text 快 速', true, true), " +
+        "(8, 'mixed', 6, '価 格 は 1000 円 です', true, true), " +
+        "(9, 'en', 4, 'the quick brown fox', true, true), " +
+        "(10, 'en', 3, 'spaced out tokens', true, true), " +
+        "(11, 'und', 0, '', true, true), " +
+        "(12, 'zh', 6, '为什么 不 去 图 书 馆', true, true), " +
+        "(13, 'ja', 7, 'これ は 日本 語 の 新聞 です', true, true), " +
+        "(14, 'zh', 8, '的 了 是 在 和 有 我们 没有', true, true)) " +
+        "AS t(doc_id, lang, n_tokens, seg, parity_ok, bound_ok)"),
     "q_fingerprint_rolling" ->
       "SELECT lang, COUNT(*) AS n_docs, true AS fp_le_texts_ok FROM documents GROUP BY lang",
     "q_multimodal" ->

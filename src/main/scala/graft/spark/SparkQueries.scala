@@ -342,16 +342,26 @@ object SparkQueries {
     * out): per-lang occurrence counts of the language's stop-word list and
     * the >= 2-hits pass count. The fixture docs are synthetic word-salad, so
     * each lang's own stop words are planted on the doc_id % 3 class (same
-    * transform on the oracle side) — pass decisions carry real signal;
-    * ja/zh have no whitespace stop-word list, so they honestly fail. */
+    * transform on the oracle side) — pass decisions carry real signal.
+    * Round 5: hits run over CJK-SEGMENTED text (identical to whitespace
+    * tokens for the Latin langs — the fixture is CJK-free there), and the
+    * zh plant is the stop words concatenated WITHOUT separators, so only
+    * real segmentation (greedy maximum matching,
+    * [[graft.spark.text.CjkSegment]]) can find them — the round-4 honest
+    * FAIL for zh becomes an honest PASS. The oracle's zh branch is the
+    * closed form: segment(concat(zh words)) == the words themselves
+    * (CjkSegmentSpec pins the invariant) and the CJK-free base text can
+    * contribute no CJK hits, so planted docs hit exactly |words|. */
   def gopherStopwordStats(spark: SparkSession, dir: String): DataFrame = {
     val byLang = TextFunctions.gopherStopwords.toSeq.sortBy(_._1)
     val plant = byLang.foldLeft(lit("")) { case (acc, (l, ws)) =>
-      when(col("lang") === l, lit(" " + ws.mkString(" "))).otherwise(acc)
+      val p = if (TextFunctions.isCjkStopwordList(ws)) " " + ws.mkString("")
+              else " " + ws.mkString(" ")
+      when(col("lang") === l, lit(p)).otherwise(acc)
     }
     val planted = concat(col("text"), when(col("doc_id") % 3 === 0, plant).otherwise(lit("")))
     val hits = byLang.foldLeft(lit(0)) { case (acc, (l, ws)) =>
-      when(col("lang") === l, TextFunctions.stopwordHits(planted, ws)).otherwise(acc)
+      when(col("lang") === l, TextFunctions.stopwordHitsSegmented(planted, ws)).otherwise(acc)
     }
     tbl(spark, dir, "documents")
       .select(col("lang"), hits.cast("long").as("h"))

@@ -484,6 +484,33 @@ object VerifiedQueries {
         sum(when(col("lc.lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
         min(col("lc.conf_pm")).as("min_conf_pm"))
 
+  /** CJK segmentation over the held-out [[graft.spark.text.CjkFixture]]
+    * (round-4 verdict next-round #5): per-doc token counts and the
+    * segmented text itself from the codegen'd
+    * [[graft.spark.fns.CjkTokenCountExpr]]/[[graft.spark.fns.CjkSegmentExpr]]
+    * pair. Verified three ways: the oracle literals
+    * (`runMain graft.tools.SegTruth`) must match CjkSegmentSpec's
+    * HAND-DERIVED segmentations; in-query, the codegen path must equal an
+    * independent ScalaUDF evaluation of the same segmenter; and every count
+    * must be >= the whitespace token count (segmentation only ever splits
+    * whitespace tokens, never merges). */
+  def cjkTokensVerified(spark: SparkSession): DataFrame = {
+    import graft.spark.fns.TextExpressions
+    import graft.spark.text.CjkSegment
+    val udfCount = udf((t: String) => CjkSegment.tokenCount(t).toLong)
+    val udfSeg = udf((t: String) => CjkSegment.segmentedText(t))
+    spark.createDataFrame(graft.spark.text.CjkFixture.docs)
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        TextExpressions.cjkTokenCountNative(col("text")).as("n_tokens"),
+        TextExpressions.cjkSegmentNative(col("text")).as("seg"),
+        udfCount(col("text")).as("nu"), udfSeg(col("text")).as("su"),
+        size(TextFunctions.tokenArray(col("text"))).cast("long").as("ws"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("seg"),
+        (col("n_tokens") === col("nu") && col("seg") === col("su")).as("parity_ok"),
+        (col("n_tokens") >= col("ws")).as("bound_ok"))
+  }
+
   /** TRUE-BPE merged-token counts over the deterministic pages fixture
     * (seed 42): the learned 256-merge table ([[graft.spark.text.BpeTokenizer.standard]],
     * Sennrich 2016 learning + GPT-2-style merge application) applied per

@@ -602,6 +602,50 @@ case class UrlCanonExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "url_canonicalize"
 }
 
+/** Codegen'd CJK-aware token count ([[graft.spark.text.CjkSegment]]:
+  * whitespace tokenization + greedy maximum-matching segmentation of CJK
+  * letter runs). On CJK-free text this equals the whitespace token count
+  * exactly (CjkSegmentSpec pins it), so it is safe to use unconditionally —
+  * no per-language branching in the plan. */
+case class CjkTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.spark.text.CjkSegment.tokenCount(input.asInstanceOf[UTF8String].toString).toLong
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(long) graft.spark.text.CjkSegment.tokenCount($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "cjk_token_count"
+}
+
+/** Codegen'd CJK segmentation as a TEXT TRANSFORM: tokens re-joined with
+  * single spaces. This is the preprocessing column that makes every
+  * whitespace-tokenized operator (span hashing, word shingles, stop-word
+  * hits, token budgets) CJK-aware without forking the operator — on
+  * CJK-free text it is whitespace re-normalization only. */
+case class CjkSegmentExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.spark.text.CjkSegment.segmentedText(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.spark.text.CjkSegment.segmentedText($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "cjk_segment"
+}
+
 /** Codegen'd true-BPE merged-token count: pre-tokenize + run the learned
   * merge loop per pre-token, sum piece counts. The tokenizer (merge ranks)
   * rides the plan as a shared per-executor reference object — the same
@@ -709,6 +753,15 @@ object TextExpressions {
   def charLmBitsNative(c: Column,
       lm: graft.spark.text.CharLm = graft.spark.text.CharLm.standard): Column =
     GraftColumnBridge.column(CharLmBitsExpr(GraftColumnBridge.expression(c), lm))
+
+  /** Codegen'd CJK-aware token count (== whitespace count on CJK-free text). */
+  def cjkTokenCountNative(c: Column): Column =
+    GraftColumnBridge.column(CjkTokenCountExpr(GraftColumnBridge.expression(c)))
+
+  /** Codegen'd CJK segmentation transform (tokens re-joined with spaces) —
+    * the preprocessing that makes whitespace-tokenized operators CJK-aware. */
+  def cjkSegmentNative(c: Column): Column =
+    GraftColumnBridge.column(CjkSegmentExpr(GraftColumnBridge.expression(c)))
 
   /** Codegen'd URL canonicalization. */
   def urlCanonicalizeNative(c: Column): Column =

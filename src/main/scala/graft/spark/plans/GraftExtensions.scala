@@ -290,6 +290,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("url_canonicalize takes (url)")
       }))
 
+    e.injectFunction((FunctionIdentifier("cjk_segment"),
+      info("cjk_segment",
+        "cjk_segment(text) - greedy maximum-matching CJK segmentation, tokens re-joined " +
+          "with spaces (whitespace re-normalization on CJK-free text)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.CjkSegmentExpr(t)
+        case _ => throw new IllegalArgumentException("cjk_segment takes (text)")
+      }))
+
+    e.injectFunction((FunctionIdentifier("cjk_token_count"),
+      info("cjk_token_count",
+        "cjk_token_count(text) - CJK-aware token count (== whitespace count on CJK-free text)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.spark.fns.CjkTokenCountExpr(t)
+        case _ => throw new IllegalArgumentException("cjk_token_count takes (text)")
+      }))
+
     e.injectFunction((FunctionIdentifier("charlm_bits_milli"),
       info("charlm_bits_milli",
         "charlm_bits_milli(text) - char-LM perplexity score, milli-bits/char (standard model)"),

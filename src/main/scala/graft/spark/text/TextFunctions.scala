@@ -135,9 +135,11 @@ object TextFunctions extends Serializable {
     * document passes when at least `minHits` occurrences of its language's
     * stop-word list appear among its (lowercased) tokens. [[gopherStopwords]]
     * carries the en list verbatim from the paper and same-role function
-    * words for the other Latin/Cyrillic fixture languages; whitespace-free
-    * scripts (ja/zh) have no entry — the rule is inapplicable there (0 hits,
-    * fail), which is the honest reading of an English-corpus heuristic.
+    * words for the other Latin/Cyrillic fixture languages. Round 5 adds the
+    * whitespace-free scripts (zh/ja function words) — the rule becomes
+    * applicable there through [[stopwordHitsSegmented]], which runs the same
+    * token machinery over [[graft.spark.fns.CjkSegmentExpr]]-segmented text
+    * (a no-op re-normalization on CJK-free languages).
     * Pure built-in expressions (filter + In), integer-exact. */
   val gopherStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "be", "to", "of", "and", "that", "have", "with"),
@@ -145,15 +147,43 @@ object TextFunctions extends Serializable {
     "es" -> Seq("el", "la", "de", "que", "y", "con", "ser", "haber"),
     "fr" -> Seq("le", "la", "de", "que", "et", "avec", "être", "avoir"),
     "pt" -> Seq("o", "a", "de", "que", "e", "com", "ser", "ter"),
-    "ru" -> Seq("и", "в", "не", "на", "что", "быть", "с", "он"))
+    "ru" -> Seq("и", "в", "не", "на", "что", "быть", "с", "он"),
+    // zh/ja function words — every entry is in CjkSegment's lexicon, and
+    // CjkSegmentSpec pins that greedy matching recovers exactly these words
+    // from their unsegmented concatenation (the oracle-plant invariant)
+    "zh" -> Seq("的", "了", "是", "在", "和", "有", "我们", "没有"),
+    "ja" -> Seq("の", "は", "です", "ます", "から", "こと", "する", "もの"))
+
+  /** True when a stop-word list is for a whitespace-free (CJK) script —
+    * such lists only produce hits through the segmented path. */
+  def isCjkStopwordList(words: Seq[String]): Boolean =
+    words.exists(_.exists(CjkSegment.isCjkLetter))
 
   /** Occurrences of `words` among the lowercased whitespace tokens of `c`. */
   def stopwordHits(c: Column, words: Seq[String]): Column =
     size(filter(tokenArray(lower(c)), t => t.isInCollection(words)))
 
+  /** [[stopwordHits]] over CJK-segmented text: identical to the plain
+    * variant on CJK-free text (segmentation is whitespace re-normalization
+    * there), and the only variant that can hit zh/ja function words in
+    * unsegmented running text. Codegen'd segmentation + built-in filter. */
+  def stopwordHitsSegmented(c: Column, words: Seq[String]): Column =
+    stopwordHits(graft.spark.fns.TextExpressions.cjkSegmentNative(c), words)
+
   /** The stop-word gate: hits >= minHits (Gopher's threshold is 2). */
   def stopwordPass(c: Column, words: Seq[String], minHits: Int = 2): Column =
     stopwordHits(c, words) >= minHits
+
+  /** CJK-aware token count ([[graft.spark.text.CjkSegment]]; == whitespace
+    * [[tokenCount]] on CJK-free text, so safe unconditionally). */
+  def cjkTokenCount(c: Column): Column =
+    graft.spark.fns.TextExpressions.cjkTokenCountNative(c)
+
+  /** CJK segmentation as a text transform (tokens re-joined with single
+    * spaces) — apply before any whitespace-tokenized operator (span hashing,
+    * shingles, token budgets) to make it CJK-aware. */
+  def cjkSegmented(c: Column): Column =
+    graft.spark.fns.TextExpressions.cjkSegmentNative(c)
 
   /** The RedPajama-V2-style per-document QUALITY-SIGNALS bundle: every
     * signal the library computes, emitted as named columns in ONE pass over

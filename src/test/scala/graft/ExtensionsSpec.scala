@@ -183,6 +183,15 @@ class ExtensionsSpec extends AnyFunSuite {
         org.apache.spark.unsafe.types.UTF8String.fromString(
           "spark spark spark spark spark spark")))
       assert(zr > 0L && zr < 1000L) // repetitive text compresses below 1:1
+
+      // round-5 kernels: CJK segmentation surface straight from SQL
+      val segZh = spark.sql("SELECT cjk_segment('我们喜欢学习中文') AS s").head().getString(0)
+      assert(segZh == "我们 喜欢 学习 中 文")
+      val nZh = spark.sql("SELECT cjk_token_count('我们喜欢学习中文') AS n").head().getLong(0)
+      assert(nZh == 5L)
+      // CJK-free text: segmentation is whitespace re-normalization only
+      val segEn = spark.sql("SELECT cjk_segment('  the  quick fox ') AS s").head().getString(0)
+      assert(segEn == "the quick fox")
     }
   }
 
