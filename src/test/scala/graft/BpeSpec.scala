@@ -160,6 +160,45 @@ class BpeSpec extends AnyFunSuite {
       Vector(("t", "h"), ("th", "e")))
   }
 
+  test("published GPT-2 merges interop: the real artifact's opening drives our machinery") {
+    // The opening of the PUBLIC GPT-2 merges.txt (OpenAI gpt-2 repo /
+    // huggingface gpt2): '#version: 0.2' header, then ranks 0-9. This is the
+    // published artifact verbatim, not something we learned — loading it
+    // proves the interchange seam end-to-end: the file format parses, its
+    // symbols land in OUR independently-constructed bytes_to_unicode
+    // alphabet, and the merge loop reproduces GPT-2's actual tokenization.
+    val published =
+      "#version: 0.2\n" +
+        "Ġ t\nĠ a\nh e\ni n\nr e\no n\nĠt he\ne r\nĠ s\na t\n"
+    val merges = BpeTokenizer.parseMerges(published)
+    assert(merges.length == 10)
+    assert(merges(0) == ("Ġ", "t")) // rank 0: the space-prefix merge
+    assert(merges(6) == ("Ġt", "he")) // the merge that makes 'Ġthe'
+    // format -> parse round-trips the published table
+    assert(BpeTokenizer.parseMerges(BpeTokenizer.formatMerges(merges)) == merges)
+
+    // alphabet join point: our bytes_to_unicode must map 0x20 to 'Ġ'
+    // (U+0120) or the published symbols could never match our byte symbols
+    val raw = new BpeTokenizer(Vector.empty, byteLevel = true)
+    assert(raw.encode(" ").toSeq == Seq("Ġ"))
+    // and the famous GPT-2 mojibake for non-ASCII: é = 0xC3 0xA9 -> 'Ã©'
+    assert(raw.encode("é").toSeq == Seq("Ã", "©"))
+
+    val bpe = new BpeTokenizer(merges, byteLevel = true)
+    // GPT-2's most famous token: ' the' is ONE token 'Ġthe' — reachable
+    // already at rank 6 (Ġ+t, h+e, Ġt+he), exactly how the real bpe() gets
+    // there
+    assert(bpe.encode(" the").toSeq == Seq("Ġthe"))
+    // rank-cutoff behavior matches the real loop: ' at' under ranks 0-9
+    // merges Ġ+a first (rank 1), stranding the 't' (the Ġat merge is
+    // beyond the excerpt); 'he' standalone merges at rank 2
+    assert(bpe.encode(" at").toSeq == Seq("Ġa", "t"))
+    assert(bpe.encode("he").toSeq == Seq("he"))
+    // the loaded table also drives the normal counting surface (our
+    // pre-tokenizer is space-dropping, so 'the' = [t,he], 'cat' = [c,at])
+    assert(bpe.countText("the cat") == 4L)
+  }
+
   test("merge table survives serialization (the Expression reference-object path)") {
     val bpe = BpeTokenizer.standard
     val bos = new java.io.ByteArrayOutputStream()
