@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-operator scaling datapoints (round-3 verdict next-round #9): the
   * corpus-level operators (`ops` below — nine as of round 5, count derived
-  * from `ops.size` in the report) timed at sf0.1 (5k docs) and a
-  * synthesized 10x level ("sf1", 50k docs), reporting docs/sec at both and
-  * the rate ratio — the measured growth curve of the heavy-set and
-  * pair-generation stages before a real cluster sees them.
+  * from `ops.size` in the report) timed at sf0.1 (5k docs), a synthesized
+  * 10x level (50k replicated docs), and a TRUE generated sf1 level (50k
+  * fresh PagesGen docs — round-4 verdict next-round #6), reporting docs/sec
+  * at each and the rate ratios — the measured growth curve of the heavy-set
+  * and pair-generation stages before a real cluster sees them.
   *
   * The 10x level replicates each sf0.1 document with a per-replica suffix
   * (docs stay DISTINCT — replication without it would degenerate line dedup
@@ -29,21 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object CorpusScale {
   private val srcDir = "/root/testdata/sf0.1/documents.parquet"
-  private def dir(mult: Int) = s"/tmp/graft_corpus_x$mult"
-  private val levels = Seq(1, 10)
+  private def dir(mult: String) = s"/tmp/graft_corpus_x$mult"
+  private val levels = Seq("1", "10", "sf1")
   private val ops = Seq("line_flags", "span_flags", "span_clean", "decontaminate",
     "contamination_frac", "neardup_cc", "neardup_incremental",
-    "neardup_fixedbatch_incr", "neardup_fixedbatch_index")
+    "neardup_fixedbatch_incr", "neardup_fixedbatch_index",
+    "sign_batch", "sign_history")
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case Seq("gen") => gen()
-    case Seq("run", mult) => run(mult.toInt)
+    case Seq("run", mult) if levels.contains(mult) => run(mult)
     case Seq("report") => report()
     case _ =>
       // no catch-all same-JVM mode: back-to-back sessions carry heap/GC
       // state and poison the level comparison (CLAUDE.md) — each level must
       // be its own JVM invocation
-      System.err.println("usage: CorpusScale gen | run <1|10> | report  " +
+      System.err.println("usage: CorpusScale gen | run <1|10|sf1> | report  " +
         "(one fresh JVM per `run` level)")
       sys.exit(2)
   }
@@ -57,11 +59,22 @@ object CorpusScale {
     s
   }
 
+  /** The bench-query plants, applied identically at every level (density is
+    * a pure function of doc_id, so levels stay comparable). */
+  private def withPlants(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        lit("\n" + graft.spark.SparkQueries.lineDedupPlantA)).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit("\n" + graft.spark.SparkQueries.lineDedupPlantB)).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" " + graft.spark.SparkQueries.spanPlant)).otherwise(lit(""))))
+
   private def gen(): Unit = {
     val spark = session()
     val base = spark.read.parquet(srcDir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    levels.foreach { mult =>
+    Seq("1", "10").foreach { mult =>
       if (!Files.exists(Paths.get(dir(mult), "_SUCCESS"))) {
         val replicated = base
           .crossJoin(spark.range(mult.toLong).select(col("id").as("rep")))
@@ -70,15 +83,25 @@ object CorpusScale {
             // distinct replica text + the bench-query plants (deterministic
             // in the NEW id, so plant density is level-invariant)
             concat(col("text"), lit(" replica-marker-"), col("rep")).as("text"))
-          .withColumn("text", concat(col("text"),
-            when(col("doc_id") % 5 === 0,
-              lit("\n" + graft.spark.SparkQueries.lineDedupPlantA)).otherwise(lit("")),
-            when(col("doc_id") % 11 === 0,
-              lit("\n" + graft.spark.SparkQueries.lineDedupPlantB)).otherwise(lit("")),
-            when(col("doc_id") % 7 === 0,
-              lit(" " + graft.spark.SparkQueries.spanPlant)).otherwise(lit(""))))
-        replicated.repartition(32).write.mode("overwrite").parquet(dir(mult))
+        withPlants(replicated).repartition(32).write.mode("overwrite").parquet(dir(mult))
       }
+    }
+    // the TRUE sf1 level (round-4 verdict next-round #6): 50k docs GENERATED
+    // (PagesGen — fresh deterministic documents, log-normal lengths, Zipf
+    // langs/domains, 10% re-crawl exact-dup rows), NOT replicated — so the
+    // near-dup structure is the natural one (mostly 2-doc re-crawl pairs),
+    // not C(10,2) replica cliques. doc_id = 16*id keeps the %160 splits'
+    // meaning (fixed batch = 1/10 of docs, see fixedBatchSplit's sf1 note).
+    if (!Files.exists(Paths.get(dir("sf1"), "_SUCCESS"))) {
+      import spark.implicits._
+      // zipWithIndex over the generator's own spark.range order is
+      // deterministic (fixed partitioning, pure map-side generation)
+      val rows = graft.spark.io.PagesGen.pages(spark, 50000L, numPartitions = 32)
+        .select(col("url"), col("lang"), col("text"))
+        .rdd.zipWithIndex.map { case (r, i) =>
+          (i * 16L, r.getString(1), r.getString(0), r.getString(2))
+        }.toDF("doc_id", "lang", "source", "text")
+      withPlants(rows).repartition(32).write.mode("overwrite").parquet(dir("sf1"))
     }
     spark.stop()
   }
@@ -89,17 +112,19 @@ object CorpusScale {
     spark.read.parquet(srcDir).filter(col("doc_id") % 17 === 0).select(col("text"))
 
   /** The FIXED 500-doc batch of the history-independence measurement: rep-0
-    * replicas of orig docs ≡ 0 mod 10 — the same physical docs at every
-    * level, so only the HISTORY grows 10x between levels. */
+    * replicas of orig docs ≡ 0 mod 10 — the same physical docs at the x1 and
+    * x10 levels, so only the HISTORY grows 10x between them. (At sf1,
+    * doc_id = 16·id, so this selects 1/10 of the generated docs — a
+    * within-level split, see the report note.) */
   private def fixedBatchSplit(docs: DataFrame): (DataFrame, DataFrame) =
     (docs.filter(col("doc_id") % 160 === 0), docs.filter(col("doc_id") % 160 =!= 0))
 
   // per-level band indexes built ONCE (untimed — the build-once half of the
   // production shape; the measurement is the per-batch SEARCH)
-  private var indexBuilt = Set.empty[Int]
+  private var indexBuilt = Set.empty[String]
 
   private def opJob(name: String, spark: SparkSession, docs: DataFrame,
-                    mult: Int): Long = {
+                    mult: String): Long = {
     import graft.spark.dedup.{BandIndex, Corpus, Dedup}
     name match {
       case "line_flags" =>
@@ -135,6 +160,21 @@ object CorpusScale {
         val (batch, history) = fixedBatchSplit(docs)
         Dedup.minhashLshPairsIncremental(batch, history,
           "doc_id", "text", threshold = 0.5).count()
+      // kernel isolation for the history-independence analysis: the SIGNING
+      // scan alone (fused shingle→minhash→band kernel + count, no pair
+      // stage). sign_history is the per-batch cost the non-indexed
+      // incremental operator pays and the band index eliminates — it grows
+      // linearly with the level while sign_batch stays flat; at 50k docs the
+      // end-to-end fixedbatch walls are overhead-dominated, so these rows
+      // are where the O(history) vs O(batch) difference is actually visible
+      case "sign_batch" =>
+        val (batch, _) = fixedBatchSplit(docs)
+        batch.select(posexplode(graft.spark.fns.TextExpressions.minhashBandsNative(
+          col("text"), 3, 64, 16)).as(Seq("band", "bh"))).count()
+      case "sign_history" =>
+        val (_, history) = fixedBatchSplit(docs)
+        history.select(posexplode(graft.spark.fns.TextExpressions.minhashBandsNative(
+          col("text"), 3, 64, 16)).as(Seq("band", "bh"))).count()
       case "neardup_fixedbatch_index" =>
         val (batch, history) = fixedBatchSplit(docs)
         val table = s"graft_cs_bidx_x$mult"
@@ -147,7 +187,7 @@ object CorpusScale {
     }
   }
 
-  private def run(mult: Int): Unit = {
+  private def run(mult: String): Unit = {
     val spark = session()
     val docs = spark.read.parquet(dir(mult))
     val nDocs = docs.count()
@@ -181,38 +221,61 @@ object CorpusScale {
       }.map(t => t._1 -> (t._2, t._3)).toMap
     }.toMap
     val rows = ops.map { op =>
-      val (t1, n1) = data(1)(op)
-      val (t10, n10) = data(10)(op)
-      val r1 = n1 / t1; val r10 = n10 / t10
+      val (t1, n1) = data("1")(op)
+      val (t10, n10) = data("10")(op)
+      val (ts, ns) = data("sf1")(op)
+      val r1 = n1 / t1; val r10 = n10 / t10; val rs = ns / ts
       // joined with "\n|" so the outer stripMargin leaves the table pipes intact
-      f"| $op | $t1%.2f | $r1%,.0f | $t10%.2f | $r10%,.0f | ${r10 / r1}%.2f |"
+      f"| $op | $t1%.2f | $r1%,.0f | $t10%.2f | $r10%,.0f | ${r10 / r1}%.2f " +
+        f"| $ts%.2f | $rs%,.0f | ${rs / r10}%.2f |"
     }.mkString("\n|")
     val md =
-      s"""# Corpus-operator scaling (sf0.1 vs synthesized 10x)
+      s"""# Corpus-operator scaling (sf0.1 vs synthesized 10x vs generated sf1)
          |
-         |The ${ops.size} corpus-level operators at 5k docs (sf0.1) and 50k docs (10x
-         |replicated-with-distinct-suffix + plants; FIXED benchmark set;
+         |The ${ops.size} corpus-level operators at 5k docs (sf0.1), 50k docs (10x
+         |replicated-with-distinct-suffix + plants), and a TRUE sf1 level —
+         |50k docs freshly GENERATED (PagesGen: log-normal lengths, Zipf
+         |langs/domains, 10% natural re-crawl exact dups; same plants), not
+         |replicas — so sf1's near-dup structure is the realistic mostly-pairs
+         |regime instead of 10-way replica cliques. FIXED benchmark set;
          |`runMain graft.tools.CorpusScale` — fresh JVM per level, warm-up +
-         |min-of-3, best across invocations). rate = docs/sec of the level;
+         |min-of-3, best across invocations. rate = docs/sec of the level;
          |ratio = rate_10x / rate_1x: ~1 means the operator's cost is linear in
          |rows (the scale-out expectation), > 1 means the 5k level is dominated
          |by fixed job overhead (so the big level is the honest rate), << 1
-         |would flag superlinear growth (none observed).
+         |would flag superlinear growth (none observed). sf1/x10 compares the
+         |generated corpus against the synthesized one at the SAME row count —
+         |near 1 (or above) means the replicated level was not flattering us.
          |
-         || operator | x1 wall (s) | x1 docs/s | x10 wall (s) | x10 docs/s | rate ratio |
-         ||---|---|---|---|---|---|
+         || operator | x1 wall (s) | x1 docs/s | x10 wall (s) | x10 docs/s | rate ratio | sf1 wall (s) | sf1 docs/s | sf1/x10 rate |
+         ||---|---|---|---|---|---|---|---|---|
          |$rows
          |
-         |The two `neardup_fixedbatch_*` rows measure HISTORY-INDEPENDENCE of
-         |the per-batch dedup cost (round-4 verdict #1): the SAME fixed
-         |500-doc batch is searched at both levels, so only the history grows
-         |10x. Read their WALL columns, not docs/s (the rate denominator is
-         |the level size, so a rate ratio near 10 = per-batch cost flat in
-         |history size): `_incr` re-signs the whole history per call and its
-         |wall time grows with the level; `_index` signs only the batch and
-         |semi-joins the persisted bucketed (bkey, doc_id) relation
-         |(BandIndex) — its wall time stays near-flat, which is the measured
-         |incremental-index win.
+         |The `neardup_fixedbatch_*` and `sign_*` rows measure
+         |HISTORY-INDEPENDENCE of the per-batch dedup cost (round-4 verdict
+         |#1): the SAME fixed 500-doc batch is searched at x1 and x10, so
+         |only the history grows 10x. Read WALL columns, not docs/s. The
+         |honest finding at this sandbox scale: BOTH end-to-end walls are
+         |near-flat x1→x10, because at <=50k docs the history re-sign the
+         |index exists to eliminate costs only ~0.1-0.5 s and the walls are
+         |dominated by the shared fixed stages (candidate shuffle +
+         |exact-Jaccard verify scan) — and `_index` carries a small constant
+         |overhead (stored-conf read + bucketed-scan setup), so it does not
+         |win on wall time HERE. Where the difference is visible is the
+         |isolated kernel rows: `sign_history` is the O(history) signing work
+         |`_incr` pays on every call and `_index` eliminates. Even isolated,
+         |its wall is launch-overhead-bound here (the fused kernel's marginal
+         |cost, from the x1→x10 wall delta over the 45k-doc history delta, is
+         |under a microsecond per doc across 32 threads) — so read the
+         |MARGINAL rate, not the ratio: every history doc costs that marginal
+         |signing time on EVERY batch under `_incr`, which at a 10^9-doc
+         |history is tens of CPU-hours per batch, while `_index` replaces the
+         |whole term with an exchange-free bucketed 16-byte-row columnar scan
+         |(BandIndexSpec pins the plan: the history side crosses no exchange
+         |and is never re-signed). (At sf1 the %160 split selects
+         |1/10 of the GENERATED docs — a 5k batch vs 45k history, so sf1's
+         |fixedbatch walls are an independent within-level comparison, not
+         |part of the x1/x10 fixed-batch series.)
          |
          |Notes: neardup_cc at x10 clusters ~10-way replica groups (pairs grow
          |with within-bucket duplicate density, C(10,2) per group — run exact
