@@ -112,6 +112,14 @@ object SparkEntry {
     "q_compress_ratio" -> ((s, _) => VerifiedQueries.compressRatioVerified(s, 20000L)),
     "q_pages_battery" -> ((s, _) => VerifiedQueries.pagesSketchBatteryVerified(s, 20000L)),
     "q_warc_roundtrip" -> ((s, _) => VerifiedQueries.warcRoundtripVerified(s, 20000L)),
+    // reference-parity fixtures (round 5): export/remove/clear/__str__/hash
+    // surfaces pinned against literals generated by RUNNING pyprobables over
+    // the same sequences (graft.spark.ParityQueries / graft.tools.ParityTruth)
+    "q_export_parity" -> ((s, _) => graft.spark.ParityQueries.exportParity(s)),
+    "q_sketch_removes" -> ((s, _) => graft.spark.ParityQueries.sketchRemoves(s)),
+    "q_cbf_algebra" -> ((s, _) => graft.spark.ParityQueries.cbfAlgebra(s)),
+    "q_hash_chains" -> ((s, _) => graft.spark.ParityQueries.hashChains(s)),
+    "q_bloom_ondisk" -> ((s, _) => graft.spark.ParityQueries.bloomOnDisk(s)),
   )
 
   /** Shared CTE: exact 3-token-shingle Jaccard pairs over documents (the
@@ -811,5 +819,97 @@ object SparkEntry {
         "('ru', 1206, 'd0.example.com', true, true, true, true, true, true), " +
         "('zh', 1863, 'd0.example.com', true, true, true, true, true, true)) " +
         "AS t(lang, n_pages, top_domain, hll_ok, bloom_ok, hh_ok, p50_ok, p95_ok, p99_ok)"),
+    // ---- round-5 reference-parity fixtures ----
+    // Literals generated by RUNNING THE ACTUAL REFERENCE LIBRARY
+    // (PYTHONPATH=/root/reference pyprobables) over the exact sequences
+    // ParityQueries replays: key_0..key_499 into each structure (bloom/cbf/
+    // cms via the DISTRIBUTED aggs — order-independent, byte-equal to the
+    // sequential reference build; ebf/cuckoo/ccf/qf sequential), cuckoo
+    // capacity 2000 so NO kick occurs (the reference kick path consumes the
+    // global `random` module and its exports stop being deterministic — a
+    // kick-free fixture is the only byte-pinnable one; asserted in the
+    // generator via random.getstate() equality). The ONLY engine-derived
+    // literals are the qf export md5/n_bytes (the reference QuotientFilter
+    // has NO export — graft's byte codec is an extension); its els/load/
+    // check columns ARE reference-derived. stat_a/stat_b per structure:
+    // bloom/cbf = floor(current_fpr*1e6), estimate_elements;
+    // cms = check(key_50), check(key_450); ebf = expansions, #present;
+    // cuckoo/qf = floor(load_factor*1000), #present;
+    // ccf = unique_elements, check(key_50).
+    // Regenerate: graft.tools.ParityTruth (engine) + the documented script.
+    "q_export_parity" ->
+      ("SELECT * FROM (VALUES " +
+        "('bloom', CAST(500 AS BIGINT), CAST(800 AS BIGINT), '0512572b6a5f45d03ac3ac8d3e04bda5', " +
+        "'c336389e0072cf7d7ba5ce3055162191', CAST(5667 AS BIGINT), CAST(507 AS BIGINT), " +
+        "'0d6d7b1eb571d676a2a2555a063d3da9', true), " +
+        "('cbf', 999, 24964, 'f199a93e7c00774204963d49ba48d263', " +
+        "'f1dcb925f5d37ba99269d79ef99bab6f', 50108, 507, " +
+        "'b0753c8fd6a27a9f41962ac105c3ecd5', true), " +
+        "('ccf', 999, 64008, 'df02114900dfd81292271fb9f63ded0a', '', 500, 3, '', true), " +
+        "('cms', 1994, 20016, '5ed070deff7eed30ad16da82b1c9f042', '', 2, 3, " +
+        "'fc86e57f0d29a99f1bb782f08d6de80d', true), " +
+        "('cuckoo', 500, 32008, '0fd1362bb256d432453c3ec14e5b1ad9', '', 62, 500, '', true), " +
+        "('ebf', 500, 372, '6dcba3620c3465310d8b020bc441e144', '', 3, 500, '', true), " +
+        "('qf', 500, 2012, '29c87c178664698db825b014fe5c541e', '', 488, 500, '', true), " +
+        "('rbf', 500, 286, '5d06476b724912259b03c6d8b7367bf6', '', 3, 396, '', true)) " +
+        "AS t(structure, els_added, n_bytes, export_md5, hex_md5, stat_a, stat_b, " +
+        "str_md5, clear_ok)"),
+    // removes applied sequentially AFTER the build (key_0..key_99 once each);
+    // the qf row pins the reference quirk that remove does NOT decrement
+    // elements_added (stays 500) and `extra` = table slots (2^q);
+    // chk_a/chk_b = post-remove check(key_50)/check(key_450); extra =
+    // retained count (cuckoo) / unique_elements (ccf) / -1 (n/a)
+    "q_sketch_removes" ->
+      ("SELECT * FROM (VALUES " +
+        "('cbf', CAST(899 AS BIGINT), '69f4da1282023d05ae30bf8a94bbf9c7', " +
+        "CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(-1 AS BIGINT)), " +
+        "('ccf', 899, 'b747a1da4dcb35de150515cd2994c1f1', 2, 1, 466), " +
+        "('cms', 1894, '578c1cc80ae20f406418a1ad9cf6d981', 1, 3, -1), " +
+        "('cuckoo', 400, '9bb19382c92ebad138598a6267d4f288', 0, 1, 400), " +
+        "('qf', 500, '70a93027295ab9e005fd9b352d1404d8', 0, 1, 1024), " +
+        "('rbf', 500, '149e627b71322dadc5e7c5ea84f4b5e2', 0, 1, 2)) " +
+        "AS t(structure, els_added, export_md5, chk_a, chk_b, extra)"),
+    // CBF set algebra between two agg-built filters over overlapping ranges
+    // (A = key_0..299, B = key_200..499, weights i%3+1): the reference
+    // SUM-semantics intersection and the elements_added := estimate_elements
+    // reset on union/intersection, plus floor(jaccard*1e6); all literals
+    // reference-generated
+    "q_cbf_algebra" ->
+      ("SELECT '83f58833911ab181eba57947c36df741' AS union_md5, " +
+        "CAST(507 AS BIGINT) AS union_els, " +
+        "'01f8ba26a7d697c7fad09b7f9496650a' AS inter_md5, " +
+        "CAST(125 AS BIGINT) AS inter_els, CAST(277970 AS BIGINT) AS jaccard_ppm, " +
+        "CAST(4 AS BIGINT) AS u_chk_mid, CAST(4 AS BIGINT) AS n_chk_mid, " +
+        "CAST(0 AS BIGINT) AS n_chk_a_only, CAST(1 AS BIGINT) AS u_chk_a_only"),
+    // every multi-depth hasher at depth 5 (default_fnv_1a, the md5/sha256
+    // hash_with_depth_bytes chains, hash_with_depth_int over fnv_1a) over a
+    // fixture with a non-Latin-1 key; unsigned decimal CSV, literals from
+    // the reference's probables.hashes
+    "q_hash_chains" ->
+      ("SELECT * FROM (VALUES " +
+        "('harness', 'fnv', '2386850331520872875,14362268744963538856,6625622862349150077,2321699395467221442,9109924280000085183'), " +
+        "('harness', 'fnv_int_chain', '2386850331520872875,13135910139835556616,15519302732189149164,11697190508550953748,1948949978036905642'), " +
+        "('harness', 'md5', '17409083283401983748,17388238766098879624,15311311958629146898,9908376746548611919,4994796111706541279'), " +
+        "('harness', 'sha256', '18148619442707691337,36357126723934995,15788608394649546035,11216228875939302522,4459169956160688609'), " +
+        "('key_0', 'fnv', '8134600381042412155,12153327869403742540,1827777902775849245,13140815802057531382,1031375092928332575'), " +
+        "('key_0', 'fnv_int_chain', '8134600381042412155,6796981869394905635,11244193740517906940,8034268877326726249,15811453687304369215'), " +
+        "('key_0', 'md5', '2736141823097131930,13796703642504786500,9732562315748965903,9059000648975403768,3377043879287456576'), " +
+        "('key_0', 'sha256', '11162166407514237373,1401045837801243832,16561934333153388393,4891627367030098989,2476755446538995561'), " +
+        "('pipeline-42', 'fnv', '1580713766767961016,3656170757656986267,7714018551896848458,2783847681054973557,802330273064551244'), " +
+        "('pipeline-42', 'fnv_int_chain', '1580713766767961016,17908023234805479178,6930810155207608580,8796238089575849530,12970367758618836141'), " +
+        "('pipeline-42', 'md5', '2929324394489228359,10352881728079808573,6943410996678763210,5907819977548517597,1275960924998475835'), " +
+        "('pipeline-42', 'sha256', '17153286175963965794,10485034898716210005,8387978309931308678,5431019841125267464,2439964841423578792'), " +
+        "('日本語テスト', 'fnv', '14303047675253573505,2583877788580751500,16835237194053956183,7626787400878300506,12742650946578307661'), " +
+        "('日本語テスト', 'fnv_int_chain', '14303047675253573505,15722315065201683933,48433135319934420,2276184028420032970,501982573766251149'), " +
+        "('日本語テスト', 'md5', '147108873714948089,3672599730062643784,17471736526741090375,8873774625251746948,10880334254653135925'), " +
+        "('日本語テスト', 'sha256', '12751171569982572875,10254930602423162987,3520926853454556402,6736439564678031399,6349662119173665150')) " +
+        "AS t(key, scheme, chain)"),
+    // BloomFilterOnDisk lifecycle: reopen sees every key, bytes identical to
+    // the in-memory build, and the export md5 equals q_export_parity's
+    // reference-derived bloom golden (the on-disk layout IS the export format)
+    "q_bloom_ondisk" ->
+      ("SELECT CAST(500 AS BIGINT) AS n_keys, true AS members_ok, " +
+        "true AS parity_ok, true AS utilities_ok, " +
+        "'0512572b6a5f45d03ac3ac8d3e04bda5' AS export_md5"),
   )
 }

@@ -208,6 +208,39 @@ final class CountingBloomFilter private (
     footer.putFloat(fpr)
     Codec.hex(payload.array()) + Codec.hex(footer.array())
   }
+
+  /** Reference `__str__` stats block (countingbloom.py:99-123) byte-for-byte:
+    * "CountingBloom:" header, fullness in Python '.6' general format
+    * ([[PyFmt.g6]]), max-usage cell with FIRST index on ties, and
+    * `calculated elements` = total counts floor-divided by k. */
+  override def toString: String = {
+    // reference quirk (countingbloom.py:103): `cnt` SUMS the positive cell
+    // VALUES (`sum(x for x in bloom if x > 0)`), it does not count cells —
+    // so "index fullness" can exceed 1.0; kept verbatim
+    var cnt = 0L; var total = 0L; var largest = 0L; var largestIdx = 0
+    var i = 0
+    while (i < cells.length) {
+      val v = cellU(i)
+      if (v > 0) cnt += v
+      total += v
+      if (v > largest) { largest = v; largestIdx = i }
+      i += 1
+    }
+    val fullness = cnt.toDouble / numBits.toDouble
+    val calcEls = total / numHashes
+    f"CountingBloom:%n" +
+      f"\tbits: $numBits%n" +
+      f"\testimated elements: $estElements%n" +
+      f"\tnumber hashes: $numHashes%n" +
+      f"\tmax false positive rate: ${fpr.toDouble}%.6f%n" +
+      f"\telements added: $elsAdded%n" +
+      f"\tcurrent false positive rate: $currentFalsePositiveRate%.6f%n" +
+      f"\tis on disk: no%n" +
+      f"\tindex fullness: ${PyFmt.g6(fullness)}%n" +
+      f"\tmax index usage: $largest%n" +
+      f"\tmax index id: $largestIdx%n" +
+      f"\tcalculated elements: $calcEls%n"
+  }
 }
 
 object CountingBloomFilter {

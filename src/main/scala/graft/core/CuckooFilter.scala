@@ -363,7 +363,11 @@ final class CountingCuckooFilter(
       idx = if (idx == n1) n2 else n1
       if (buckets(idx).size < bucketSize) {
         buckets(idx) += prv
-        insertedElements += countOf(prv)
+        // charge the NEW element's count, not the relocated bin's — prv's
+        // count was already charged when prv was first inserted; the
+        // reference does `_inserted_elements += 1` here for the add call
+        // (countingcuckoo.py:259-262), which for count==1 is the same thing
+        insertedElements += count
         uniqueElements += 1
         return -1L
       }
