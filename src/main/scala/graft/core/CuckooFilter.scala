@@ -384,6 +384,16 @@ final class CountingCuckooFilter(
 
   def expand(): Unit = expandLogic(-1L)
 
+  /** DELIBERATE divergence from the reference here: countingcuckoo.py's
+    * `_expand_logic` resets `_inserted_elements` (via `_setup_expand`) and
+    * then re-adds +1 per relocated BIN, so a reference filter holding
+    * multi-count bins comes out of an expansion with `elements_added` ==
+    * number of unique bins — the count-sum is silently lost. The engine
+    * preserves the count-sum across expansion (`+= count` per re-inserted
+    * bin after the reset) because the distributed merge extension
+    * ([[mergeFrom]]/[[addFingerprintCount]]) depends on `elements_added`
+    * staying the total occurrence count. Kick-path and add-path counting
+    * match the reference exactly (q_export_parity / q_sketch_removes). */
   private def expandLogic(extra: Long): Unit = {
     val bins = new ArrayBuffer[Long]()
     if (extra != -1L) bins += extra
