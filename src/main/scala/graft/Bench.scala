@@ -103,6 +103,7 @@ object Bench {
       "q_temp_sample" -> (SparkQueries.temperatureSampleStats(_, _)),
       "q_ann_pq_recall" -> (SparkQueries.annPqRecall(_, _)),
       "q_ann_ivfpq_recall" -> (SparkQueries.annIvfPqRecall(_, _)),
+      "q_semdedup" -> (SparkQueries.semDedup(_, _)),
     ).foreach { case (name, fn) =>
       extra(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
     }

@@ -86,6 +86,8 @@ object SparkEntry {
     "q_simhash_incremental" -> (VerifiedQueries.simhashIncrementalVerified(_, _)),
     "q_embed_neardup" -> (SparkQueries.embeddingNearDup(_, _)),
     "q_embed_incremental" -> (SparkQueries.embedIncrementalFromIndex(_, _)),
+    "q_semdedup" -> (VerifiedQueries.semDedupVerified(_, _)),
+    "q_semdedup_global" -> (VerifiedQueries.semDedupGlobalVerified(_, _)),
     "q_ann_topk" -> (VerifiedQueries.annBruteForceVerified(_, _)),
     "q_ann_lsh_recall" -> ((s, d) => VerifiedQueries.annLshRecallVerified(s, d, 0.6)),
     "q_ann_ivf_recall" -> ((s, d) => VerifiedQueries.annIvfRecallVerified(s, d, 0.4)),
@@ -558,6 +560,19 @@ object SparkEntry {
         "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "list_cosine_similarity(a.v, b.v) AS c FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b FROM p WHERE c >= 0.4 AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
+    // SemDeDup clustered flags: the cluster assignment is k-means (not SQL),
+    // so the Spark side re-derives every flag with an independent
+    // per-cluster scan and emits verified booleans (the recall-query shape)
+    "q_semdedup" ->
+      "SELECT vec_id, true AS flag_ok FROM embeddings",
+    // degenerate closed form (nClusters=1, min-id keep rank): dropped ⇔
+    // an above-threshold cosine pair with a lower id exists — full-strength
+    // DuckDB oracle over the same pair scan as q_embed_neardup
+    "q_semdedup_global" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        "SELECT a.vec_id, COALESCE(bool_or(" +
+        "list_cosine_similarity(a.v, b.v) >= 0.4), false) AS dropped " +
+        "FROM e a LEFT JOIN e b ON b.vec_id < a.vec_id GROUP BY a.vec_id"),
     "q_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
         "WHERE vec_id < 10), " +

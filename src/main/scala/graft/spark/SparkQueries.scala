@@ -697,6 +697,14 @@ object SparkQueries {
     Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, dim = 64, tables = 32, bitsPerTable = 3)
 
+  /** SemDeDup clustered semantic dedup flags (Abbas et al. 2023) — the
+    * bench-facing operator call (paper-default keep-low-centroid-sim
+    * policy); the flag verification lives in
+    * [[VerifiedQueries.semDedupVerified]]. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.spark.dedup.SemDedup.semDedup(tbl(spark, dir, "embeddings"),
+      nClusters = 8, threshold = 0.4)
+
   /** Explicit two-level salted aggregation (north-rule skew handling): HLL +
     * Bloom per event_type built via groupBy(key, salt) then sketch-merge —
     * result proven byte-equal to the direct aggregate in SaltedAggSpec. */

@@ -1271,4 +1271,68 @@ object VerifiedQueries {
             col("top_count") * 1.05 + 2).as("hh_ok"),
         col("p50_ok"), col("p95_ok"), col("p99_ok"))
   }
+
+  // ---------- semantic dedup (SemDeDup) ----------
+
+  /** SemDeDup clustered semantic dedup (Abbas et al. 2023, arXiv:2303.09540),
+    * flag-verified: run [[graft.spark.dedup.SemDedup.semDedup]] with the
+    * paper-default keep-low-centroid-sim policy, then INDEPENDENTLY
+    * re-derive every drop flag with a per-cluster local scan (collect the
+    * cell's rows, sort by the keep rank, exact O(m²) cosine in plain Scala —
+    * a different code path than the operator's oriented pair join). flag_ok
+    * pins dropped(a) ⇔ ∃ better-ranked above-threshold witness in a's
+    * cluster, per doc. Throws if the run is trivial (nothing or everything
+    * dropped) so a degenerate clustering can't green-wash the flags. */
+  def semDedupVerified(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import graft.spark.dedup.SemDedup
+    val emb = tbl(spark, dir, "embeddings")
+    val flags = SemDedup.semDedup(emb, nClusters = 8, threshold = 0.4)
+    val nDropped = flags.filter(col("dropped")).count()
+    val nTotal = flags.count()
+    require(nDropped > 0 && nDropped < nTotal,
+      s"q_semdedup degenerate run: $nDropped/$nTotal dropped")
+    val verifyCell = udf((rows: Seq[Row]) => {
+      val docs = rows.map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        r.getSeq[Float](3).toArray)).sortBy(t => (t._2, t._1)).toArray
+      docs.zipWithIndex.map { case ((id, _, dropped, v), i) =>
+        var witness = false
+        var j = 0
+        while (j < i && !witness) {
+          val u = docs(j)._4
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var k = 0
+          val n = math.min(v.length, u.length)
+          while (k < n) {
+            dot += v(k).toDouble * u(k); na += v(k).toDouble * v(k)
+            nb += u(k).toDouble * u(k); k += 1
+          }
+          val c = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+          if (c >= 0.4) witness = true
+          j += 1
+        }
+        (id, dropped == witness)
+      }.toSeq
+    })
+    flags.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("centroid_sim"),
+        col("dropped"), col("embedding"))).as("members"))
+      .select(explode(verifyCell(col("members"))).as("r"))
+      .select(col("r._1").as("vec_id"), col("r._2").as("flag_ok"))
+  }
+
+  /** SemDeDup's degenerate closed-form mode (nClusters = 1, min-id keep
+    * rank): drop exactly the docs with an above-threshold cosine pair to a
+    * lower id — the whole output relation is reproduced verbatim by a
+    * DuckDB pair scan, so the operator's join/orientation/flag machinery
+    * gets a full-strength oracle (the clustered q_semdedup pins the same
+    * machinery under a real clustering via verified booleans). */
+  def semDedupGlobalVerified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.SemDedup
+    val emb = tbl(spark, dir, "embeddings")
+    SemDedup.semDedup(emb, nClusters = 1, threshold = 0.4,
+        policy = SemDedup.KeepMinId)
+      .select(col("vec_id"), col("dropped"))
+  }
 }

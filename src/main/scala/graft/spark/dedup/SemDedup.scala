@@ -1,0 +1,102 @@
+package graft.spark.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.spark.ann.Ann
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", arXiv:2303.09540 — public): k-means-cluster the embedding
+  * space so that near-duplicate candidates are co-located, then eliminate
+  * above-threshold cosine pairs WITHIN each cluster only — the design that
+  * makes semantic dedup tractable at corpus scale, because the quadratic
+  * pair generation runs per-cluster (n/k-sized blocks) instead of globally.
+  *
+  * Drop rule (the published implementation's): rank the docs of a cluster by
+  * the keep policy; a doc is dropped iff it has an above-threshold cosine
+  * pair with ANY better-ranked doc (dropped or not). This guarantees that
+  * for every within-cluster above-threshold pair at least one endpoint is
+  * dropped (the worse-ranked one), and that every dropped doc has an
+  * above-threshold witness among its cluster's better-ranked docs — the two
+  * invariants q_semdedup verifies with an independent per-cluster scan.
+  *
+  * Keep policies (the paper's §3 compares exactly these orientations):
+  * [[SemDedup.KeepLowCentroidSim]] — the paper's winner: keep the LOW
+  * centroid-similarity examples (they carry more signal); ties by id.
+  * [[SemDedup.KeepHighCentroidSim]] — keep prototypical examples.
+  * [[SemDedup.KeepMinId]] — rank by id alone; with nClusters = 1 this
+  * degenerates to exact global pair-dedup, which is the closed-form oracle
+  * q_semdedup_global pins in DuckDB.
+  *
+  * Scale shape: one broadcast-assign pass (the IVF coarse quantizer —
+  * `Ann.trainCoarseCentroids` keeps only nlist·dim rows on the driver),
+  * then ONE shuffle on the cell key for the self-join; no iteration, no
+  * driver collect of corpus data. Cluster-size skew is the operator's knob:
+  * pick nClusters so n/k blocks stay bounded (the paper runs k = 11k
+  * clusters for 100M docs).
+  */
+object SemDedup {
+
+  sealed trait KeepPolicy
+  case object KeepLowCentroidSim extends KeepPolicy
+  case object KeepHighCentroidSim extends KeepPolicy
+  case object KeepMinId extends KeepPolicy
+
+  /** Returns (vec_id, cell, centroid_sim, dropped) for every input row of
+    * `embeddings` (vec_id: long, embedding: array&lt;float&gt;). */
+  def semDedup(embeddings: DataFrame, nClusters: Int, threshold: Double,
+               lloydIters: Int = 5,
+               policy: KeepPolicy = KeepLowCentroidSim): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = Ann.trainCoarseCentroids(
+      embeddings.select(col("vec_id"), col("embedding")), nClusters, lloydIters)
+    val bc = spark.sparkContext.broadcast(cents)
+    // fused (cell, centroid-sim) assignment against the broadcast table —
+    // same max-cosine / lowest-index-tie rule as the IVF quantizer
+    val assignStruct = udf((v: Seq[Float]) => {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      bc.value.foreach { case (i, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        val n = math.min(v.length, c.length)
+        var j = 0
+        while (j < n) {
+          dot += v(j).toDouble * c(j); na += v(j).toDouble * v(j); nb += c(j).toDouble * c(j)
+          j += 1
+        }
+        val s = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+        if (s > bestSim) { bestSim = s; best = i }
+      }
+      (best, bestSim)
+    })
+    val assigned = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("a", assignStruct(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        col("a._1").as("cell"), col("a._2").as("centroid_sim"))
+    // within-cluster pairs, oriented by the keep rank: b outranks a ⇒ a
+    // is the candidate loser of the pair
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("centroid_sim").as("ca"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("centroid_sim").as("cb"))
+    val bOutranksA = policy match {
+      case KeepLowCentroidSim =>
+        col("cb") < col("ca") || (col("cb") === col("ca") && col("id_b") < col("id_a"))
+      case KeepHighCentroidSim =>
+        col("cb") > col("ca") || (col("cb") === col("ca") && col("id_b") < col("id_a"))
+      case KeepMinId => col("id_b") < col("id_a")
+    }
+    val losers = a.join(b, "cell")
+      .where(col("id_a") =!= col("id_b"))
+      .where(bOutranksA)
+      .where(Ann.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a").as("vec_id"))
+      .distinct()
+      .withColumn("dropped", lit(true))
+    assigned
+      .select(col("vec_id"), col("cell"), col("centroid_sim"))
+      .join(losers, Seq("vec_id"), "left")
+      .withColumn("dropped", coalesce(col("dropped"), lit(false)))
+  }
+}
