@@ -104,6 +104,7 @@ object Bench {
       "q_ann_pq_recall" -> (SparkQueries.annPqRecall(_, _)),
       "q_ann_ivfpq_recall" -> (SparkQueries.annIvfPqRecall(_, _)),
       "q_semdedup" -> (SparkQueries.semDedup(_, _)),
+      "q_dsir" -> (SparkQueries.dsirResample(_, _)),
     ).foreach { case (name, fn) =>
       extra(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
     }

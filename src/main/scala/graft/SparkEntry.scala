@@ -88,6 +88,7 @@ object SparkEntry {
     "q_embed_incremental" -> (SparkQueries.embedIncrementalFromIndex(_, _)),
     "q_semdedup" -> (VerifiedQueries.semDedupVerified(_, _)),
     "q_semdedup_global" -> (VerifiedQueries.semDedupGlobalVerified(_, _)),
+    "q_dsir" -> (VerifiedQueries.dsirVerified(_, _)),
     "q_ann_topk" -> (VerifiedQueries.annBruteForceVerified(_, _)),
     "q_ann_lsh_recall" -> ((s, d) => VerifiedQueries.annLshRecallVerified(s, d, 0.6)),
     "q_ann_ivf_recall" -> ((s, d) => VerifiedQueries.annIvfRecallVerified(s, d, 0.4)),
@@ -573,6 +574,15 @@ object SparkEntry {
         "SELECT a.vec_id, COALESCE(bool_or(" +
         "list_cosine_similarity(a.v, b.v) >= 0.4), false) AS dropped " +
         "FROM e a LEFT JOIN e b ON b.vec_id < a.vec_id GROUP BY a.vec_id"),
+    // DSIR (hashed unigram+bigram importance resampling): the model and
+    // Gumbel selection are verified in-query (parity vs an independent
+    // recomputation + require()d k-count and target-separation contracts);
+    // DuckDB recomputes the feature count 2*tokens-1 from the raw text
+    // (same tokenization contract as q_token_stats)
+    "q_dsir" ->
+      ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE 2 * len(regexp_split_to_array(trim(text), '\\s+')) - 1 END AS BIGINT) " +
+        "AS n_feats, true AS parity_ok FROM documents"),
     "q_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
         "WHERE vec_id < 10), " +

@@ -697,6 +697,16 @@ object SparkQueries {
     Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, dim = 64, tables = 32, bitsPerTable = 3)
 
+  /** DSIR importance resampling (Xie et al. 2023) — bench-facing: fit the
+    * hashed-ngram model (target = en slice, raw = all), score all docs with
+    * the codegen'd kernel, Gumbel top-k select without replacement. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.sample.Dsir
+    val docs = tbl(spark, dir, "documents")
+    val model = Dsir.fit(docs.filter(col("lang") === "en"), docs, "text", buckets = 4096)
+    Dsir.resampleFlags(docs, "doc_id", "text", model, k = 100, seed = "graft-dsir-r5")
+  }
+
   /** SemDeDup clustered semantic dedup flags (Abbas et al. 2023) — the
     * bench-facing operator call (paper-default keep-low-centroid-sim
     * policy); the flag verification lives in

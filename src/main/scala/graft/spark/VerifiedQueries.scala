@@ -1322,6 +1322,57 @@ object VerifiedQueries {
       .select(col("r._1").as("vec_id"), col("r._2").as("flag_ok"))
   }
 
+  /** DSIR importance resampling (Xie et al., NeurIPS 2023): fit the hashed
+    * unigram+bigram model with target = the en slice and raw = the whole
+    * corpus, score every doc with the codegen'd kernel, and verify each
+    * integer milli-score against an INDEPENDENT plain-Scala recomputation
+    * (regex split + materialized feature strings + table lookup — the
+    * in-query codegen==UDF parity pattern). The Gumbel top-k resample runs
+    * in-query with two require()d contract properties: exactly k docs
+    * selected, and target separation (mean en score > mean non-en score —
+    * the property that makes importance resampling select target-like
+    * data). n_feats (= 2·tokens−1 hashed features) is the cross-engine
+    * column DuckDB recomputes from the text. */
+  def dsirVerified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.sample.Dsir
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val model = Dsir.fit(docs.filter(col("lang") === "en"), docs, "text", buckets = 4096)
+    val flags = Dsir.resampleFlags(docs, "doc_id", "text", model, k = 100,
+      seed = "graft-dsir-r5")
+    val nSel = flags.filter(col("selected")).count()
+    require(nSel == 100, s"q_dsir: expected 100 selected, got $nSel")
+    val means = flags.groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg(col("dsir_logw_milli")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    require(means(true) > means(false),
+      s"q_dsir: no target separation (en ${means(true)} <= other ${means(false)})")
+    val bcTable = spark.sparkContext.broadcast(model.logRatio)
+    val buckets = model.buckets
+    val refMilli = udf((text: String) => {
+      def low(c: Char): Char =
+        if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
+      val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        .map(_.map(low))
+      def bucket(f: String): Int = {
+        var h = graft.hash.Fnv.Offset64
+        f.foreach { c => h ^= c.toInt; h *= graft.hash.Fnv.Prime64 }
+        Math.floorMod(h, buckets)
+      }
+      var sum = 0.0
+      toks.foreach(t => sum += bcTable.value(bucket(t)))
+      var i = 0
+      while (i + 1 < toks.length) {
+        sum += bcTable.value(bucket(toks(i) + " " + toks(i + 1)))
+        i += 1
+      }
+      math.floor(sum * 1000.0).toLong
+    })
+    flags.select(col("doc_id"),
+      size(graft.spark.fns.TextExpressions.dsirBucketsNative(col("text"), buckets))
+        .cast("long").as("n_feats"),
+      (col("dsir_logw_milli") === refMilli(col("text"))).as("parity_ok"))
+  }
+
   /** SemDeDup's degenerate closed-form mode (nClusters = 1, min-id keep
     * rank): drop exactly the docs with an above-threshold cosine pair to a
     * lower id — the whole output relation is reproduced verbatim by a

@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.hash.Fnv
@@ -174,6 +174,52 @@ object TextKernels extends Serializable {
       while (w + n <= ntoks) { out(w) = shingleHash(chars, bounds, w, w + n); w += 1 }
       ArrayData.toArrayData(out)
     }
+  }
+
+  /** DSIR hashed n-gram features (Xie et al., NeurIPS 2023 "Data Selection
+    * for Language Models via Importance Resampling", §3: hashed unigram +
+    * bigram bag over the lowercased whitespace tokenization): one bucket id
+    * per unigram and per adjacent bigram — fnv-1a-64 of the space-joined
+    * tokens, floor-modded into [0, buckets). Feature order is document
+    * order (all unigrams, then all bigrams); the scorer accumulates in the
+    * SAME order, so milli-floored scores are engine-exact. t tokens emit
+    * 2t−1 features (0 for empty text). */
+  def dsirBuckets(s: UTF8String, buckets: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Int])
+    val (chars, bounds, ntoks) = tokenBounds(s.toString)
+    val out = new Array[Int](if (ntoks == 0) 0 else 2 * ntoks - 1)
+    var t = 0
+    while (t < ntoks) {
+      out(t) = Math.floorMod(shingleHash(chars, bounds, t, t + 1), buckets)
+      t += 1
+    }
+    t = 0
+    while (t + 1 < ntoks) {
+      out(ntoks + t) = Math.floorMod(shingleHash(chars, bounds, t, t + 2), buckets)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** DSIR log importance weight in floored milli-nats: Σ over the doc's
+    * hashed features of table(bucket) = log p̂_target(b) − log p̂_raw(b),
+    * accumulated in document order (see [[dsirBuckets]]) so the integer
+    * output is deterministic and engine-exact for thresholding. */
+  def dsirLogWeightMilli(s: UTF8String, buckets: Int, table: Array[Double]): Long = {
+    if (s == null) return 0L
+    val (chars, bounds, ntoks) = tokenBounds(s.toString)
+    var sum = 0.0
+    var t = 0
+    while (t < ntoks) {
+      sum += table(Math.floorMod(shingleHash(chars, bounds, t, t + 1), buckets))
+      t += 1
+    }
+    t = 0
+    while (t + 1 < ntoks) {
+      sum += table(Math.floorMod(shingleHash(chars, bounds, t, t + 2), buckets))
+      t += 1
+    }
+    math.floor(sum * 1000.0).toLong
   }
 
   /** Distinct n-token shingles of the lowercased text — the oracle formula
@@ -407,6 +453,52 @@ case class SortedLongContainsExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "sorted_long_contains"
+}
+
+/** Codegen'd DSIR hashed unigram+bigram bucket ids (the model-fitting
+  * explode key — bounded-cardinality, so the count aggregate stays tiny). */
+case class DsirBucketsExpr(child: Expression, buckets: Int) extends UnaryExpression {
+  require(buckets > 0, s"buckets must be > 0, got $buckets")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.dsirBuckets(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.fns.TextKernels.dsirBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "dsir_buckets"
+}
+
+/** Codegen'd DSIR log importance weight (floored milli-nats) under a
+  * BROADCAST log-ratio table (broadcast-handle + hoisted-fetch mechanics as
+  * [[SortedLongContainsExpr]] — the table is fetched once per executor, and
+  * per-row work stays inside whole-stage codegen). */
+case class DsirLogWeightExpr(child: Expression, buckets: Int,
+                             table: org.apache.spark.broadcast.Broadcast[Array[Double]])
+    extends UnaryExpression {
+  require(buckets > 0, s"buckets must be > 0, got $buckets")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.dsirLogWeightMilli(input.asInstanceOf[UTF8String], buckets, table.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftDsirBc", table,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Double]]].getName)
+    val arr = ctx.addMutableState("double[]", "graftDsirTable",
+      v => s"$v = (double[])$bcRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.spark.fns.TextKernels.dsirLogWeightMilli($c, $buckets, $arr)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "dsir_logw_milli"
 }
 
 /** Codegen'd whole-doc span-removal transform against a SORTED broadcast
@@ -724,6 +816,17 @@ object TextExpressions {
 
   def nfcNormalize(c: Column): Column =
     GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(c)))
+
+  /** Codegen'd DSIR hashed unigram+bigram bucket ids. */
+  def dsirBucketsNative(c: Column, buckets: Int): Column =
+    GraftColumnBridge.column(DsirBucketsExpr(GraftColumnBridge.expression(c), buckets))
+
+  /** Codegen'd DSIR log importance weight (floored milli-nats) under the
+    * broadcast log-ratio table. */
+  def dsirLogWeightNative(c: Column, buckets: Int,
+      table: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      DsirLogWeightExpr(GraftColumnBridge.expression(c), buckets, table))
 
   def bloomShingleHitNative(bloomBytes: Array[Byte], n: Int, text: Column): Column =
     GraftColumnBridge.column(BloomShingleHitExpr(GraftColumnBridge.expression(text), n,

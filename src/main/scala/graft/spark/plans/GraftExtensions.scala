@@ -314,5 +314,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t) => graft.spark.fns.CharLmBitsExpr(t, graft.spark.text.CharLm.standard)
         case _ => throw new IllegalArgumentException("charlm_bits_milli takes (text)")
       }))
+
+    e.injectFunction((FunctionIdentifier("dsir_buckets"),
+      info("dsir_buckets",
+        "dsir_buckets(text, buckets) - DSIR hashed unigram+bigram feature bucket ids " +
+          "(buckets must be an integer literal)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _)) =>
+          graft.spark.fns.DsirBucketsExpr(t, b)
+        case _ =>
+          throw new IllegalArgumentException("dsir_buckets takes (text, int-literal buckets)")
+      }))
   }
 }

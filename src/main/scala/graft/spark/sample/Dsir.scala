@@ -1,0 +1,130 @@
+package graft.spark.sample
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spark.fns.TextExpressions
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023, arXiv:2302.03169 — public): select raw-corpus docs whose hashed
+  * n-gram feature distribution matches a TARGET corpus, by importance
+  * weighting under two bag-of-hashed-ngrams models. The missing sampling
+  * modality next to domain caps / token budgets / temperature sampling:
+  * those reshape BY METADATA, DSIR reshapes by CONTENT toward a reference
+  * distribution (the method used to pick pretraining data that "looks like"
+  * a trusted corpus).
+  *
+  *  - features: unigrams + bigrams of the lowercased whitespace
+  *    tokenization, fnv-1a-64-hashed into `buckets` ids
+  *    ([[graft.spark.fns.TextKernels.dsirBuckets]], codegen'd).
+  *  - fit: ONE explode + bounded groupBy per corpus (`buckets` rows to the
+  *    driver — corpus-size-independent, the same driver posture as
+  *    Lloyd/BPE/char-LM training). Laplace-smoothed log p̂.
+  *  - score: Σ_f [log p̂_target − log p̂_raw] per doc, one codegen'd scan
+  *    against the broadcast log-ratio table, emitted as floored
+  *    milli-nats (integer — engine-exact thresholds, the charlm pattern).
+  *  - resample: sampling WITHOUT replacement via the Gumbel top-k trick
+  *    (Vieira 2014 — public): key = log w + Gumbel(md5-derived uniform),
+  *    deterministic per (seed, id); top-k is a bounded TakeOrdered, never
+  *    a global sort materialization.
+  */
+object Dsir {
+
+  /** Fitted importance model: logRatio(b) = log p̂_target(b) − log p̂_raw(b). */
+  final case class Model(buckets: Int, logRatio: Array[Double]) {
+    require(logRatio.length == buckets, s"table length ${logRatio.length} != buckets $buckets")
+
+    /** Deterministic byte codec ("DSR1" | buckets i32 BE | doubles BE). */
+    def toBytes: Array[Byte] = {
+      val bos = new ByteArrayOutputStream(8 + 8 * buckets)
+      val out = new DataOutputStream(bos)
+      out.writeBytes("DSR1")
+      out.writeInt(buckets)
+      var i = 0
+      while (i < buckets) { out.writeDouble(logRatio(i)); i += 1 }
+      out.flush()
+      bos.toByteArray
+    }
+  }
+
+  object Model {
+    def fromBytes(bytes: Array[Byte]): Model = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      val magic = new Array[Byte](4)
+      buf.get(magic)
+      require(new String(magic, "US-ASCII") == "DSR1",
+        "not a DSIR model: bad magic")
+      val buckets = buf.getInt
+      require(buckets > 0 && bytes.length == 8 + 8 * buckets,
+        s"corrupt DSIR model: buckets=$buckets, ${bytes.length} bytes")
+      val table = new Array[Double](buckets)
+      var i = 0
+      while (i < buckets) { table(i) = buf.getDouble; i += 1 }
+      Model(buckets, table)
+    }
+  }
+
+  /** Hashed-feature occurrence counts over a corpus: one codegen'd explode +
+    * a groupBy bounded to `buckets` rows (only the bounded table reaches the
+    * driver). */
+  def fitCounts(df: DataFrame, textCol: String, buckets: Int): Array[Long] = {
+    val rows = df
+      .select(explode(TextExpressions.dsirBucketsNative(col(textCol), buckets)).as("b"))
+      .groupBy(col("b")).count()
+      .collect()
+    val out = new Array[Long](buckets)
+    rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** Fit the importance model: Laplace-smoothed hashed-ngram distributions
+    * over the target and raw corpora (two bounded aggregates). */
+  def fit(target: DataFrame, raw: DataFrame, textCol: String,
+          buckets: Int = 10000, alpha: Double = 1.0): Model = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val ct = fitCounts(target, textCol, buckets)
+    val cr = fitCounts(raw, textCol, buckets)
+    val st = ct.sum.toDouble + alpha * buckets
+    val sr = cr.sum.toDouble + alpha * buckets
+    Model(buckets, Array.tabulate(buckets) { b =>
+      math.log((ct(b) + alpha) / st) - math.log((cr(b) + alpha) / sr)
+    })
+  }
+
+  /** Per-doc log importance weight in floored milli-nats, as a codegen'd
+    * Column (broadcast log-ratio table; ~80 KB at the paper's 10k buckets). */
+  def logWeightMilli(spark: SparkSession, model: Model)(text: Column): Column = {
+    val bc = spark.sparkContext.broadcast(model.logRatio)
+    TextExpressions.dsirLogWeightNative(text, model.buckets, bc)
+  }
+
+  /** Importance-resample k docs without replacement (Gumbel top-k): returns
+    * the input plus `dsir_logw_milli` (long) and `selected` (boolean,
+    * exactly min(k, n) rows true). Deterministic per (model, seed):
+    * u = md5-derived uniform in (0,1), key = logw + (−log(−log u)),
+    * ties by id. The top-k is a TakeOrderedAndProject (driver holds k ids,
+    * never the corpus) re-joined as a broadcast flag. */
+  def resampleFlags(df: DataFrame, idCol: String, textCol: String, model: Model,
+                    k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = df.sparkSession
+    val scored = df
+      .withColumn("dsir_logw_milli", logWeightMilli(spark, model)(col(textCol)))
+      .withColumn("__u",
+        (conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 15),
+          16, 10).cast("double") + 0.5) / lit(math.pow(2.0, 60)))
+      .withColumn("__key",
+        col("dsir_logw_milli").cast("double") / 1000.0 - log(-log(col("__u"))))
+    val top = scored
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+      .withColumn("selected", lit(true))
+    scored.drop("__u", "__key")
+      .join(broadcast(top), Seq(idCol), "left")
+      .withColumn("selected", coalesce(col("selected"), lit(false)))
+  }
+}

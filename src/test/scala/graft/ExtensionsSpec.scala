@@ -192,6 +192,12 @@ class ExtensionsSpec extends AnyFunSuite {
       // CJK-free text: segmentation is whitespace re-normalization only
       val segEn = spark.sql("SELECT cjk_segment('  the  quick fox ') AS s").head().getString(0)
       assert(segEn == "the quick fox")
+      val dsir = spark.sql("SELECT dsir_buckets('alpha beta gamma', 512) AS f")
+        .head().getSeq[Int](0)
+      assert(dsir.length == 5 && dsir.forall(b => b >= 0 && b < 512))
+      assert(dsir == graft.spark.fns.TextKernels.dsirBuckets(
+        org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta gamma"), 512)
+        .toIntArray().toSeq)
     }
   }
 
