@@ -1276,18 +1276,21 @@ object VerifiedQueries {
 
   /** SemDeDup clustered semantic dedup (Abbas et al. 2023, arXiv:2303.09540),
     * flag-verified: run [[graft.spark.dedup.SemDedup.semDedup]] with the
-    * paper-default keep-low-centroid-sim policy, then INDEPENDENTLY
-    * re-derive every drop flag with a per-cluster local scan (collect the
-    * cell's rows, sort by the keep rank, exact O(m²) cosine in plain Scala —
-    * a different code path than the operator's oriented pair join). flag_ok
-    * pins dropped(a) ⇔ ∃ better-ranked above-threshold witness in a's
-    * cluster, per doc. Throws if the run is trivial (nothing or everything
-    * dropped) so a degenerate clustering can't green-wash the flags. */
+    * paper-default keep-low-centroid-sim policy AND a maxCellSize small
+    * enough to exercise the salted skew-split path, then INDEPENDENTLY
+    * re-derive every drop flag with a per-block local scan (collect the
+    * block's rows, sort by the keep rank, exact O(m²) cosine in plain
+    * Scala — a different code path than the operator's oriented pair
+    * join). flag_ok pins dropped(a) ⇔ ∃ better-ranked above-threshold
+    * witness in a's pairing block, per doc. Throws if the run is trivial
+    * (nothing or everything dropped) so a degenerate clustering can't
+    * green-wash the flags. */
   def semDedupVerified(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import graft.spark.dedup.SemDedup
     val emb = tbl(spark, dir, "embeddings")
-    val flags = SemDedup.semDedup(emb, nClusters = 8, threshold = 0.4)
+    val flags = SemDedup.semDedup(emb, nClusters = 8, threshold = 0.4,
+      maxCellSize = 40)
     val nDropped = flags.filter(col("dropped")).count()
     val nTotal = flags.count()
     require(nDropped > 0 && nDropped < nTotal,
@@ -1315,7 +1318,7 @@ object VerifiedQueries {
       }.toSeq
     })
     flags.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .groupBy(col("cell"))
+      .groupBy(col("block"))
       .agg(collect_list(struct(col("vec_id"), col("centroid_sim"),
         col("dropped"), col("embedding"))).as("members"))
       .select(explode(verifyCell(col("members"))).as("r"))

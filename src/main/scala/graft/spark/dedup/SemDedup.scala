@@ -13,13 +13,13 @@ import graft.spark.ann.Ann
   * makes semantic dedup tractable at corpus scale, because the quadratic
   * pair generation runs per-cluster (n/k-sized blocks) instead of globally.
   *
-  * Drop rule (the published implementation's): rank the docs of a cluster by
+  * Drop rule (the published implementation's): rank the docs of a block by
   * the keep policy; a doc is dropped iff it has an above-threshold cosine
   * pair with ANY better-ranked doc (dropped or not). This guarantees that
-  * for every within-cluster above-threshold pair at least one endpoint is
+  * for every within-block above-threshold pair at least one endpoint is
   * dropped (the worse-ranked one), and that every dropped doc has an
-  * above-threshold witness among its cluster's better-ranked docs — the two
-  * invariants q_semdedup verifies with an independent per-cluster scan.
+  * above-threshold witness among its block's better-ranked docs — the two
+  * invariants q_semdedup verifies with an independent per-block scan.
   *
   * Keep policies (the paper's §3 compares exactly these orientations):
   * [[SemDedup.KeepLowCentroidSim]] — the paper's winner: keep the LOW
@@ -31,10 +31,20 @@ import graft.spark.ann.Ann
   *
   * Scale shape: one broadcast-assign pass (the IVF coarse quantizer —
   * `Ann.trainCoarseCentroids` keeps only nlist·dim rows on the driver),
-  * then ONE shuffle on the cell key for the self-join; no iteration, no
-  * driver collect of corpus data. Cluster-size skew is the operator's knob:
-  * pick nClusters so n/k blocks stay bounded (the paper runs k = 11k
-  * clusters for 100M docs).
+  * then ONE shuffle on the block key for the self-join; no iteration, no
+  * driver collect of corpus data. Cluster-size SKEW is handled explicitly:
+  * `nClusters` is the coarse knob (the paper runs k = 11k clusters for
+  * 100M docs), and any cell that still exceeds `maxCellSize` is salted
+  * into ⌈size/maxCellSize⌉ sub-blocks by a deterministic id hash — the
+  * per-block quadratic work is bounded to ~maxCellSize² in expectation
+  * (uniform hash salt), so one hot centroid cannot become the straggler
+  * task at 10^12 docs. Splitting
+  * stays inside SemDeDup's approximation class (pairs are only ever
+  * inspected within a block; a finer block is a finer approximation),
+  * and the count of split cells is reported via a named accumulator
+  * ("graft.semdedup.split_cells") so silent truncation can't read as
+  * full coverage. The returned `block` column is the pairing-block id
+  * (== `cell` when no split happened).
   */
 object SemDedup {
 
@@ -43,11 +53,14 @@ object SemDedup {
   case object KeepHighCentroidSim extends KeepPolicy
   case object KeepMinId extends KeepPolicy
 
-  /** Returns (vec_id, cell, centroid_sim, dropped) for every input row of
-    * `embeddings` (vec_id: long, embedding: array&lt;float&gt;). */
+  /** Returns (vec_id, cell, block, centroid_sim, dropped) for every input
+    * row of `embeddings` (vec_id: long, embedding: array&lt;float&gt;).
+    * `block` = cell · 2^20 + salt, the id of the bounded pairing block. */
   def semDedup(embeddings: DataFrame, nClusters: Int, threshold: Double,
                lloydIters: Int = 5,
-               policy: KeepPolicy = KeepLowCentroidSim): DataFrame = {
+               policy: KeepPolicy = KeepLowCentroidSim,
+               maxCellSize: Long = 1L << 20): DataFrame = {
+    require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
     val spark = embeddings.sparkSession
     val cents = Ann.trainCoarseCentroids(
       embeddings.select(col("vec_id"), col("embedding")), nClusters, lloydIters)
@@ -69,16 +82,35 @@ object SemDedup {
       }
       (best, bestSim)
     })
-    val assigned = embeddings
+    val assignedRaw = embeddings
       .select(col("vec_id"), col("embedding"))
       .withColumn("a", assignStruct(col("embedding")))
       .select(col("vec_id"), col("embedding"),
         col("a._1").as("cell"), col("a._2").as("centroid_sim"))
-    // within-cluster pairs, oriented by the keep rank: b outranks a ⇒ a
+    // skew guard: salt cells above maxCellSize into bounded sub-blocks
+    // (one nClusters-row aggregate → broadcast split factors; block id is
+    // deterministic per (cell, vec_id))
+    val splitCells = spark.sparkContext.longAccumulator("graft.semdedup.split_cells")
+    val sizes = assignedRaw.groupBy(col("cell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val splits = sizes.collect {
+      case (cell, n) if n > maxCellSize =>
+        cell -> ((n + maxCellSize - 1) / maxCellSize).toInt
+    }
+    splitCells.add(splits.size.toLong)
+    val bcSplits = spark.sparkContext.broadcast(splits)
+    val saltUdf = udf((cell: Int, id: Long) => {
+      val k = bcSplits.value.getOrElse(cell, 1)
+      if (k <= 1) 0L else Math.floorMod(graft.hash.Fnv.fnv1a64(id.toString, 0), k).toLong
+    })
+    val assigned = assignedRaw
+      .withColumn("block",
+        col("cell").cast("long") * lit(1L << 20) + saltUdf(col("cell"), col("vec_id")))
+    // within-block pairs, oriented by the keep rank: b outranks a ⇒ a
     // is the candidate loser of the pair
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+    val a = assigned.select(col("block"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("centroid_sim").as("ca"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+    val b = assigned.select(col("block"), col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("centroid_sim").as("cb"))
     val bOutranksA = policy match {
       case KeepLowCentroidSim =>
@@ -87,7 +119,7 @@ object SemDedup {
         col("cb") > col("ca") || (col("cb") === col("ca") && col("id_b") < col("id_a"))
       case KeepMinId => col("id_b") < col("id_a")
     }
-    val losers = a.join(b, "cell")
+    val losers = a.join(b, "block")
       .where(col("id_a") =!= col("id_b"))
       .where(bOutranksA)
       .where(Ann.cosine(col("va"), col("vb")) >= threshold)
@@ -95,7 +127,7 @@ object SemDedup {
       .distinct()
       .withColumn("dropped", lit(true))
     assigned
-      .select(col("vec_id"), col("cell"), col("centroid_sim"))
+      .select(col("vec_id"), col("cell"), col("block"), col("centroid_sim"))
       .join(losers, Seq("vec_id"), "left")
       .withColumn("dropped", coalesce(col("dropped"), lit(false)))
   }

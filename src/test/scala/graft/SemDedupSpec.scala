@@ -42,12 +42,26 @@ class SemDedupSpec extends AnyFunSuite {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  private def collectFlags(df: DataFrame): Map[Long, (Int, Double, Boolean)] =
+  private def collectFlags(df: DataFrame): Map[Long, (Long, Double, Boolean)] =
     df.collect().map { r =>
       r.getLong(r.fieldIndex("vec_id")) ->
-        ((r.getInt(r.fieldIndex("cell")), r.getDouble(r.fieldIndex("centroid_sim")),
+        ((r.getLong(r.fieldIndex("block")), r.getDouble(r.fieldIndex("centroid_sim")),
           r.getBoolean(r.fieldIndex("dropped"))))
     }.toMap
+
+  private def checkInvariants(out: Map[Long, (Long, Double, Boolean)],
+                              emb: Map[Long, Array[Float]]): Unit = {
+    val rank = (id: Long) => (out(id)._2, id) // (centroid_sim ASC, id ASC)
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    for ((id, (block, _, dropped)) <- out) {
+      val better = out.collect {
+        case (o, (b, _, _)) if o != id && b == block && ord.lt(rank(o), rank(id)) => o
+      }
+      val witness = better.exists(o => cos(emb(id), emb(o)) >= threshold)
+      assert(dropped == witness,
+        s"doc $id: dropped=$dropped but witness-among-better-ranked=$witness")
+    }
+  }
 
   test("witness + coverage invariants hold under a real clustering") {
     val emb = vecs.collect().map(r =>
@@ -55,16 +69,23 @@ class SemDedupSpec extends AnyFunSuite {
     val out = collectFlags(SemDedup.semDedup(vecs, nClusters = 3, threshold = threshold))
     assert(out.size == 7)
     assert(out.values.count(_._3) > 0, "fixture must drop something")
-    val rank = (id: Long) => (out(id)._2, id) // (centroid_sim ASC, id ASC)
-    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-    for ((id, (cell, _, dropped)) <- out) {
-      val better = out.collect {
-        case (o, (c, _, _)) if o != id && c == cell && ord.lt(rank(o), rank(id)) => o
-      }
-      val witness = better.exists(o => cos(emb(id), emb(o)) >= threshold)
-      assert(dropped == witness,
-        s"doc $id: dropped=$dropped but witness-among-better-ranked=$witness")
-    }
+    checkInvariants(out, emb)
+  }
+
+  test("skew guard: oversized cells salt into bounded blocks, invariants still hold") {
+    val emb = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // one cluster, 7 docs, maxCellSize 3 → ceil(7/3) = 3 salt shards
+    val out = collectFlags(SemDedup.semDedup(vecs, nClusters = 1,
+      threshold = threshold, maxCellSize = 3))
+    val blocks = out.values.map(_._1).toSet
+    assert(blocks.size > 1, "the oversized cell must split")
+    assert(blocks.forall(b => b >> 20 == 0L), "all blocks derive from cell 0")
+    assert(blocks.forall(b => (b & ((1L << 20) - 1)) < 3), "salt in [0, ceil(7/3))")
+    checkInvariants(out, emb) // pairing is within-block by definition
+    // unsplit path: block == cell << 20 exactly
+    val noSplit = collectFlags(SemDedup.semDedup(vecs, nClusters = 1, threshold = threshold))
+    assert(noSplit.values.map(_._1).toSet == Set(0L))
   }
 
   test("min-id single-cluster mode equals the brute-force closed form") {
