@@ -55,11 +55,20 @@ object SemDedup {
 
   /** Returns (vec_id, cell, block, centroid_sim, dropped) for every input
     * row of `embeddings` (vec_id: long, embedding: array&lt;float&gt;).
-    * `block` = cell · 2^20 + salt, the id of the bounded pairing block. */
+    * `block` = cell · 2^20 + salt, the id of the bounded pairing block.
+    *
+    * Default `maxCellSize` = 2^14: the binding constraint is the QUADRATIC
+    * pair cost per block, not memory — 16k docs ⇒ ~2.7·10^8 cosines ≈ a
+    * well-sized task, and the paper's own clusters are ~9k docs (100M/11k).
+    * The operator deliberately recomputes the broadcast-assign kernel on
+    * each of its scans (sizes probe + both join sides + output) instead of
+    * caching the corpus — each pass is linear and cache-free; callers in
+    * the extreme-scale regime can persist the assigned projection
+    * themselves. */
   def semDedup(embeddings: DataFrame, nClusters: Int, threshold: Double,
                lloydIters: Int = 5,
                policy: KeepPolicy = KeepLowCentroidSim,
-               maxCellSize: Long = 1L << 20): DataFrame = {
+               maxCellSize: Long = 1L << 14): DataFrame = {
     require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
     val spark = embeddings.sparkSession
     val cents = Ann.trainCoarseCentroids(

@@ -35,7 +35,7 @@ object CorpusScale {
   private val ops = Seq("line_flags", "span_flags", "span_clean", "decontaminate",
     "contamination_frac", "neardup_cc", "neardup_incremental",
     "neardup_fixedbatch_incr", "neardup_fixedbatch_index",
-    "sign_batch", "sign_history")
+    "sign_batch", "sign_history", "dsir")
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case Seq("gen") => gen()
@@ -184,6 +184,14 @@ object CorpusScale {
         }
         BandIndex.incrementalPairs(batch, history, "doc_id", "text", table,
           threshold = 0.5).count()
+      // DSIR end to end: fit (2 scans -> bounded 4096-bucket aggs) + score
+      // (1 codegen'd scan) + Gumbel top-k (bounded TakeOrdered) — the
+      // per-doc rate should be level-invariant by construction
+      case "dsir" =>
+        val model = graft.spark.sample.Dsir.fit(
+          docs.filter(col("lang") === "en"), docs, "text", buckets = 4096)
+        graft.spark.sample.Dsir.resampleFlags(docs, "doc_id", "text", model,
+          k = 100, seed = "graft-cs-dsir").filter(col("selected")).count()
     }
   }
 
@@ -286,7 +294,12 @@ object CorpusScale {
          |below neardup_cc's on the same dup-heavy corpus — the measured
          |incremental win; the decontamination operators run against a FIXED
          |benchmark, so their cost is one corpus scan regardless of level
-         |(the collected-set path).
+         |(the collected-set path); dsir is end-to-end model FIT (two scans
+         |into bounded 4096-bucket aggregates) + score + bounded top-k — all
+         |linear in rows with corpus-size-independent driver state, and its
+         |per-doc cost tracks TEXT VOLUME (three full-text scans), so the
+         |generated sf1 corpus's longer log-normal texts read as a lower
+         |docs/s than the replicated level at the same row count.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/CORPUS_SCALE.md"), md)

@@ -19,7 +19,9 @@ object PlanDump {
       "hllDistinct" -> SparkQueries.hllDistinct(spark, dir),
       "heavyDomainsExact" -> SparkQueries.heavyDomainsExact(spark, dir),
       "minhashPairs" -> SparkQueries.minhashPairs(spark, dir),
-      "annBruteForce" -> SparkQueries.annBruteForce(spark, dir))
+      "annBruteForce" -> SparkQueries.annBruteForce(spark, dir),
+      "semDedup" -> SparkQueries.semDedup(spark, dir),
+      "dsirResample" -> SparkQueries.dsirResample(spark, dir))
     qs.foreach { case (name, df) =>
       println(s"\n=================== $name ===================")
       println(df.queryExecution.explainString(
