@@ -105,6 +105,7 @@ object Bench {
       "q_ann_ivfpq_recall" -> (SparkQueries.annIvfPqRecall(_, _)),
       "q_semdedup" -> (SparkQueries.semDedup(_, _)),
       "q_dsir" -> (SparkQueries.dsirResample(_, _)),
+      "q_classifier_train" -> (SparkQueries.classifierTrain(_, _)),
     ).foreach { case (name, fn) =>
       extra(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
     }

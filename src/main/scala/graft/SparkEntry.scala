@@ -97,6 +97,7 @@ object SparkEntry {
     "q_ann_ivfpq_recall" -> ((s, d) => VerifiedQueries.annIvfPqRecallVerified(s, d, 0.6)),
     "q_ann_index" -> (VerifiedQueries.annIndexRoundtripVerified(_, _)),
     "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
+    "q_classifier" -> ((s, _) => VerifiedQueries.classifierVerified(s)),
     "q_cjk_tokens" -> ((s, _) => VerifiedQueries.cjkTokensVerified(s)),
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
@@ -622,6 +623,17 @@ object SparkEntry {
         "('ru', 50, 50, 1000), ('sv', 50, 50, 86), ('tr', 50, 50, 48), " +
         "('zh', 50, 50, 1000)) " +
         "AS t(lang, n_docs, n_correct, min_conf_pm)"),
+    // Hashed-ngram logistic classifier (graft.tools.ClsTruth): measured
+    // held-out en-vs-rest accuracy on the LangEval fixture — 25/25 per lang.
+    // Literal is stable because training is byte-deterministic (exact-Long
+    // quantized-gradient aggregation, QualityClassifierSpec).
+    "q_classifier" ->
+      ("SELECT * FROM (VALUES " +
+        "('cs', CAST(25 AS BIGINT), CAST(25 AS BIGINT)), " +
+        "('de', 25, 25), ('en', 25, 25), ('es', 25, 25), ('fr', 25, 25), " +
+        "('it', 25, 25), ('ja', 25, 25), ('nl', 25, 25), ('pl', 25, 25), " +
+        "('pt', 25, 25), ('ru', 25, 25), ('sv', 25, 25), ('tr', 25, 25), " +
+        "('zh', 25, 25)) AS t(lang, n_eval, n_correct)"),
     // CJK segmentation literals (graft.tools.SegTruth): greedy maximum
     // matching over the held-out CjkFixture — the SAME segmentations are
     // HAND-DERIVED in CjkSegmentSpec from the algorithm contract, so the

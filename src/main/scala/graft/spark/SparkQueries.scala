@@ -707,6 +707,21 @@ object SparkQueries {
     Dsir.resampleFlags(docs, "doc_id", "text", model, k = 100, seed = "graft-dsir-r5")
   }
 
+  /** Classifier TRAINING throughput (bench-facing): 5 full-batch GD
+    * iterations over the documents table (label = lang=='en' — on this
+    * synthetic table the label carries no text signal, so this measures the
+    * training plan's cost, not accuracy; the accuracy contract lives in
+    * q_classifier over the LangEval fixture), then one scoring pass. */
+  def classifierTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.text.QualityClassifier
+    val docs = tbl(spark, dir, "documents")
+    val model = QualityClassifier.train(
+      docs.withColumn("label", col("lang") === "en"), "text", "label",
+      buckets = 4096, iters = 5)
+    docs.select(col("doc_id"),
+      QualityClassifier.scoreMilli(spark, model)(col("text")).as("score_milli"))
+  }
+
   /** SemDeDup clustered semantic dedup flags (Abbas et al. 2023) — the
     * bench-facing operator call (paper-default keep-low-centroid-sim
     * policy); the flag verification lives in

@@ -484,6 +484,32 @@ object VerifiedQueries {
         sum(when(col("lc.lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
         min(col("lc.conf_pm")).as("min_conf_pm"))
 
+  /** Hashed-ngram logistic QUALITY-CLASSIFIER contract (the GPT-3
+    * WebText-filter / fastText shape): train en-vs-rest IN-QUERY on the
+    * even-index half of the held-out [[graft.spark.text.LangEval]] fixture
+    * (real multilingual sentences, disjoint from every other oracle) and
+    * evaluate on the odd half. The per-lang literals
+    * (`runMain graft.tools.ClsTruth` — measured 25/25 held-out for all 14
+    * languages) are stable because training is BYTE-DETERMINISTIC: per-doc
+    * residuals quantize to integer milli-units before aggregation, so
+    * gradient sums are exact Long algebra, invariant to partitioning
+    * (QualityClassifierSpec). */
+  def classifierVerified(spark: SparkSession): DataFrame = {
+    import graft.spark.text.{LangEval, QualityClassifier}
+    val docs = LangEval.docs(spark, docsPerLang = 50)
+    val train = docs.filter(col("doc_idx") % 2 === 0)
+      .withColumn("label", col("lang") === "en")
+    val model = QualityClassifier.train(train, "text", "label",
+      buckets = 4096, iters = 20)
+    docs.filter(col("doc_idx") % 2 === 1)
+      .select(col("lang"),
+        ((col("lang") === "en") ===
+          QualityClassifier.predict(spark, model)(col("text"))).as("ok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
+  }
+
   /** CJK segmentation over the held-out [[graft.spark.text.CjkFixture]]
     * (round-4 verdict next-round #5): per-doc token counts and the
     * segmented text itself from the codegen'd

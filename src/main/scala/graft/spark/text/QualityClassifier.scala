@@ -1,0 +1,130 @@
+package graft.spark.text
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spark.fns.TextExpressions
+
+/** Hashed-ngram linear quality classifier — the filter shape the published
+  * pipelines use to keep "looks like the trusted corpus" documents (GPT-3's
+  * LR-over-features WebText classifier, Brown et al. 2020 §A; fastText-style
+  * linear text classification, Joulin et al. 2016 — both public): logistic
+  * regression over the SAME hashed unigram+bigram bucket features as
+  * [[graft.spark.sample.Dsir]] (one shared codegen'd kernel), trained with
+  * full-batch gradient descent where ALL corpus-sized work is Spark's.
+  *
+  * Distributed-training determinism: floating-point sums over an unordered
+  * shuffle are not reproducible, so per-doc residuals are QUANTIZED to
+  * integer milli-units before aggregation — gradient sums become exact
+  * Long arithmetic (associative + commutative), making the learned weights
+  * BYTE-DETERMINISTIC across runs, partitionings and cluster sizes (the
+  * same order-free-algebra requirement the sketch merges satisfy). The
+  * 1e-3 residual quantization is far below the gradient noise that matters
+  * at any real corpus size.
+  *
+  * Per iteration: ONE scan computing each doc's margin via the codegen'd
+  * linear kernel (broadcast weight table), one bounded groupBy over
+  * exploded feature ids (`buckets` + 1 rows to the driver). Scoring /
+  * prediction is a single codegen'd scan emitting integer milli-scores
+  * (engine-exact thresholds, the charlm/dsir pattern).
+  */
+object QualityClassifier {
+
+  /** Trained model: score_milli(text) = Σ_f weights(h(f))·1000 + biasMilli,
+    * floored to Long; predict positive iff score_milli >= 0. */
+  final case class Model(buckets: Int, weights: Array[Double], biasMilli: Long) {
+    require(weights.length == buckets, s"weights length ${weights.length} != buckets $buckets")
+
+    /** Deterministic byte codec ("QLC1" | buckets i32 | biasMilli i64 |
+      * weights f64, all BE). */
+    def toBytes: Array[Byte] = {
+      val bos = new ByteArrayOutputStream(16 + 8 * buckets)
+      val out = new DataOutputStream(bos)
+      out.writeBytes("QLC1")
+      out.writeInt(buckets)
+      out.writeLong(biasMilli)
+      var i = 0
+      while (i < buckets) { out.writeDouble(weights(i)); i += 1 }
+      out.flush()
+      bos.toByteArray
+    }
+  }
+
+  object Model {
+    def fromBytes(bytes: Array[Byte]): Model = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      val magic = new Array[Byte](4)
+      buf.get(magic)
+      require(new String(magic, "US-ASCII") == "QLC1",
+        "not a QualityClassifier model: bad magic")
+      val buckets = buf.getInt
+      val biasMilli = buf.getLong
+      require(buckets > 0 && bytes.length == 16 + 8 * buckets,
+        s"corrupt QualityClassifier model: buckets=$buckets, ${bytes.length} bytes")
+      val w = new Array[Double](buckets)
+      var i = 0
+      while (i < buckets) { w(i) = buf.getDouble; i += 1 }
+      Model(buckets, w, biasMilli)
+    }
+  }
+
+  /** Integer milli-score column (codegen'd; broadcast weight table). */
+  def scoreMilli(spark: SparkSession, model: Model)(text: Column): Column = {
+    val bc = spark.sparkContext.broadcast(model.weights)
+    TextExpressions.dsirLogWeightNative(text, model.buckets, bc) + lit(model.biasMilli)
+  }
+
+  /** Positive-class prediction column (score_milli >= 0). */
+  def predict(spark: SparkSession, model: Model)(text: Column): Column =
+    scoreMilli(spark, model)(text) >= 0L
+
+  /** Train by full-batch gradient descent on `labeled` (textCol string,
+    * labelCol boolean). Every corpus-sized stage is distributed; the driver
+    * holds only the `buckets`-sized weight vector and per-iteration gradient
+    * rows. Deterministic (see object doc). */
+  def train(labeled: DataFrame, textCol: String, labelCol: String,
+            buckets: Int = 4096, iters: Int = 20, lr: Double = 0.5): Model = {
+    require(iters > 0 && lr > 0, s"iters/lr must be positive, got $iters/$lr")
+    val spark = labeled.sparkSession
+    val n = labeled.count()
+    require(n > 0, "training corpus is empty")
+    var w = new Array[Double](buckets)
+    var biasMilli = 0L
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(w)
+      // residual_milli = floor(1000 * (sigmoid(margin) - y)) per doc —
+      // quantized BEFORE aggregation so gradient sums are exact Longs
+      val margin =
+        (TextExpressions.dsirLogWeightNative(col(textCol), buckets, bc) +
+          lit(biasMilli)).cast("double") / 1000.0
+      val residualMilli = floor(
+        (lit(1.0) / (lit(1.0) + exp(-margin)) -
+          col(labelCol).cast("int").cast("double")) * 1000.0).cast("long")
+      // ONE scan per iteration: sentinel bucket −1 carries the bias
+      // gradient (every doc emits it once, so empty docs still train bias)
+      val contrib = labeled
+        .select(col(textCol), residualMilli.as("r"))
+        .select(explode(concat(array(lit(-1)),
+          TextExpressions.dsirBucketsNative(col(textCol), buckets))).as("b"), col("r"))
+      val rows =
+        try contrib.groupBy(col("b")).agg(sum(col("r")).as("g")).collect()
+        finally bc.destroy()
+      val next = w.clone()
+      var biasGradMilli = 0L
+      rows.foreach { r =>
+        val b = r.getInt(0)
+        if (b < 0) biasGradMilli = r.getLong(1)
+        else next(b) = next(b) - lr * (r.getLong(1).toDouble / 1000.0) / n
+      }
+      w = next
+      biasMilli = biasMilli -
+        math.round(lr * (biasGradMilli.toDouble / n)) // milli units
+      it += 1
+    }
+    Model(buckets, w, biasMilli)
+  }
+}
