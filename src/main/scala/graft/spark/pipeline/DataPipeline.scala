@@ -47,6 +47,12 @@ object DataPipeline {
     * scan/filter as the heuristic quality gate). None = off (the default,
     * and the q_pipeline oracle shape).
     *
+    * `classifierGate`: optional TRAINED quality floor — (model,
+    * minScoreMilli): drop docs the [[graft.spark.text.QualityClassifier]]
+    * scores below the integer milli threshold (the GPT-3 WebText-filter
+    * stage; fuses into the same stage-1 codegen'd scan as the heuristic and
+    * LM gates). None = off (the default, and the q_pipeline oracle shape).
+    *
     * `nearDupThreshold`: optional FUZZY dedup stage after exact dedup (what
     * real curation pipelines run — RefinedWeb/Dolma keep one doc per
     * near-dup cluster): MinHash-LSH pairs at the given Jaccard threshold →
@@ -63,15 +69,23 @@ object DataPipeline {
              tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                TextFunctions.tokenCount(_),
              maxLmBitsMilli: Option[Long] = None,
-             nearDupThreshold: Option[Double] = None): DataFrame = {
+             nearDupThreshold: Option[Double] = None,
+             classifierGate: Option[(graft.spark.text.QualityClassifier.Model, Long)] =
+               None): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
       md5(col("text")).as("digest"),
       tokenCounter(col("text")).cast("long").as("toks"))
     // 1. per-doc quality gate (pure codegen'd expressions), optionally
-    // composed with the char-LM perplexity threshold in the same filter
-    val gate = maxLmBitsMilli.foldLeft(TextFunctions.isQuality(col("text"))) {
+    // composed with the char-LM perplexity threshold and/or a trained
+    // classifier floor ((model, minScoreMilli)) in the same filter — all
+    // three gates fuse into ONE codegen'd scan
+    val gateLm = maxLmBitsMilli.foldLeft(TextFunctions.isQuality(col("text"))) {
       (q, maxBits) =>
         q && (graft.spark.fns.TextExpressions.charLmBitsNative(col("text")) <= maxBits)
+    }
+    val gate = classifierGate.foldLeft(gateLm) { case (q, (model, minMilli)) =>
+      q && (graft.spark.text.QualityClassifier
+        .scoreMilli(docs.sparkSession, model)(col("text")) >= minMilli)
     }
     val quality = base.filter(gate)
     // 2. exact dedup: keep the min doc_id per content digest

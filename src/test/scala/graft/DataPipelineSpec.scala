@@ -89,6 +89,29 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(on == Set(1L))
   }
 
+  test("optional classifier gate drops off-distribution docs the heuristic gate passes") {
+    import spark.implicits._
+    import graft.spark.text.QualityClassifier
+    def doc(words: Seq[String], salt: Int): String =
+      (0 until 16).map(i => words((i + salt) % words.size)).mkString(" ")
+    val good = Seq("alpine", "meadow", "stream", "forest", "valley")
+    val bad = Seq("zorp", "quux", "blarg", "wibble", "frobnitz")
+    val labeled = ((0 until 8).map(i => (doc(good, i), true)) ++
+      (0 until 8).map(i => (doc(bad, i), false))).toDF("text", "label")
+    val model = QualityClassifier.train(labeled, "text", "label",
+      buckets = 512, iters = 20)
+    val docs = Seq((1L, "en", "a.com", doc(good, 3)), (2L, "en", "a.com", doc(bad, 3)))
+      .toDF("doc_id", "lang", "source", "text")
+    val bench = Seq.empty[String].toDF("text")
+    // both pass the heuristic gate (same length/shape)
+    val off = DataPipeline.curate(docs, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(off == Set(1L, 2L))
+    val on = DataPipeline.curate(docs, bench, classifierGate = Some((model, 0L)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(on == Set(1L))
+  }
+
   test("optional fuzzy-dedup stage keeps one doc per near-dup cluster") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away today"
