@@ -153,6 +153,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.matches("(?s).*Project \\[codegen id : \\d+\\].*"), plan)
   }
 
+  test("dsir: codegen'd scoring scan, bounded TakeOrdered selection, broadcast flag join") {
+    val df = SparkQueries.dsirResample(spark, dir)
+    val plan = formatted(df)
+    // selection is a bounded top-k, never a global sort materialization
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the k selected ids come back as a broadcast flag join
+    assert(plan.contains("BroadcastHashJoin LeftOuter"), plan)
+    // the scoring kernel runs as a native codegen'd expression, and the
+    // top-k side's scan is pruned to (doc_id, text)
+    assert(plan.contains("dsir_logw_milli"), plan)
+    assert(!plan.contains("ScalaUDF"), "scoring must not cross a UDF boundary:\n" + plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("classifier training iteration: ONE bounded gradient exchange, codegen'd margin") {
+    import org.apache.spark.sql.functions._
+    import graft.spark.fns.TextExpressions
+    // one training iteration's gradient aggregate, as built inside
+    // QualityClassifier.train: margin scan -> explode -> groupBy(bucket)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bc = spark.sparkContext.broadcast(new Array[Double](512))
+    val margin = (TextExpressions.dsirLogWeightNative(col("text"), 512, bc)
+      .cast("double") / 1000.0)
+    val residual = floor((lit(1.0) / (lit(1.0) + exp(-margin)) - lit(0.0)) * 1000.0)
+      .cast("long")
+    val grad = docs.select(col("text"), residual.as("r"))
+      .select(explode(concat(array(lit(-1)),
+        TextExpressions.dsirBucketsNative(col("text"), 512))).as("b"), col("r"))
+      .groupBy(col("b")).agg(sum(col("r")).as("g"))
+    val plan = formatted(grad)
+    // partial agg below the single exchange, final above — map-side combine
+    // bounds the shuffle to buckets+1 rows per task
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange", firstAgg)
+    val finalAgg = plan.indexOf("HashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange,
+      s"expected partial-agg -> exchange -> final-agg:\n$plan")
+    // tree entries are "Exchange (N" — the detail header "(N) Exchange"
+    // must not double-count
+    assert("Exchange \\(".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan)
+    bc.destroy()
+  }
+
   test("salted two-level: two aggregation exchanges, no Expand") {
     val pages = graft.spark.io.PagesGen.pages(spark, 100, numPartitions = 2)
     val df = graft.spark.aggs.SaltedAgg.hllBloomTwoLevel(
