@@ -1317,8 +1317,12 @@ object VerifiedQueries {
     val emb = tbl(spark, dir, "embeddings")
     val flags = SemDedup.semDedup(emb, nClusters = 8, threshold = 0.4,
       maxCellSize = 40)
-    val nDropped = flags.filter(col("dropped")).count()
-    val nTotal = flags.count()
+    // one action for both contract counts (the pipeline is quadratic in the
+    // block — don't recompute it per aggregate)
+    val counts = flags.agg(count(lit(1)), sum(when(col("dropped"), 1L).otherwise(0L)))
+      .head()
+    val nTotal = counts.getLong(0)
+    val nDropped = counts.getLong(1)
     require(nDropped > 0 && nDropped < nTotal,
       s"q_semdedup degenerate run: $nDropped/$nTotal dropped")
     val verifyCell = udf((rows: Seq[Row]) => {
@@ -1336,7 +1340,10 @@ object VerifiedQueries {
             dot += v(k).toDouble * u(k); na += v(k).toDouble * v(k)
             nb += u(k).toDouble * u(k); k += 1
           }
-          val c = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+          // the EXACT cosineF32 association (dot / (sqrt(na)*sqrt(nb))) —
+          // a different association can differ by an ulp and flip a
+          // threshold-straddling pair's verdict
+          val c = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
           if (c >= 0.4) witness = true
           j += 1
         }
@@ -1368,11 +1375,14 @@ object VerifiedQueries {
     val model = Dsir.fit(docs.filter(col("lang") === "en"), docs, "text", buckets = 4096)
     val flags = Dsir.resampleFlags(docs, "doc_id", "text", model, k = 100,
       seed = "graft-dsir-r5")
-    val nSel = flags.filter(col("selected")).count()
+    // one action for both contract checks (k-count + separation)
+    val stats = flags.groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg(col("dsir_logw_milli")).as("m"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("sel"))
+      .collect()
+    val nSel = stats.map(_.getLong(2)).sum
     require(nSel == 100, s"q_dsir: expected 100 selected, got $nSel")
-    val means = flags.groupBy((col("lang") === "en").as("is_en"))
-      .agg(avg(col("dsir_logw_milli")).as("m"))
-      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val means = stats.map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     require(means(true) > means(false),
       s"q_dsir: no target separation (en ${means(true)} <= other ${means(false)})")
     val bcTable = spark.sparkContext.broadcast(model.logRatio)
@@ -1411,8 +1421,11 @@ object VerifiedQueries {
   def semDedupGlobalVerified(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.SemDedup
     val emb = tbl(spark, dir, "embeddings")
+    // maxCellSize = MaxValue: the closed form REQUIRES the single global
+    // block — a skew split here would hide cross-shard pairs from the
+    // oracle's global pair scan
     SemDedup.semDedup(emb, nClusters = 1, threshold = 0.4,
-        policy = SemDedup.KeepMinId)
+        policy = SemDedup.KeepMinId, maxCellSize = Long.MaxValue)
       .select(col("vec_id"), col("dropped"))
   }
 }

@@ -86,7 +86,9 @@ object SemDedup {
           dot += v(j).toDouble * c(j); na += v(j).toDouble * v(j); nb += c(j).toDouble * c(j)
           j += 1
         }
-        val s = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+        // same association as VecKernels.cosineF32 (the pair kernel), so
+        // every cosine in the operator is bit-identical to the verifier's
+        val s = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
         if (s > bestSim) { bestSim = s; best = i }
       }
       (best, bestSim)
@@ -105,6 +107,14 @@ object SemDedup {
     val splits = sizes.collect {
       case (cell, n) if n > maxCellSize =>
         cell -> ((n + maxCellSize - 1) / maxCellSize).toInt
+    }
+    splits.foreach { case (cell, k) =>
+      // the block id packs salt into 20 bits — a split factor at the limit
+      // would bleed into the next cell's id space and silently pair docs
+      // across clusters; fail loudly instead (raise maxCellSize/nClusters)
+      require(k < (1 << 20),
+        s"semDedup: cell $cell needs $k salt shards (>= 2^20) — " +
+          s"raise maxCellSize or nClusters")
     }
     splitCells.add(splits.size.toLong)
     val bcSplits = spark.sparkContext.broadcast(splits)

@@ -1,8 +1,5 @@
 package graft.spark.sample
 
-import java.io.{ByteArrayOutputStream, DataOutputStream}
-import java.nio.{ByteBuffer, ByteOrder}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,31 +35,14 @@ object Dsir {
     require(logRatio.length == buckets, s"table length ${logRatio.length} != buckets $buckets")
 
     /** Deterministic byte codec ("DSR1" | buckets i32 BE | doubles BE). */
-    def toBytes: Array[Byte] = {
-      val bos = new ByteArrayOutputStream(8 + 8 * buckets)
-      val out = new DataOutputStream(bos)
-      out.writeBytes("DSR1")
-      out.writeInt(buckets)
-      var i = 0
-      while (i < buckets) { out.writeDouble(logRatio(i)); i += 1 }
-      out.flush()
-      bos.toByteArray
-    }
+    def toBytes: Array[Byte] =
+      graft.spark.ModelCodec.write("DSR1", buckets, Nil, logRatio)
   }
 
   object Model {
     def fromBytes(bytes: Array[Byte]): Model = {
-      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-      val magic = new Array[Byte](4)
-      buf.get(magic)
-      require(new String(magic, "US-ASCII") == "DSR1",
-        "not a DSIR model: bad magic")
-      val buckets = buf.getInt
-      require(buckets > 0 && bytes.length == 8 + 8 * buckets,
-        s"corrupt DSIR model: buckets=$buckets, ${bytes.length} bytes")
-      val table = new Array[Double](buckets)
-      var i = 0
-      while (i < buckets) { table(i) = buf.getDouble; i += 1 }
+      val (buckets, _, table) =
+        graft.spark.ModelCodec.read("DSR1", 0, bytes, "DSIR")
       Model(buckets, table)
     }
   }
@@ -94,12 +74,26 @@ object Dsir {
     })
   }
 
+  /** Broadcast a model's table for reuse across many scoring columns.
+    * Each convenience `logWeightMilli(spark, model)` call registers its own
+    * broadcast that lives until session end (~80 KB at the paper's 10k
+    * buckets — fine per operator call); a long-lived session building these
+    * columns in a loop should broadcast once here and destroy the handle
+    * when the last action over the column has run. */
+  def broadcastTable(spark: SparkSession,
+                     model: Model): org.apache.spark.broadcast.Broadcast[Array[Double]] =
+    spark.sparkContext.broadcast(model.logRatio)
+
+  /** Per-doc log importance weight in floored milli-nats over a
+    * caller-managed broadcast table (see [[broadcastTable]]). */
+  def logWeightMilli(bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+                     buckets: Int)(text: Column): Column =
+    TextExpressions.dsirLogWeightNative(text, buckets, bc)
+
   /** Per-doc log importance weight in floored milli-nats, as a codegen'd
-    * Column (broadcast log-ratio table; ~80 KB at the paper's 10k buckets). */
-  def logWeightMilli(spark: SparkSession, model: Model)(text: Column): Column = {
-    val bc = spark.sparkContext.broadcast(model.logRatio)
-    TextExpressions.dsirLogWeightNative(text, model.buckets, bc)
-  }
+    * Column (broadcasts the table; see [[broadcastTable]] for loops). */
+  def logWeightMilli(spark: SparkSession, model: Model)(text: Column): Column =
+    logWeightMilli(broadcastTable(spark, model), model.buckets)(text)
 
   /** Importance-resample k docs without replacement (Gumbel top-k): returns
     * the input plus `dsir_logw_milli` (long) and `selected` (boolean,

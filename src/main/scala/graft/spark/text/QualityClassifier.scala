@@ -1,8 +1,5 @@
 package graft.spark.text
 
-import java.io.{ByteArrayOutputStream, DataOutputStream}
-import java.nio.{ByteBuffer, ByteOrder}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,43 +36,32 @@ object QualityClassifier {
     require(weights.length == buckets, s"weights length ${weights.length} != buckets $buckets")
 
     /** Deterministic byte codec ("QLC1" | buckets i32 | biasMilli i64 |
-      * weights f64, all BE). */
-    def toBytes: Array[Byte] = {
-      val bos = new ByteArrayOutputStream(16 + 8 * buckets)
-      val out = new DataOutputStream(bos)
-      out.writeBytes("QLC1")
-      out.writeInt(buckets)
-      out.writeLong(biasMilli)
-      var i = 0
-      while (i < buckets) { out.writeDouble(weights(i)); i += 1 }
-      out.flush()
-      bos.toByteArray
-    }
+      * weights f64, all BE — the shared [[graft.spark.ModelCodec]] layout). */
+    def toBytes: Array[Byte] =
+      graft.spark.ModelCodec.write("QLC1", buckets, Seq(biasMilli), weights)
   }
 
   object Model {
     def fromBytes(bytes: Array[Byte]): Model = {
-      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-      val magic = new Array[Byte](4)
-      buf.get(magic)
-      require(new String(magic, "US-ASCII") == "QLC1",
-        "not a QualityClassifier model: bad magic")
-      val buckets = buf.getInt
-      val biasMilli = buf.getLong
-      require(buckets > 0 && bytes.length == 16 + 8 * buckets,
-        s"corrupt QualityClassifier model: buckets=$buckets, ${bytes.length} bytes")
-      val w = new Array[Double](buckets)
-      var i = 0
-      while (i < buckets) { w(i) = buf.getDouble; i += 1 }
-      Model(buckets, w, biasMilli)
+      val (buckets, extras, w) =
+        graft.spark.ModelCodec.read("QLC1", 1, bytes, "QualityClassifier")
+      Model(buckets, w, extras(0))
     }
   }
 
-  /** Integer milli-score column (codegen'd; broadcast weight table). */
-  def scoreMilli(spark: SparkSession, model: Model)(text: Column): Column = {
-    val bc = spark.sparkContext.broadcast(model.weights)
-    TextExpressions.dsirLogWeightNative(text, model.buckets, bc) + lit(model.biasMilli)
-  }
+  /** Integer milli-score column over a caller-managed broadcast weight
+    * table (broadcast once, reuse across columns, destroy after the last
+    * action — the [[graft.spark.sample.Dsir.broadcastTable]] discipline). */
+  def scoreMilli(bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+                 buckets: Int, biasMilli: Long)(text: Column): Column =
+    TextExpressions.dsirLogWeightNative(text, buckets, bc) + lit(biasMilli)
+
+  /** Integer milli-score column (codegen'd; broadcasts the weight table —
+    * one broadcast per call, living until session end; use the
+    * caller-managed overload in loops). */
+  def scoreMilli(spark: SparkSession, model: Model)(text: Column): Column =
+    scoreMilli(spark.sparkContext.broadcast(model.weights),
+      model.buckets, model.biasMilli)(text)
 
   /** Positive-class prediction column (score_milli >= 0). */
   def predict(spark: SparkSession, model: Model)(text: Column): Column =

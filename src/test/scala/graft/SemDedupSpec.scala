@@ -39,7 +39,7 @@ class SemDedupSpec extends AnyFunSuite {
       dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
       nb += b(i).toDouble * b(i); i += 1
     }
-    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   private def collectFlags(df: DataFrame): Map[Long, (Long, Double, Boolean)] =
