@@ -88,6 +88,7 @@ object SparkEntry {
     "q_embed_incremental" -> (SparkQueries.embedIncrementalFromIndex(_, _)),
     "q_semdedup" -> (VerifiedQueries.semDedupVerified(_, _)),
     "q_semdedup_global" -> (VerifiedQueries.semDedupGlobalVerified(_, _)),
+    "q_semdedup_incremental" -> (VerifiedQueries.semDedupIncrementalVerified(_, _)),
     "q_dsir" -> (VerifiedQueries.dsirVerified(_, _)),
     "q_ann_topk" -> (VerifiedQueries.annBruteForceVerified(_, _)),
     "q_ann_lsh_recall" -> ((s, d) => VerifiedQueries.annLshRecallVerified(s, d, 0.6)),
@@ -575,6 +576,16 @@ object SparkEntry {
         "SELECT a.vec_id, COALESCE(bool_or(" +
         "list_cosine_similarity(a.v, b.v) >= 0.4), false) AS dropped " +
         "FROM e a LEFT JOIN e b ON b.vec_id < a.vec_id GROUP BY a.vec_id"),
+    // index-backed incremental SemDeDup: the emitted single-cell min-id
+    // flags reproduce the global closed form restricted to the odd-id
+    // batch (the clustered restricted-equality contract is require()d
+    // in-query — the persisted index changes the COST, not the answer)
+    "q_semdedup_incremental" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        "SELECT a.vec_id, COALESCE(bool_or(" +
+        "list_cosine_similarity(a.v, b.v) >= 0.4), false) AS dropped " +
+        "FROM (SELECT * FROM e WHERE vec_id % 2 = 1) a " +
+        "LEFT JOIN e b ON b.vec_id < a.vec_id GROUP BY a.vec_id"),
     // DSIR (hashed unigram+bigram importance resampling): the model and
     // Gumbel selection are verified in-query (parity vs an independent
     // recomputation + require()d k-count and target-separation contracts);

@@ -1358,6 +1358,43 @@ object VerifiedQueries {
       .select(col("r._1").as("vec_id"), col("r._2").as("flag_ok"))
   }
 
+  /** INDEX-BACKED incremental SemDeDup: build the persisted
+    * [[graft.spark.dedup.SemDedupIndex]] over the even-id history, search
+    * the odd-id batch against the STORED index — only the batch is
+    * assigned. Two checks: (1) the clustered (nClusters=8)
+    * restricted-equality contract runs in-query and is require()d — index
+    * flags must EQUAL the full operator under the same stored centroids
+    * (the index changes the COST, not the answer); (2) the emitted rows
+    * come from the single-cell min-id mode through the same index path,
+    * whose dropped flags reproduce the global closed form restricted to
+    * odd ids — a full-strength DuckDB pair-scan oracle. */
+  def semDedupIncrementalVerified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.dedup.{SemDedup, SemDedupIndex}
+    val emb = tbl(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val history = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    SemDedupIndex.create(history, "vec_id", "embedding", "graft_q_sdidx_c",
+      nClusters = 8, numBuckets = 8)
+    val cents = SemDedupIndex.readCentroids(spark, "graft_q_sdidx_c")
+    val gotC = SemDedupIndex.incrementalFlags(batch, history,
+        "vec_id", "embedding", "graft_q_sdidx_c", threshold = 0.4)
+      .select(col("vec_id"), col("dropped"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val wantC = SemDedup.semDedupWithCentroids(emb, cents, threshold = 0.4,
+        policy = SemDedup.KeepMinId, maxCellSize = Long.MaxValue)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("dropped"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    require(gotC == wantC,
+      s"q_semdedup_incremental: clustered index flags diverge from the full " +
+        s"operator (${gotC.count(_._2)} vs ${wantC.count(_._2)} dropped)")
+    SemDedupIndex.create(history, "vec_id", "embedding", "graft_q_sdidx_g",
+      nClusters = 1, numBuckets = 4)
+    SemDedupIndex.incrementalFlags(batch, history,
+        "vec_id", "embedding", "graft_q_sdidx_g", threshold = 0.4)
+      .select(col("vec_id"), col("dropped"))
+  }
+
   /** DSIR importance resampling (Xie et al., NeurIPS 2023): fit the hashed
     * unigram+bigram model with target = the en slice and raw = the whole
     * corpus, score every doc with the codegen'd kernel, and verify each

@@ -69,14 +69,21 @@ object SemDedup {
                lloydIters: Int = 5,
                policy: KeepPolicy = KeepLowCentroidSim,
                maxCellSize: Long = 1L << 14): DataFrame = {
-    require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
-    val spark = embeddings.sparkSession
     val cents = Ann.trainCoarseCentroids(
       embeddings.select(col("vec_id"), col("embedding")), nClusters, lloydIters)
-    val bc = spark.sparkContext.broadcast(cents)
-    // fused (cell, centroid-sim) assignment against the broadcast table —
-    // same max-cosine / lowest-index-tie rule as the IVF quantizer
-    val assignStruct = udf((v: Seq[Float]) => {
+    semDedupWithCentroids(embeddings, cents, threshold, policy, maxCellSize)
+  }
+
+  /** Fused (cell, centroid-sim) assignment UDF against a broadcast centroid
+    * table — same max-cosine / lowest-index-tie rule as the IVF quantizer,
+    * same cosine association as VecKernels.cosineF32 (the pair kernel), so
+    * every cosine in the operator is bit-identical to the verifiers'.
+    * Shared with [[SemDedupIndex]] so index-backed assignment EQUALS the
+    * full operator's under the same centroids. */
+  private[dedup] def assignStructUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Float]) => {
       var best = 0; var bestSim = Double.NegativeInfinity
       bc.value.foreach { case (i, c) =>
         var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -86,16 +93,26 @@ object SemDedup {
           dot += v(j).toDouble * c(j); na += v(j).toDouble * v(j); nb += c(j).toDouble * c(j)
           j += 1
         }
-        // same association as VecKernels.cosineF32 (the pair kernel), so
-        // every cosine in the operator is bit-identical to the verifier's
         val s = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
         if (s > bestSim) { bestSim = s; best = i }
       }
       (best, bestSim)
     })
+
+  /** [[semDedup]] under a PRECOMPUTED centroid table — the build-once /
+    * batch-many seam [[SemDedupIndex]] uses (and the restricted-equality
+    * contract's reference side: same centroids ⇒ same cells ⇒ comparable
+    * flags). */
+  def semDedupWithCentroids(embeddings: DataFrame,
+                            cents: Array[(Int, Array[Float])], threshold: Double,
+                            policy: KeepPolicy = KeepLowCentroidSim,
+                            maxCellSize: Long = 1L << 14): DataFrame = {
+    require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
+    val spark = embeddings.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
     val assignedRaw = embeddings
       .select(col("vec_id"), col("embedding"))
-      .withColumn("a", assignStruct(col("embedding")))
+      .withColumn("a", assignStructUdf(bc)(col("embedding")))
       .select(col("vec_id"), col("embedding"),
         col("a._1").as("cell"), col("a._2").as("centroid_sim"))
     // skew guard: salt cells above maxCellSize into bounded sub-blocks
