@@ -228,18 +228,22 @@ final class CountingBloomFilter private (
     }
     val fullness = cnt.toDouble / numBits.toDouble
     val calcEls = total / numHashes
-    f"CountingBloom:%n" +
-      f"\tbits: $numBits%n" +
-      f"\testimated elements: $estElements%n" +
-      f"\tnumber hashes: $numHashes%n" +
-      f"\tmax false positive rate: ${fpr.toDouble}%.6f%n" +
-      f"\telements added: $elsAdded%n" +
-      f"\tcurrent false positive rate: $currentFalsePositiveRate%.6f%n" +
-      f"\tis on disk: no%n" +
-      f"\tindex fullness: ${PyFmt.g6(fullness)}%n" +
-      f"\tmax index usage: $largest%n" +
-      f"\tmax index id: $largestIdx%n" +
-      f"\tcalculated elements: $calcEls%n"
+    // '\n' literals + Locale.ROOT decimals: the reference __str__ always
+    // emits LF and '.' — f"...%n"/%f would follow platform/locale instead
+    def f6(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    "CountingBloom:\n" +
+      s"\tbits: $numBits\n" +
+      s"\testimated elements: $estElements\n" +
+      s"\tnumber hashes: $numHashes\n" +
+      s"\tmax false positive rate: ${f6(fpr.toDouble)}\n" +
+      s"\telements added: $elsAdded\n" +
+      s"\tcurrent false positive rate: ${f6(currentFalsePositiveRate)}\n" +
+      "\tis on disk: no\n" +
+      s"\tindex fullness: ${PyFmt.g6(fullness)}\n" +
+      s"\tmax index usage: $largest\n" +
+      s"\tmax index id: $largestIdx\n" +
+      s"\tcalculated elements: $calcEls\n"
   }
 }
 

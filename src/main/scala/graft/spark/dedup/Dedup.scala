@@ -25,6 +25,12 @@ import graft.spark.fns.{TextExpressions, TextKernels}
   */
 object Dedup extends Serializable {
 
+  /** The fixed hyperplane-family seed shared by EVERY embedding LSH surface
+    * (embeddingNearDupPairs, its incremental variant, and the persisted
+    * [[EmbedIndex]]) — one constant so the index-vs-operator
+    * restricted-equality contract can't drift on a retuned seed. */
+  val EmbedHyperplaneSeed = 2000L
+
   /** MinHash signature of a shingle set (one-hash permutation family,
     * Broder 1997 / universal hashing). UDF surface kept for API parity
     * (takes pre-built shingles); same hash + finalizer family as the fused
@@ -371,7 +377,7 @@ object Dedup extends Serializable {
     val base = df.select(col(idCol).cast("long").as("vid"), col(embCol).as("emb"))
     // fused kernel: ONE UDF call emits all table signatures (bit-identical
     // to the per-table hyperplaneSig chain — VecExprSpec)
-    val sigsAll = Ann.hyperplaneSigs(tables, bitsPerTable, dim, seedBase = 2000L)
+    val sigsAll = Ann.hyperplaneSigs(tables, bitsPerTable, dim, seedBase = EmbedHyperplaneSeed)
     val bucketed = base
       .select(col("vid"), posexplode(sigsAll(col("emb"))).as(Seq("t", "h")))
     val candidates = bucketed
@@ -508,7 +514,7 @@ object Dedup extends Serializable {
     val tag = (df: DataFrame, isNew: Boolean) => df.select(
       col(idCol).cast("long").as("vid"), col(embCol).as("emb"), lit(isNew).as("is_new"))
     val base = tag(newVecs, true).unionByName(tag(oldVecs, false))
-    val sigsAll = Ann.hyperplaneSigs(tables, bitsPerTable, dim, seedBase = 2000L)
+    val sigsAll = Ann.hyperplaneSigs(tables, bitsPerTable, dim, seedBase = EmbedHyperplaneSeed)
     val bucketed = base
       .select(col("vid"), col("is_new"), posexplode(sigsAll(col("emb"))).as(Seq("t", "h")))
     val candidates = bucketed

@@ -27,7 +27,9 @@ import graft.spark.io.Bucketing
   */
 object EmbedIndex {
 
-  private val seedBase = 2000L // the embeddingNearDupPairs hyperplane family
+  // the embeddingNearDupPairs hyperplane family — shared constant so the
+  // restricted-equality contract can't drift on a retuned seed
+  private val seedBase = Dedup.EmbedHyperplaneSeed
 
   /** (ekey, vid) relation of a vector frame under the given layout. */
   private def keyRelation(vecs: DataFrame, idCol: String, embCol: String,
