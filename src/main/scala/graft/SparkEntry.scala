@@ -81,6 +81,7 @@ object SparkEntry {
     "q_minhash_pairs" -> (SparkQueries.minhashPairs(_, _)),
     "q_dedup_incremental" -> (SparkQueries.minhashPairsIncremental(_, _)),
     "q_dedup_index" -> (SparkQueries.minhashPairsFromIndex(_, _)),
+    "q_stream_neardup" -> (VerifiedQueries.streamNearDupVerified(_, _)),
     "q_dedup_clusters" -> (SparkQueries.dedupClusters(_, _)),
     "q_simhash_pairs" -> (VerifiedQueries.simhashPairsVerified(_, _)),
     "q_simhash_incremental" -> (VerifiedQueries.simhashIncrementalVerified(_, _)),
@@ -519,6 +520,11 @@ object SparkEntry {
         "COUNT(*) AS n_events, true AS emitted_once_ok, true AS late_dropped_ok " +
         "FROM events GROUP BY 1, 2"),
     "q_minhash_pairs" ->
+      (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
+    // streaming accumulation invariant: the union of per-micro-batch pairs
+    // (each wave searched against the PERSISTED index) equals the one-shot
+    // batch operator — same oracle as q_minhash_pairs
+    "q_stream_neardup" ->
       (jaccardPairsCte + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
     // incremental = the full exact pair set restricted to pairs touching a
     // NEW-batch (odd-id) doc

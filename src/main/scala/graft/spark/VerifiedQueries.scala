@@ -1007,6 +1007,40 @@ object VerifiedQueries {
         (col("n_first_seen") === col("n_distinct_exact")).as("dedup_ok"))
   }
 
+  /** STREAMING near-dup against the persisted band index
+    * ([[graft.spark.streaming.StreamingDedup]]): replay the documents table
+    * as a MemoryStream in three arrival waves — each micro-batch signs only
+    * itself, searches the stored index, appends its pairs and advances the
+    * index. The accumulated pairs must equal the one-shot batch operator
+    * over all docs, so the oracle is EXACTLY q_minhash_pairs' DuckDB
+    * jaccard-pair scan (each pair emitted once, by the wave that completes
+    * it). */
+  def streamNearDupVerified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.spark.dedup.BandIndex
+    import graft.spark.streaming.StreamingDedup
+    val rows = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    StreamingDedup.init(spark, "graft_q_snd_idx", "graft_q_snd_docs",
+      "graft_q_snd_pairs",
+      BandIndex.Conf(shingleSize = 3, numHashes = 128, bands = 32, numBuckets = 32))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupViaIndex(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", "graft_q_snd_idx", "graft_q_snd_docs",
+      "graft_q_snd_pairs", threshold = 0.5)
+    try {
+      (0 until 3).foreach { w =>
+        mem.addData(rows.filter(_._1 % 3 == w).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.catalog.refreshTable("graft_q_snd_pairs")
+    spark.table("graft_q_snd_pairs")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Frame-sampling plumbing (the video-shape row explosion): every k-th
     * 16-byte chunk of each deterministic image payload, per-image frame
     * count + sampled bytes checked against the closed layout formulas
