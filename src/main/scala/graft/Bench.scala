@@ -124,8 +124,16 @@ object Bench {
     val prior: Option[String] =
       try { if (java.nio.file.Files.exists(sidecar)) Some(java.nio.file.Files.readString(sidecar)) else None }
       catch { case _: Throwable => None }
-    val priorValid = prior.exists(p =>
+    // head == "unknown" (unreadable .git / run outside the repo root) can
+    // never validate the sidecar: two different builds both stamped
+    // "unknown" would otherwise satisfy the stale-best invalidation check
+    val priorValid = head != "unknown" && prior.exists(p =>
       p.contains("\"sf\":\"" + sfDir + "\"") && p.contains("\"head\":\"" + head + "\""))
+    // queries that errored THIS invocation, recorded before the merge can
+    // paper over them with a prior invocation's healthy timing — a flaky
+    // failure stays visible in the artifact even when the merged number
+    // reads clean
+    val erroredNow = (results ++ extra).collect { case (k, v) if v < 0 => k }.toSeq
     def priorVal(name: String): Option[Double] =
       if (!priorValid) None
       else ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r
@@ -148,9 +156,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val xs = extra.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errs = erroredNow.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extra_queries":$xs,"pages_per_sec":$bestPagesRate%.0f,"sf":"$sfDir","invocations":$invocations,"head":"$head"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extra_queries":$xs,"pages_per_sec":$bestPagesRate%.0f,"sf":"$sfDir","invocations":$invocations,"head":"$head","errors":$errs}"""
     // machine-readable copy so the driver's parse can't miss it in sbt noise
     try java.nio.file.Files.writeString(sidecar, json)
     catch { case _: Throwable => }

@@ -262,10 +262,12 @@ object ScalingBench {
          |
          |## Corpus-operator scaling
          |
-         |The nine corpus-level operators (line/span frequency flags, span
+         |The ${graft.tools.CorpusScale.ops.size} corpus-level operators
+         |(line/span frequency flags, span
          |removal, decontamination, fractional contamination, minhash+CC
-         |near-dup clustering, incremental minhash, and the fixed-batch
-         |incremental-vs-band-index pair) have their own measured
+         |near-dup clustering, incremental minhash, the fixed-batch
+         |incremental-vs-band-index pair plus its isolated sign kernels, and
+         |DSIR) have their own measured
          |sf0.1-vs-10x growth curve —
          |see the table in **BENCH/CORPUS_SCALE.md** (generated by
          |`runMain graft.tools.CorpusScale report`, the single source of

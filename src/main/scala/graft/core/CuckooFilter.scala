@@ -366,7 +366,17 @@ final class CountingCuckooFilter(
         // charge the NEW element's count, not the relocated bin's — prv's
         // count was already charged when prv was first inserted; the
         // reference does `_inserted_elements += 1` here for the add call
-        // (countingcuckoo.py:259-262), which for count==1 is the same thing
+        // (countingcuckoo.py:259-262), which for count==1 is the same thing.
+        // DELIBERATE divergence for count > 1 (reachable only via
+        // [[addFingerprintCount]] — the reference-absent merge extension —
+        // and via expansion re-inserts): the reference's kick loop seeds
+        // `CountingCuckooBin(fingerprint, 1)` (countingcuckoo.py:248), so a
+        // multi-count newcomer that kicks LOSES count-1 occurrences and
+        // charges +1; the engine keeps the full count in the relocated bin
+        // (`prv = packed(fp0, count)` above) and charges `count`, because
+        // the distributed merge depends on elements_added staying the total
+        // occurrence count (same rationale as the expandLogic divergence
+        // below; CuckooSpec pins the engine behavior).
         insertedElements += count
         uniqueElements += 1
         return -1L

@@ -651,20 +651,30 @@ object SparkQueries {
   // 4x (warm-up + min-of-3) — re-running create() inside the timed body
   // would make q_dedup_index measure the O(history) index BUILD, the exact
   // cost the index exists to amortize away (round-5 review finding). The
-  // first call (Verify's only call, Bench's warm-up) still builds.
-  @volatile private var dedupIndexBuiltFor: String = null
+  // first call (Verify's only call, Bench's warm-up) still builds. The
+  // table NAME is derived from the sf dir, so a same-JVM caller switching
+  // dirs (or concurrent sessions over a shared warehouse) can never search
+  // an index built from a different dir under the same name (round-5
+  // advice); the guard set only prevents same-dir rebuilds.
+  private val dedupIndexBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def dedupIndexTable(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_q_dedup_index_$md"
+  }
 
   def minhashPairsFromIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.BandIndex
     val docs = tbl(spark, dir, "documents")
     val history = docs.filter(col("doc_id") % 2 === 0)
-    if (dedupIndexBuiltFor != dir) {
-      BandIndex.create(history, "doc_id", "text", "graft_q_dedup_index",
+    val table = dedupIndexTable(dir)
+    if (dedupIndexBuilt.add(dir)) {
+      BandIndex.create(history, "doc_id", "text", table,
         BandIndex.Conf(shingleSize = 3, numHashes = 128, bands = 32, numBuckets = 32))
-      dedupIndexBuiltFor = dir
     }
     BandIndex.incrementalPairs(docs.filter(col("doc_id") % 2 === 1), history,
-      "doc_id", "text", "graft_q_dedup_index", threshold = 0.5)
+      "doc_id", "text", table, threshold = 0.5)
   }
 
   /** INDEX-BACKED incremental embedding near-dup (round-5): persist the

@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-operator scaling datapoints (round-3 verdict next-round #9): the
-  * corpus-level operators (`ops` below — nine as of round 5, count derived
-  * from `ops.size` in the report) timed at sf0.1 (5k docs), a synthesized
+  * corpus-level operators (`ops` below — every count in report prose derives
+  * from `ops.size`, never a hand-written number) timed at sf0.1 (5k docs), a synthesized
   * 10x level (50k replicated docs), and a TRUE generated sf1 level (50k
   * fresh PagesGen docs — round-4 verdict next-round #6), reporting docs/sec
   * at each and the rate ratios — the measured growth curve of the heavy-set
@@ -32,7 +32,7 @@ object CorpusScale {
   private val srcDir = "/root/testdata/sf0.1/documents.parquet"
   private def dir(mult: String) = s"/tmp/graft_corpus_x$mult"
   private val levels = Seq("1", "10", "sf1")
-  private val ops = Seq("line_flags", "span_flags", "span_clean", "decontaminate",
+  private[graft] val ops = Seq("line_flags", "span_flags", "span_clean", "decontaminate",
     "contamination_frac", "neardup_cc", "neardup_incremental",
     "neardup_fixedbatch_incr", "neardup_fixedbatch_index",
     "sign_batch", "sign_history", "dsir")

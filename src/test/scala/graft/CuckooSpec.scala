@@ -108,6 +108,41 @@ class CountingCuckooSpec extends AnyFunSuite {
     assert(a.check("k") == 100)
     assert(a.check("only-b") == 50)
   }
+
+  // Pins the DELIBERATE count>1 kick-path divergence (CuckooFilter.scala
+  // insertFingerprint doc): the reference's kick loop seeds the newcomer as
+  // CountingCuckooBin(fp, 1) and charges +1, silently losing count-1
+  // occurrences; the engine keeps the full count in the relocated bin and
+  // charges `count` — required for elements_added to stay the total
+  // occurrence count under the distributed merge. Only reachable through
+  // addFingerprintCount (the reference-absent merge extension) and
+  // expansion re-inserts, so the kick-free parity fixtures can't cover it.
+  test("counting kick with count > 1 keeps the full count (merge-path divergence)") {
+    val c = CountingCuckooFilter(capacity = 4, bucketSize = 1, maxSwaps = 5,
+      autoExpand = false)
+    // newcomer fpX with distinct home buckets (a, b); residents fp1 -> a and
+    // fp2 -> b whose ALTERNATE buckets are outside {a, b}, so the kick
+    // resolves in one swap into a free bucket
+    def indices(fp: Int) = c.indicesFromFingerprint(fp)
+    val fpX = (1 to 10000).find(fp => { val (a, b) = indices(fp); a != b }).get
+    val (a, b) = indices(fpX)
+    def residentFor(home: Int, taken: Set[Int]): Int =
+      (1 to 100000).find { fp =>
+        val (i1, i2) = indices(fp)
+        fp != fpX && !taken.contains(fp) && i1 == home && i2 != a && i2 != b
+      }.get
+    val fp1 = residentFor(a, Set.empty)
+    val fp2 = residentFor(b, Set(fp1))
+    c.addFingerprintCount(fp1, 1L)
+    c.addFingerprintCount(fp2, 1L)
+    assert(c.insertedElements == 2 && c.uniqueElements == 2)
+    c.addFingerprintCount(fpX, 3L) // both home buckets full -> kick loop
+    assert(c.insertedElements == 5, "kick must charge the full count (+3, not +1)")
+    assert(c.uniqueElements == 3)
+    val bins = c.buckets.flatten.map(bin => ((bin >>> 32).toInt, bin & 0xffffffffL))
+    assert(bins.toSet == Set((fp1, 1L), (fp2, 1L), (fpX, 3L)),
+      "the relocated newcomer bin must keep count 3 (the reference would hold 1)")
+  }
 }
 
 class QuotientFilterSpec extends AnyFunSuite {
