@@ -2,10 +2,10 @@ package graft.spark.fns
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Codegen'd vector kernels for the embedding hot paths. The previous
   * cosine was a `zip_with` + `aggregate` expression chain — higher-order
@@ -32,6 +32,17 @@ object VecKernels extends Serializable {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IEEE-754 double -> SIGNED long whose signed order equals the double's
+    * numeric order (the standard sortable-bits transform: flip the low 63
+    * bits when the sign bit is set). -0.0 normalizes to +0.0 FIRST — Spark
+    * SQL comparisons and sorts treat them as equal, and the selection this
+    * kernel feeds must rank them identically to an engine sort. NaN is NOT
+    * ordered (maps above +Inf) — callers must not feed NaN keys. */
+  def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
   }
 }
 
@@ -64,8 +75,31 @@ case class CosineF32Expr(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "cosine_f32"
 }
 
+/** `sortable_double_bits(double) -> long`: order-preserving bit transform
+  * (see [[VecKernels.sortableBits]]) — the key-discretization primitive of
+  * the distributed exact top-k selection ([[graft.spark.sample.Sampling
+  * .topKFlags]]): signed comparisons and arithmetic-shift bucket prefixes
+  * of the result respect the double's numeric order. */
+case class SortableDoubleBitsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.sortableBits(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.fns.VecKernels.sortableBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sortable_double_bits"
+}
+
 object VecExpressions {
   def cosineF32(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineF32Expr(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def sortableDoubleBits(c: Column): Column =
+    GraftColumnBridge.column(SortableDoubleBitsExpr(GraftColumnBridge.expression(c)))
 }

@@ -25,8 +25,9 @@ import graft.spark.fns.TextExpressions
   *    milli-nats (integer — engine-exact thresholds, the charlm pattern).
   *  - resample: sampling WITHOUT replacement via the Gumbel top-k trick
   *    (Vieira 2014 — public): key = log w + Gumbel(md5-derived uniform),
-  *    deterministic per (seed, id); top-k is a bounded TakeOrdered, never
-  *    a global sort materialization.
+  *    deterministic per (seed, id); the cut is the distributed
+  *    boundary-bucket selection ([[graft.spark.sample.Sampling.topKFlags]])
+  *    — neither a global sort nor an O(k)-per-task TakeOrdered.
   */
 object Dsir {
 
@@ -99,8 +100,13 @@ object Dsir {
     * the input plus `dsir_logw_milli` (long) and `selected` (boolean,
     * exactly min(k, n) rows true). Deterministic per (model, seed):
     * u = md5-derived uniform in (0,1), key = logw + (−log(−log u)),
-    * ties by id. The top-k is a TakeOrderedAndProject (driver holds k ids,
-    * never the corpus) re-joined as a broadcast flag. */
+    * ties by id. The cut is [[graft.spark.sample.Sampling.topKFlags]]'
+    * boundary-bucket refinement — NO TakeOrdered (O(k) bounded priority
+    * queue in every task at the paper's k ≈ 10^8 selections) and no k-id
+    * broadcast anywhere: per-round driver state is ≤ 2^16 bucket counts,
+    * and the boundary-key tie window sees ~1 row (Gumbel keys collide only
+    * on identical (logw, 60-bit md5 u)). DsirSpec pins equivalence with
+    * the TakeOrdered definition including the tie-by-id rule. */
   def resampleFlags(df: DataFrame, idCol: String, textCol: String, model: Model,
                     k: Int, seed: String): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
@@ -112,13 +118,7 @@ object Dsir {
           16, 10).cast("double") + 0.5) / lit(math.pow(2.0, 60)))
       .withColumn("__key",
         col("dsir_logw_milli").cast("double") / 1000.0 - log(-log(col("__u"))))
-    val top = scored
-      .orderBy(col("__key").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol))
-      .withColumn("selected", lit(true))
-    scored.drop("__u", "__key")
-      .join(broadcast(top), Seq(idCol), "left")
-      .withColumn("selected", coalesce(col("selected"), lit(false)))
+    Sampling.topKFlags(scored, idCol, col("__key"), k.toLong)
+      .drop("__u", "__key")
   }
 }

@@ -131,6 +131,88 @@ object Sampling {
     wholesale.unionByName(boundaryRows).drop("__bkt", "__ka", "__off")
   }
 
+  // ---- distributed exact top-k selection ----
+
+  /** Flag the top `k` rows by (`key` DESC, `idCol` ASC) — the EXACT result
+    * of `orderBy(key.desc, id).limit(k)`, computed without O(k) state
+    * anywhere: no TakeOrdered (whose per-task bounded priority queue and
+    * driver merge are both O(k)) and no k-row broadcast. This is the
+    * [[tokenBudgetKeepFlags]] two-level boundary cut applied to a DOUBLE
+    * key (round-5 verdict top item — DSIR's published selections are
+    * k ≈ 10^8, where O(k)-per-task top-k is a ~GB heap in every task):
+    *
+    *  1. the key is discretized order-preservingly to a signed long
+    *     ([[graft.spark.fns.VecKernels.sortableBits]]);
+    *  2. FOUR refinement rounds (16 bits of key prefix each) walk
+    *     bucket-count histograms from the top: each round is one bounded
+    *     aggregate (≤ 2^16 rows to the driver) over a persisted 16-byte-row
+    *     (id, bits) projection, narrowing to the single boundary bucket
+    *     until round 4 pins the EXACT boundary key T and the residual
+    *     count r to take at T;
+    *  3. flags are then pure per-row comparisons (`bits > T`), plus a
+    *     row_number window over ONLY the rows with bits == T (ties = keys
+    *     with bit-identical doubles; for a hash-perturbed key like DSIR's
+    *     Gumbel this is ~1 row — the window's single-task sort is bounded
+    *     by the duplicate count of the boundary key, never by k).
+    *
+    * `key` must be non-NaN; NULL keys are kept with selected = false
+    * (they sort below everything, like NULLS LAST). `idCol` must be
+    * unique — it is the deterministic tie rule. Returns the input plus
+    * `selected` (exactly min(k, non-null-key rows) true). */
+  def topKFlags(df: DataFrame, idCol: String, key: Column, k: Long): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    import org.apache.spark.storage.StorageLevel
+    val withBits = df.withColumn("__kb", graft.spark.fns.VecExpressions.sortableDoubleBits(key))
+    val proj = withBits.select(col(idCol), col("__kb"))
+      .filter(col("__kb").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var kRem = k
+      var lo = Long.MinValue
+      var hi = Long.MaxValue
+      var boundary: Option[Long] = None // exact boundary key bits (round 4)
+      var selectAll = false
+      val shifts = Seq(48, 32, 16, 0)
+      var s = 0
+      while (s < shifts.length && boundary.isEmpty && !selectAll) {
+        val shift = shifts(s)
+        // bucket = arithmetic-shift prefix: signed-monotone in __kb, so
+        // walking buckets in descending signed order walks keys descending
+        val counts = proj.filter(col("__kb") >= lo && col("__kb") <= hi)
+          .groupBy(shiftright(col("__kb"), shift).as("b")).count()
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(-_._1)
+        var i = 0
+        var narrowed = false
+        while (i < counts.length && !narrowed) {
+          val (b, c) = counts(i)
+          if (kRem > c) { kRem -= c; i += 1 }
+          else { // boundary bucket: narrow to its aligned key range
+            if (shift == 0) boundary = Some(b)
+            else { lo = b << shift; hi = lo + ((1L << shift) - 1) }
+            narrowed = true
+          }
+        }
+        if (!narrowed) selectAll = true // fewer rows than k in range
+        s += 1
+      }
+      if (selectAll) {
+        withBits.withColumn("selected", col("__kb").isNotNull).drop("__kb")
+      } else {
+        val t = boundary.get
+        val r = kRem
+        // non-boundary rows: a pure comparison (null keys -> false);
+        // boundary-key ties: row_number over ONLY those rows, in id order
+        val nonTie = withBits.filter(col("__kb").isNull || col("__kb") =!= t)
+          .withColumn("selected", coalesce(col("__kb") > t, lit(false)))
+        val ties = withBits.filter(col("__kb") === t)
+          .withColumn("selected",
+            row_number().over(Window.orderBy(col(idCol))) <= r)
+        nonTie.unionByName(ties).drop("__kb")
+      }
+    } finally proj.unpersist(blocking = false)
+  }
+
   // ---- deterministic hash sampling / temperature mixing ----
 
   /** 8-hex-digit lowercase threshold for a sampling rate in [0, 1]:

@@ -153,18 +153,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.matches("(?s).*Project \\[codegen id : \\d+\\].*"), plan)
   }
 
-  test("dsir: codegen'd scoring scan, bounded TakeOrdered selection, broadcast flag join") {
+  test("dsir: codegen'd scoring scan, distributed boundary cut (no O(k) state)") {
     val df = SparkQueries.dsirResample(spark, dir)
     val plan = formatted(df)
-    // selection is a bounded top-k, never a global sort materialization
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    // the k selected ids come back as a broadcast flag join
-    assert(plan.contains("BroadcastHashJoin LeftOuter"), plan)
-    // the scoring kernel runs as a native codegen'd expression, and the
-    // top-k side's scan is pruned to (doc_id, text)
+    // round-5 verdict top item: the selection must carry NO O(k) state —
+    // no TakeOrdered (k-sized bounded priority queue in EVERY task + driver
+    // merge) and no k-id broadcast; flags are pure comparisons plus a tie
+    // window over only the boundary-key rows
+    assert(!plan.contains("TakeOrderedAndProject"),
+      "selection must not use O(k)-per-task TakeOrdered:\n" + plan)
+    assert(!plan.contains("BroadcastHashJoin"),
+      "selection must not broadcast a k-sized id set:\n" + plan)
+    // the flag plan is the non-tie comparison branch UNIONed with the
+    // boundary-key tie branch, whose window sorts ONLY rows filtered to
+    // the single boundary key (the SinglePartition exchange is bounded by
+    // the duplicate count of that one key, not by k)
+    assert(plan.contains("Union"), plan)
+    assert(plan.contains("SinglePartition"), plan)
+    // the scoring kernel runs as a native codegen'd expression
     assert(plan.contains("dsir_logw_milli"), plan)
     assert(!plan.contains("ScalaUDF"), "scoring must not cross a UDF boundary:\n" + plan)
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
   test("classifier training iteration: ONE bounded gradient exchange, codegen'd margin") {

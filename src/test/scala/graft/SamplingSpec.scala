@@ -129,4 +129,75 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("kept")).count()
     assert(none == 0L)
   }
+
+  // ---- distributed exact top-k selection (topKFlags) ----
+
+  /** The definition topKFlags must reproduce: orderBy(key desc, id).limit(k). */
+  private def takeOrderedIds(df: DataFrame, k: Int): Set[Long] =
+    df.orderBy(col("key").desc, col("id")).limit(k)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+
+  private def topKIds(df: DataFrame, k: Long): Set[Long] =
+    Sampling.topKFlags(df, "id", col("key"), k)
+      .filter(col("selected")).select(col("id")).collect().map(_.getLong(0)).toSet
+
+  test("topKFlags equals TakeOrdered for random keys incl duplicates and ties, any k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate-heavy key pool (only 25 distinct doubles over 300 rows,
+    // negatives, zero and subnormals included) forces the boundary key to
+    // carry multi-row ties — the tie-by-id window path — on most k values
+    val pool = Seq(-1e300, -17.25, -0.0, 0.0, 4.9e-324, 1e-9, 0.5, 1.0, 2.0, 1e308) ++
+      (0 until 15).map(_ => rnd.nextDouble() * 200 - 100)
+    val rows = (0L until 300L).map(id => (id, pool(rnd.nextInt(pool.size))))
+    val df = rows.toDF("id", "key")
+    for (k <- Seq(1, 2, 7, 25, 137, 299, 300, 1000)) {
+      val expect = takeOrderedIds(df, k)
+      val got = topKIds(df, k.toLong)
+      assert(got == expect, s"k=$k")
+      assert(got.size == math.min(k, 300), s"k=$k cardinality")
+    }
+    // partition-count invariance (the cut must not depend on layout)
+    assert(topKIds(df.repartition(13), 137L) == takeOrderedIds(df, 137))
+  }
+
+  test("topKFlags: all rows share one key -> pure tie-by-id selection") {
+    import spark.implicits._
+    val df = (0L until 50L).map(id => (id, 3.25)).toDF("id", "key")
+    assert(topKIds(df, 20L) == (0L until 20L).toSet)
+  }
+
+  test("topKFlags: null keys are kept rows but never selected") {
+    import spark.implicits._
+    val df = (0L until 40L).map(id =>
+      (id, if (id % 4 == 0) None else Some(id.toDouble))).toDF("id", "key")
+    val flags = Sampling.topKFlags(df, "id", col("key"), 35L)
+    assert(flags.count() == 40, "null-key rows stay in the output")
+    val sel = flags.filter(col("selected")).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    // only 30 non-null keys exist; all are selected, no null sneaks in
+    assert(sel == (0L until 40L).filter(_ % 4 != 0).toSet)
+  }
+
+  test("topKFlags plan has no TakeOrdered and no per-k state") {
+    import spark.implicits._
+    val df = (0L until 500L).map(id => (id, (id * 37 % 101).toDouble)).toDF("id", "key")
+    val plan = Sampling.topKFlags(df, "id", col("key"), 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrdered"),
+      s"selection must not rebuild the O(k)-per-task TakeOrdered:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"selection must not broadcast a k-sized id set:\n$plan")
+  }
+
+  test("sortableBits is monotone over the double line") {
+    val vals = Seq(Double.NegativeInfinity, -1e308, -2.5, -1e-9, -4.9e-324,
+      -0.0, 0.0, 4.9e-324, 1e-9, 2.5, 1e308, Double.PositiveInfinity)
+    val bits = vals.map(graft.spark.fns.VecKernels.sortableBits)
+    assert(bits == bits.sorted, "signed bit order must equal numeric order")
+    // -0.0 normalizes to 0.0 (Spark comparison semantics: they tie, and a
+    // tie must fall through to the id rule, not the sign bit)
+    assert(graft.spark.fns.VecKernels.sortableBits(0.0) ==
+      graft.spark.fns.VecKernels.sortableBits(-0.0))
+  }
 }
