@@ -152,18 +152,16 @@ object Ann extends Serializable {
     out
   }
 
-  /** Cell-assignment UDF against a broadcast centroid table (max cosine,
-    * lowest index on ties by strict `>` comparison). */
+  /** Cell assignment against a broadcast centroid table (max cosine,
+    * lowest index on ties by strict `>` comparison). Round 6: a codegen'd
+    * native expression ([[graft.spark.fns.AssignCellF32Expr]]) with
+    * bit-identical FLOAT-multiply cosine to [[cosineLocal]] /
+    * [[assignCellArr]] — AssignExprSpec pins the parity with the boxed UDF
+    * this replaced, so stored-index assignments cannot drift. */
   private def mkAssignUdf(
-      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]]): UserDefinedFunction =
-    udf((v: Seq[Float]) => {
-      var best = 0; var bestSim = Double.NegativeInfinity
-      bc.value.foreach { case (i, c) =>
-        val s = cosineLocal(v, c)
-        if (s > bestSim) { bestSim = s; best = i }
-      }
-      best
-    })
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]])(
+      c: Column): Column =
+    graft.spark.fns.VecExpressions.assignCellF32(c, bc)
 
   /** The IVF coarse quantizer, SHARED by [[ivfTopK]] and [[ivfPqTopK]]:
     * deterministic hashed-id seeds, then `lloydIters` distributed
@@ -306,7 +304,7 @@ object Ann extends Serializable {
     val spark = corpus.sparkSession
     val centroids = trainCoarseCentroids(corpus, nlist, lloydIters)
     val cents = spark.sparkContext.broadcast(centroids)
-    val assignCell = mkAssignUdf(cents) // reuse the one final broadcast
+    val assignCell = mkAssignUdf(cents) _ // reuse the one final broadcast
     val probeCells = udf((v: Seq[Float]) =>
       cents.value.map { case (i, c) => (i, cosineLocal(v, c)) }
         .sortBy(-_._2).take(nprobe).map(_._1))

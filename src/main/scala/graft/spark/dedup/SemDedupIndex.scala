@@ -38,9 +38,9 @@ object SemDedupIndex {
                        cents: Array[(Int, Array[Float])]): DataFrame = {
     val bc = vecs.sparkSession.sparkContext.broadcast(cents)
     vecs.select(col(idCol).cast("long").as("vid"), col(embCol).as("emb"))
-      .withColumn("a", SemDedup.assignStructUdf(bc)(col("emb")))
-      .select(col("a._1").cast("long").as("ckey"), col("vid"),
-        col("a._2").as("csim"))
+      .withColumn("a", SemDedup.assignStruct(bc)(col("emb")))
+      .select(col("a.cell").cast("long").as("ckey"), col("vid"),
+        col("a.sim").as("csim"))
   }
 
   /** Train the quantizer on `history`, persist centroids + the (ckey, vid,
