@@ -296,6 +296,7 @@ object ScalingBench {
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true") // one-file-per-bucket index scans report their written sort (BandIndex)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

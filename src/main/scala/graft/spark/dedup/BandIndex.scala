@@ -79,10 +79,18 @@ object BandIndex {
     * file — that is the condition under which Spark's bucketed scan reports
     * its written sort order and the search's sort-merge semi-join elides
     * BOTH the exchange and the sort on the index side (a multi-file bucket
-    * would be re-sorted O(history log history) on every search). Appends
-    * add a second file per bucket and give that up — re-establish it with
-    * [[compactTo]] (on a cluster, the table format's rewrite/compaction
-    * does the same job). */
+    * would be re-sorted O(history log history) on every search). NOTE: the
+    * sort-order reporting additionally requires the session conf
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (off by
+    * Spark default since 3.0; harmless-and-only-beneficial in the
+    * single-file-per-bucket layout this index maintains) — the engine's
+    * runtime sessions (Verify/Bench/CuratePipeline/CorpusScale) set it,
+    * and BandIndexSpec pins the fresh→degraded→compacted transition under
+    * it. Appends add a second file per bucket and give the elision up —
+    * re-establish it with [[compactTo]] (on a cluster, the table format's
+    * rewrite/compaction does the same job); [[IndexIO.append]] measures
+    * files-per-bucket after every append and warns loudly past the
+    * advisory threshold. */
   def create(history: DataFrame, idCol: String, textCol: String, table: String,
              conf: Conf = Conf()): Unit =
     IndexIO.create(bandRelation(history, idCol, textCol, conf), table, "bkey",
@@ -102,7 +110,7 @@ object BandIndex {
     * batch with [[incrementalPairs]] — the batch must not see itself as
     * history). Parameters come from the stored conf; ids must be new to the
     * index. */
-  def append(batch: DataFrame, idCol: String, textCol: String, table: String): Unit = {
+  def append(batch: DataFrame, idCol: String, textCol: String, table: String): Double = {
     val conf = readConf(batch.sparkSession, table)
     IndexIO.append(bandRelation(batch, idCol, textCol, conf),
       table, "bkey", conf.numBuckets)

@@ -57,7 +57,7 @@ object EmbedIndex {
 
   /** Append a processed batch's buckets (run AFTER searching the batch).
     * Layout comes from the stored conf; ids must be new to the index. */
-  def append(batch: DataFrame, idCol: String, embCol: String, table: String): Unit = {
+  def append(batch: DataFrame, idCol: String, embCol: String, table: String): Double = {
     val conf = IndexIO.readConf(batch.sparkSession, table, "EmbedIndex.create")
     IndexIO.append(
       keyRelation(batch, idCol, embCol, conf("tables"), conf("bits_per_table"),

@@ -79,7 +79,7 @@ object SemDedupIndex {
 
   /** Append a processed batch's members (run AFTER searching the batch).
     * Assignment uses the STORED centroids; ids must be new to the index. */
-  def append(batch: DataFrame, idCol: String, embCol: String, table: String): Unit = {
+  def append(batch: DataFrame, idCol: String, embCol: String, table: String): Double = {
     val spark = batch.sparkSession
     val conf = IndexIO.readConf(spark, table, "SemDedupIndex.create")
     IndexIO.append(assigned(batch, idCol, embCol, readCentroids(spark, table)),

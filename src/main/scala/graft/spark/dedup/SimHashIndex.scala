@@ -43,7 +43,7 @@ object SimHashIndex {
 
   /** Append a processed batch's keys (run AFTER searching the batch — the
     * batch must not see itself as history). Ids must be new to the index. */
-  def append(batch: DataFrame, idCol: String, textCol: String, table: String): Unit = {
+  def append(batch: DataFrame, idCol: String, textCol: String, table: String): Double = {
     val conf = IndexIO.readConf(batch.sparkSession, table, "SimHashIndex.create")
     IndexIO.append(keyRelation(batch, idCol, textCol), table, "skey",
       conf("num_buckets"))

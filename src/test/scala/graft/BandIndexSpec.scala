@@ -132,4 +132,66 @@ class BandIndexSpec extends AnyFunSuite {
       BandIndex.drop(spark, "graft_bidx_t3")
     }
   }
+
+  test("appends degrade files-per-bucket and the sort; compactTo restores both") {
+    import graft.spark.dedup.IndexIO
+    val d = docs
+    val history = d.filter(col("doc_id") < 30)
+    BandIndex.create(history, "doc_id", "text", "graft_bidx_t4",
+      BandIndex.Conf(numBuckets = 4))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevOrd = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the conf the runtime sessions set (Verify/Bench/CuratePipeline):
+      // bucketed scans only report their written sort under it, and only
+      // while every bucket is a single file
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      assert(IndexIO.filesPerBucket(spark, "graft_bidx_t4", 4) == 1.0,
+        "a fresh index holds exactly one file per bucket")
+      def indexSortElided(table: String): Boolean = {
+        // a one-file-per-bucket index reports its written sort order, so
+        // the semi-join plan needs NO Sort above the index scan
+        val batch = d.filter(col("doc_id") >= 50)
+        val plan = BandIndex.incrementalPairs(batch, history, "doc_id", "text",
+          table, threshold = 0.5).queryExecution.executedPlan
+        val semiLefts = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType.sql == "LEFT SEMI" && j.left.collect {
+              case f: FileSourceScanExec
+                if f.tableIdentifier.exists(_.table.contains(table)) => f
+            }.nonEmpty => j.left
+        }
+        assert(semiLefts.nonEmpty, s"no index semi-join in plan for $table")
+        semiLefts.forall(_.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }.isEmpty)
+      }
+      assert(indexSortElided("graft_bidx_t4"), "fresh index: sort must be elided")
+      // two appends -> multiple files per bucket; the advisory metric moves
+      // and the search must now re-sort the index side (the degradation the
+      // append-time check exists to surface)
+      val fpb1 = BandIndex.append(d.filter(col("doc_id") >= 30 && col("doc_id") < 40),
+        "doc_id", "text", "graft_bidx_t4")
+      val fpb2 = BandIndex.append(d.filter(col("doc_id") >= 40 && col("doc_id") < 50),
+        "doc_id", "text", "graft_bidx_t4")
+      assert(fpb1 > 1.0 && fpb2 > fpb1,
+        s"each append must raise files-per-bucket (got $fpb1 then $fpb2)")
+      assert(!indexSortElided("graft_bidx_t4"),
+        "multi-file buckets must cost a per-search sort (the degraded state)")
+      // compaction restores the one-file-per-bucket layout AND the plan
+      BandIndex.compactTo(spark, "graft_bidx_t4", "graft_bidx_t4c")
+      assert(IndexIO.filesPerBucket(spark, "graft_bidx_t4c", 4) == 1.0)
+      assert(indexSortElided("graft_bidx_t4c"),
+        "compacted index: sort elision must be restored")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+      BandIndex.drop(spark, "graft_bidx_t4")
+      BandIndex.drop(spark, "graft_bidx_t4c")
+    }
+  }
 }

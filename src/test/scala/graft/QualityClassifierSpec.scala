@@ -38,6 +38,36 @@ class QualityClassifierSpec extends AnyFunSuite {
       "gradient aggregation must be partitioning-invariant (exact Long sums)")
   }
 
+  test("sampleCap: deterministic bounded sample, byte-equal across layouts, still learns") {
+    // cap below the corpus size: the content-hash cut must pick the SAME
+    // 16 docs under any partitioning (round-5 scale posture: at corpus
+    // scale training runs on a bounded deterministic sample)
+    val s1 = QualityClassifier.train(labeled, "text", "label", buckets = B,
+      iters = 20, sampleCap = 16)
+    val s2 = QualityClassifier.train(labeled.repartition(9), "text", "label",
+      buckets = B, iters = 20, sampleCap = 16)
+    assert(java.util.Arrays.equals(s1.toBytes, s2.toBytes),
+      "sampled training must stay byte-deterministic across partitionings")
+    val full = QualityClassifier.train(labeled, "text", "label", buckets = B, iters = 20)
+    assert(!java.util.Arrays.equals(s1.toBytes, full.toBytes),
+      "cap below corpus size must actually bound the training set")
+    // a cap >= corpus size selects everything -> identical to full training
+    val sAll = QualityClassifier.train(labeled, "text", "label", buckets = B,
+      iters = 20, sampleCap = 1000)
+    assert(java.util.Arrays.equals(sAll.toBytes, full.toBytes))
+    // the sampled model still solves the separable holdout perfectly
+    import spark.implicits._
+    val holdout = Seq(
+      (true, "aria apple atlas amber anchor"),
+      (true, "amber atlas apple aria"),
+      (false, "zonal zebra zephyr zinc"),
+      (false, "zinc zodiac zebra zonal")).toDF("label", "text")
+    val wrong = holdout
+      .withColumn("p", QualityClassifier.predict(spark, s1)(col("text")))
+      .filter(col("p") =!= col("label")).count()
+    assert(wrong == 0, "sampled-model holdout accuracy must stay perfect on the fixture")
+  }
+
   test("learns a separable task: margins strictly split, holdout perfect") {
     val m = QualityClassifier.train(labeled, "text", "label", buckets = B, iters = 20)
     // holdout: unseen salts of the same vocabularies
