@@ -86,6 +86,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (VerifiedQueries.simhashPairsVerified(_, _)),
     "q_simhash_incremental" -> (VerifiedQueries.simhashIncrementalVerified(_, _)),
     "q_embed_neardup" -> (SparkQueries.embeddingNearDup(_, _)),
+    "q_embed_from_text" -> (VerifiedQueries.embedFromTextVerified(_, _)),
     "q_embed_incremental" -> (SparkQueries.embedIncrementalFromIndex(_, _)),
     "q_semdedup" -> (VerifiedQueries.semDedupVerified(_, _)),
     "q_semdedup_global" -> (VerifiedQueries.semDedupGlobalVerified(_, _)),
@@ -601,6 +602,14 @@ object SparkEntry {
       ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 " +
         "ELSE 2 * len(regexp_split_to_array(trim(text), '\\s+')) - 1 END AS BIGINT) " +
         "AS n_feats, true AS parity_ok FROM documents"),
+    // in-engine deterministic text embedding (hashed-ngram random
+    // projection): the kernel is verified in-query against an independent
+    // recomputation + the unit-norm contract; DuckDB re-derives the 2t-1
+    // feature count from raw text (same tokenization contract as q_dsir)
+    "q_embed_from_text" ->
+      ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE 2 * len(regexp_split_to_array(trim(text), '\\s+')) - 1 END AS BIGINT) " +
+        "AS n_feats, true AS parity_ok, true AS unit_norm_ok FROM documents"),
     "q_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
         "WHERE vec_id < 10), " +

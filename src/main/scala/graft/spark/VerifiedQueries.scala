@@ -1483,6 +1483,66 @@ object VerifiedQueries {
       (col("dsir_logw_milli") === refMilli(col("text"))).as("parity_ok"))
   }
 
+  /** In-engine deterministic text embeddings (round-6, verdict "what's
+    * missing" #1): the codegen'd [[graft.spark.fns.TextKernels
+    * .hashEmbedding]] kernel over the documents table, verified per doc
+    * against (a) an INDEPENDENT boxed-UDF from-scratch recomputation of the
+    * construction (regex tokenization, string-built bigrams, its own fnv
+    * fold — the dsirVerified replica pattern) compared float-for-float, and
+    * (b) the unit-norm contract (‖emb‖² ≈ 1, or exactly 0 for featureless
+    * text). n_feats re-derives the 2t−1 feature count DuckDB checks from
+    * the raw text. */
+  def embedFromTextVerified(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val seed = 42L
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val ref = udf((text: String) => {
+      def low(c: Char): Char =
+        if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
+      val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        .map(_.map(low))
+      def fnv(s: String): Long = {
+        var h = graft.hash.Fnv.Offset64
+        s.foreach { c => h ^= c.toInt; h *= graft.hash.Fnv.Prime64 }
+        h
+      }
+      val feats = toks.map(fnv) ++
+        toks.sliding(2).filter(_.length == 2).map(p => fnv(p(0) + " " + p(1)))
+      val acc = new Array[Double](dim)
+      feats.foreach { h =>
+        var k = 0
+        var j = 0
+        while (k < (dim + 63) / 64) {
+          var z = h + seed + (k + 1) * 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          var b = 0
+          while (b < 64 && j < dim) {
+            acc(j) += (((z >>> b) & 1L) * 2L - 1L).toDouble
+            j += 1; b += 1
+          }
+          k += 1
+        }
+      }
+      val n2 = acc.map(x => x * x).sum
+      val inv = if (n2 == 0) 0.0 else 1.0 / math.sqrt(n2)
+      acc.map(x => (x * inv).toFloat).toSeq
+    })
+    val emb = graft.spark.fns.TextExpressions.textEmbeddingNative(col("text"), dim, seed)
+    val ss = aggregate(transform(col("emb"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
+    docs
+      .withColumn("emb", emb)
+      .withColumn("n_feats",
+        size(graft.spark.fns.TextExpressions.dsirBucketsNative(col("text"), 4096))
+          .cast("long"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("emb") === ref(col("text"))).as("parity_ok"),
+        (when(col("n_feats") === 0L, ss === 0.0)
+          .otherwise(abs(ss - 1.0) < 1e-4)).as("unit_norm_ok"))
+  }
+
   /** SemDeDup's degenerate closed-form mode (nClusters = 1, min-id keep
     * rank): drop exactly the docs with an above-threshold cosine pair to a
     * lower id — the whole output relation is reproduced verbatim by a

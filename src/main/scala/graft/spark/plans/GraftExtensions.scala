@@ -325,5 +325,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ =>
           throw new IllegalArgumentException("dsir_buckets takes (text, int-literal buckets)")
       }))
+
+    e.injectFunction((FunctionIdentifier("text_embedding"),
+      info("text_embedding",
+        "text_embedding(text, dim[, seed]) - deterministic hashed-ngram " +
+          "random-projection embedding: unit array<float>[dim] (zero vector for " +
+          "empty text); dim/seed must be literals"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, d) =>
+          graft.spark.fns.HashEmbedExpr(t, intArg(d, "text_embedding", "dim"), 42L)
+        case Seq(t, d, s) =>
+          graft.spark.fns.HashEmbedExpr(t, intArg(d, "text_embedding", "dim"),
+            longArg(s, "text_embedding", "seed"))
+        case _ =>
+          throw new IllegalArgumentException(
+            "text_embedding takes (text, int-literal dim[, long-literal seed])")
+      }))
   }
 }

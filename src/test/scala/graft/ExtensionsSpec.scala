@@ -198,6 +198,21 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(dsir == graft.spark.fns.TextKernels.dsirBuckets(
         org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta gamma"), 512)
         .toIntArray().toSeq)
+
+      // round-6 kernel: deterministic text embedding straight from SQL
+      val e1 = spark.sql("SELECT text_embedding('alpha beta gamma', 16) AS e")
+        .head().getSeq[Float](0)
+      assert(e1.length == 16)
+      assert(math.abs(e1.map(x => x.toDouble * x).sum - 1.0) < 1e-4, "unit norm")
+      assert(e1 == graft.spark.fns.TextKernels.hashEmbedding(
+        org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta gamma"), 16, 42L)
+        .toFloatArray().toSeq)
+      // explicit seed changes the projection; empty text is the zero vector
+      val e2 = spark.sql("SELECT text_embedding('alpha beta gamma', 16, 7) AS e")
+        .head().getSeq[Float](0)
+      assert(e1 != e2)
+      val e0 = spark.sql("SELECT text_embedding('   ', 16) AS e").head().getSeq[Float](0)
+      assert(e0.forall(_ == 0.0f), "featureless text must embed to the zero vector")
     }
   }
 

@@ -126,4 +126,40 @@ class SemDedupSpec extends AnyFunSuite {
       .orderBy("vec_id").collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  test("end-to-end semantic dedup from RAW TEXT (no external embedding column)") {
+    // round-6: the in-engine text_embedding kernel makes the semantic
+    // surface self-contained — pages in, dedup flags out. Near-dup docs
+    // share most n-gram features, so their hashed-projection embeddings
+    // sit at high cosine; distinct topics land low.
+    import spark.implicits._
+    def doc(words: Seq[String], n: Int): String =
+      (0 until n).map(i => words(i % words.size)).mkString(" ")
+    val a = Seq("solar", "panel", "energy", "grid", "storage", "inverter")
+    val b = Seq("whale", "plankton", "ocean", "current", "migration", "krill")
+    val docs = Seq(
+      (0L, doc(a, 40)),
+      (1L, doc(a, 40) + " extra tail"),  // near-dup of 0
+      (2L, doc(b, 40)),
+      (3L, doc(b, 40) + " extra tail"),  // near-dup of 2
+      (4L, doc(a.reverse ++ b, 40))      // mixed, distinct
+    ).toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      graft.spark.fns.TextExpressions.textEmbeddingNative(col("text"), 64).as("embedding"))
+    val flags = SemDedup.semDedup(emb, nClusters = 1, threshold = 0.8,
+        policy = SemDedup.KeepMinId, maxCellSize = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("dropped"))).toMap
+    // independent expectation: brute-force cosine over the SAME embeddings
+    val collected = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def expectDropped(id: Long): Boolean =
+      collected.keys.exists(o => o < id && cos(collected(o), collected(id)) >= 0.8)
+    collected.keys.foreach { id =>
+      assert(flags(id) == expectDropped(id), s"doc $id")
+    }
+    // and the construction actually separates: the planted pairs drop,
+    // the distinct docs survive
+    assert(flags(1L) && flags(3L), "near-dup tails must drop against their base docs")
+    assert(!flags(0L) && !flags(2L) && !flags(4L), "distinct docs must survive")
+  }
 }
