@@ -100,6 +100,7 @@ object Bench {
       "q_dedup_index" -> (SparkQueries.minhashPairsFromIndex(_, _)),
       "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
       "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
+      "q_pipeline_incremental" -> (SparkQueries.pipelineIncremental(_, _)),
       "q_contamination_frac" -> (SparkQueries.contaminationOverlapStats(_, _)),
       "q_temp_sample" -> (SparkQueries.temperatureSampleStats(_, _)),
       "q_ann_pq_recall" -> (SparkQueries.annPqRecall(_, _)),

@@ -37,6 +37,7 @@ object SparkEntry {
     "q_temp_sample" -> (SparkQueries.temperatureSampleStats(_, _)),
     "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
     "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
+    "q_pipeline_incremental" -> (SparkQueries.pipelineIncremental(_, _)),
     "q_normalize" -> (SparkQueries.normalizeStats(_, _)),
     "q_seq_pack" -> (SparkQueries.seqPackStats(_, _)),
     "q_token_stats" -> (SparkQueries.tokenStats(_, _)),
@@ -187,6 +188,46 @@ object SparkEntry {
         "ORDER BY digest, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM e) " +
         "SELECT lang, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS tokens_kept " +
         "FROM f WHERE cum <= 2000 GROUP BY lang"),
+    // incremental curation against persisted pipeline state (round-6): the
+    // id-ordered lower half is the indexed history, the upper half the
+    // batch. Kept rows must equal the one-shot stage-1..3 pipeline over the
+    // WHOLE table — quality gate, union-wide exact dedup, exact-Jaccard
+    // >= 0.5 near-dup clusters (recursive closure, one kept per cluster),
+    // 8-gram decontamination — RESTRICTED to the batch: the pipeline-level
+    // restricted-equality contract (stage formulas match q_pipeline's,
+    // closure matches q_dedup_clusters')
+    "q_pipeline_incremental" ->
+      ("WITH RECURSIVE cut AS (SELECT (MAX(doc_id)+1)//2 AS c FROM documents), " +
+        "ibase AS (SELECT doc_id, lang, text, md5(text) AS digest, " +
+        "CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks, " +
+        "length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct " +
+        "FROM documents), " +
+        "iq AS (SELECT doc_id, lang, text, digest, toks FROM ibase " +
+        "WHERE n >= 20 AND n <= 20000 AND punct * 1000 <= n * 300 AND toks >= 3), " +
+        "idd AS (SELECT doc_id, lang, text, digest, toks FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rk FROM iq) " +
+        "WHERE rk = 1), " +
+        "idt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+        "x -> x <> '') AS t FROM idd), " +
+        "ish AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s FROM idt), " +
+        "ipr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ish a JOIN ish b " +
+        "ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "len(list_distinct(a.s || b.s)) >= 0.5), " +
+        "ieb AS (SELECT id_a AS a, id_b AS b FROM ipr UNION SELECT id_b, id_a FROM ipr), " +
+        "iwalk(node, root) AS (SELECT DISTINCT a, a FROM ieb " +
+        "UNION SELECT ieb.b, w.root FROM iwalk w JOIN ieb ON w.node = ieb.a), " +
+        "icomp AS (SELECT node AS doc_id, MIN(root) AS rep FROM iwalk GROUP BY node), " +
+        "ifz AS (SELECT idd.* FROM idd LEFT JOIN icomp USING (doc_id) " +
+        "WHERE icomp.rep IS NULL OR icomp.rep = idd.doc_id), " +
+        decontCte(8) + ", " +
+        "ikept AS (SELECT ifz.* FROM ifz LEFT JOIN cont ON ifz.doc_id = cont.doc_id " +
+        "WHERE cont.doc_id IS NULL) " +
+        "SELECT doc_id, lang, CAST(toks AS BIGINT) AS toks FROM ikept " +
+        "WHERE doc_id >= (SELECT c FROM cut)"),
     // same plants as q_line_dedup; cleaned texts must match byte-for-byte
     // (distinct-digest compare); docs reduced to nothing clean to '' (the
     // coalesce covers DuckDB's NULL array_to_string on empty lists)

@@ -231,6 +231,40 @@ object SparkQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
   }
 
+  // build-once guard per (JVM, sfDir) for the incremental-curate state —
+  // same rationale/mechanics as the band-index guard below: repeated calls
+  // (Verify once, Bench warm-up + min-of-3) must measure the per-batch
+  // curation SEARCH, not the O(history) state build
+  private val curateStateBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** INCREMENTAL curation against persisted pipeline state (round-6): the
+    * id-ordered lower half of documents plays the indexed history, the
+    * upper half the daily batch. Kept rows must equal the one-shot
+    * stage-1..3 pipeline (quality gate -> exact dedup -> fuzzy near-dup at
+    * jaccard >= 0.5 -> decontamination) run over the WHOLE table,
+    * restricted to the batch — the restricted-equality contract at
+    * pipeline level; the DuckDB oracle re-derives every stage including
+    * the recursive near-dup closure. State is built once per (JVM, dir)
+    * and searched read-only (updateState = false), so repeat calls are
+    * idempotent. */
+  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.pipeline.IncrementalCurate
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) / 2L
+    val history = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val bench = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
+    val prefix = s"graft_q_curate_${dirHash8(dir)}"
+    if (curateStateBuilt.add(dir)) {
+      IncrementalCurate.drop(spark, prefix)
+      IncrementalCurate.create(history, prefix)
+    }
+    IncrementalCurate.curateBatch(batch, history, bench, prefix, updateState = false)
+      .filter(col("kept"))
+      .select(col("doc_id"), col("lang"), col("toks"))
+  }
+
   /** Sequence packing (training-prep stage): docs in content-hash order are
     * concatenated conceptually and cut into 512-token bins; a doc's bin is
     * floor(exclusive_prefix_tokens / 512). The prefix sum is the
@@ -658,11 +692,12 @@ object SparkQueries {
   // advice); the guard set only prevents same-dir rebuilds.
   private val dedupIndexBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def dedupIndexTable(dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  private[spark] def dirHash8(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_q_dedup_index_$md"
-  }
+
+  private def dedupIndexTable(dir: String): String =
+    s"graft_q_dedup_index_${dirHash8(dir)}"
 
   def minhashPairsFromIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.BandIndex

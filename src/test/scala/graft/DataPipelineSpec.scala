@@ -130,6 +130,86 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(on == Set(1L, 4L), s"cluster collapses to its min-id representative: $on")
   }
 
+  test("incremental curate == one-shot stage-1..3 restricted, across two state-appending batches") {
+    import spark.implicits._
+    import graft.spark.dedup.{Corpus, Dedup}
+    import graft.spark.pipeline.IncrementalCurate
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+
+    val A = "alpha economy report covers quarterly revenue growth across several regional markets today"
+    val C = "gamma wildlife survey tracks coastal bird migration patterns through autumn storm seasons"
+    val D = "delta kitchen recipe combines roasted vegetables with fragrant herbs and toasted grains nicely"
+    val benchPhrase = "benchmark answer key phrase seven tokens exactly here"
+    val history = Seq(
+      (0L, "en", "a.com", A),
+      (1L, "en", "a.com", A + " tail one"),        // near-dup of 0 within history
+      (2L, "en", "b.com", "beta standalone article describes mountain railway construction with detailed engineering notes"),
+      (3L, "en", "b.com", "short"),                // fails the quality gate
+      (4L, "en", "c.com", C)
+    ).toDF("doc_id", "lang", "source", "text")
+    val batch1 = Seq(
+      (100L, "en", "a.com", A),                    // exact dup of history 0
+      (101L, "en", "a.com", A + " extra"),         // near-dup of history -> anchored
+      (102L, "en", "d.com", D),                    // fresh, kept
+      (103L, "en", "d.com", D + " tail"),          // batch cluster with 102 -> dropped (not min)
+      (104L, "en", "c.com", C + " addendum"),      // near-dup of history 4 -> anchored
+      // transitive chain: 106 ~ 107 ~ history 4 -> BOTH drop via anchoring
+      (106L, "en", "c.com", C + " second addendum note"),
+      (107L, "en", "c.com", C + " addendum note"),
+      (105L, "en", "e.com", "perfectly reasonable essay text which also contains the " +
+        benchPhrase + " inside it somewhere")       // contaminated
+    ).toDF("doc_id", "lang", "source", "text")
+    val batch2 = Seq(
+      (200L, "en", "d.com", D + " fresh spin"),    // near-dup of KEPT batch1 doc 102
+      (201L, "en", "d.com", D + " tail"),          // exact dup of fuzzy-DROPPED 103 (still indexed)
+      (202L, "en", "f.com", "zeta closing chapter narrates harbor lighthouse restoration finished by volunteer crews")
+    ).toDF("doc_id", "lang", "source", "text")
+    val bench = Seq("unrelated benchmark filler sentence then the " + benchPhrase).toDF("text")
+
+    /** One-shot stage-1..3 reference: quality -> union dedup -> fuzzy (128x32
+      * verified pairs at 0.5, CC, keep rep) -> decontamination. */
+    def oneShotKept(docs: DataFrame): Set[Long] = {
+      val base = docs.select(col("doc_id"), col("text"), md5(col("text")).as("digest"))
+        .filter(graft.spark.text.TextFunctions.isQuality(col("text")))
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      val d = base.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      val losers = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
+      val f = d.join(losers, Seq("doc_id"), "left_anti")
+      Corpus.decontaminate(f, bench, "doc_id", "text", n = 8)
+        .filter(!col("contaminated")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    }
+
+    val prefix = "graft_inc_curate_spec"
+    IncrementalCurate.drop(spark, prefix)
+    try {
+      IncrementalCurate.create(history, prefix)
+      def keptOf(df: DataFrame): Set[Long] =
+        df.filter(col("kept")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val got1 = keptOf(IncrementalCurate.curateBatch(batch1, history, bench, prefix))
+      val want1 = oneShotKept(history.unionByName(batch1))
+        .filter(_ >= 100L).filter(_ < 200L)
+      assert(got1 == want1, s"batch1: got $got1, want $want1")
+      assert(got1 == Set(102L), s"fixture sanity: only the fresh cluster rep survives: $got1")
+      // batch2 runs against state that now INCLUDES batch1's survivors
+      val hist2 = history.unionByName(batch1)
+      val got2 = keptOf(IncrementalCurate.curateBatch(batch2, hist2, bench, prefix))
+      val want2 = oneShotKept(hist2.unionByName(batch2)).filter(_ >= 200L)
+      assert(got2 == want2, s"batch2: got $got2, want $want2")
+      assert(got2 == Set(202L),
+        s"near-dup of a kept batch1 doc and exact dup of a fuzzy-dropped doc must both drop: $got2")
+      // monotonicity contract: replaying old ids fails loudly
+      val e = intercept[IllegalArgumentException] {
+        IncrementalCurate.curateBatch(batch1, hist2, bench, prefix)
+      }
+      assert(e.getMessage.contains("monotone"))
+    } finally IncrementalCurate.drop(spark, prefix)
+  }
+
   test("shard assignment is content-addressed and covers all shards") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
