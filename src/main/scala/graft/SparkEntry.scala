@@ -103,6 +103,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, _) => VerifiedQueries.langIdVerified(s)),
     "q_classifier" -> ((s, _) => VerifiedQueries.classifierVerified(s)),
     "q_cjk_tokens" -> ((s, _) => VerifiedQueries.cjkTokensVerified(s)),
+    "q_cjk_viterbi" -> ((s, _) => VerifiedQueries.cjkViterbiVerified(s)),
     "q_fingerprint_rolling" -> (VerifiedQueries.fingerprintRollingVerified(_, _)),
     "q_multimodal" -> ((s, _) => VerifiedQueries.multimodalVerified(s, 2000L)),
     "q_image_decode" -> ((s, _) => VerifiedQueries.imageDecodeVerified(s, 1500L)),
@@ -724,6 +725,23 @@ object SparkEntry {
         "(13, 'ja', 7, 'これ は 日本 語 の 新聞 です', true, true), " +
         "(14, 'zh', 8, '的 了 是 在 和 有 我们 没有', true, true)) " +
         "AS t(doc_id, lang, n_tokens, seg, parity_ok, bound_ok)"),
+    // corpus-trained unigram Viterbi segmentation (round-6): literals are
+    // HAND-DERIVED from the algorithm contract (trained counts 研究/生命/的/
+    // 起源=10, 生活/很/好=8, 研究生/招生/考试/学生/上课=2, α=0.5: known-word
+    // paths beat single-char floors, 10·10 beats 2·floor on the 研究生命
+    // ambiguity). differs_from_greedy pins the uplift rows where greedy
+    // maximum matching gets the same text wrong, and the false rows pin
+    // that CJK-free text and lexicon-identical parses stay unchanged.
+    "q_cjk_viterbi" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), '研究 生命', CAST(2 AS BIGINT), true), " +
+        "(1, '生命 的 起源', 3, true), " +
+        "(2, '学生 上课 的 生活', 4, true), " +
+        "(3, '研究生 招生 考试', 3, true), " +
+        "(4, 'viterbi falls back to whitespace on latin text', 8, false), " +
+        "(5, '的 的 的', 3, false), " +
+        "(6, 'spark 处 理 生命 data', 5, true)) " +
+        "AS t(doc_id, seg, n_tokens, differs_from_greedy)"),
     "q_fingerprint_rolling" ->
       "SELECT lang, COUNT(*) AS n_docs, true AS fp_le_texts_ok FROM documents GROUP BY lang",
     "q_multimodal" ->
