@@ -212,7 +212,7 @@ object IncrementalCurate {
           flagged.filter(col("fuzzy_kept")), benchDocs, "doc_id", "text", n = 8,
           passthrough = Seq.empty)
         .select(col("doc_id"), (!col("contaminated")).as("clean"))
-      val out = batch.select(col("doc_id"), col("lang"), col("source"))
+      val flags = batch.select(col("doc_id"), col("lang"), col("source"))
         .join(surv.select(col("doc_id"), col("digest"), col("toks"))
           .withColumn("quality_ok", lit(true)), Seq("doc_id"), "left")
         .join(flagged.select(col("doc_id"), col("exact_kept"), col("fuzzy_kept")),
@@ -224,8 +224,10 @@ object IncrementalCurate {
         .withColumn("clean", coalesce(col("clean"), lit(false)))
         .withColumn("kept", col("quality_ok") && col("exact_kept") &&
           col("fuzzy_kept") && col("clean"))
-        .localCheckpoint(true) // pin BEFORE the state append below mutates
-                               // the tables this plan reads
+      // pin BEFORE a state append mutates the tables this plan reads; the
+      // read-only path (updateState = false) skips the materialization —
+      // nothing below changes what the lazy plan would see
+      val out = if (updateState) flags.localCheckpoint(true) else flags
 
       // state append: the batch's stage-2 survivors become history
       if (updateState) {
