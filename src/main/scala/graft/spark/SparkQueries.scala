@@ -257,8 +257,11 @@ object SparkQueries {
     val bench = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
     val prefix = s"graft_q_curate_${dirHash8(dir)}"
     if (curateStateBuilt.add(dir)) {
-      IncrementalCurate.drop(spark, prefix)
-      IncrementalCurate.create(history, prefix)
+      // un-mark on failure (see the band-index guard above)
+      try {
+        IncrementalCurate.drop(spark, prefix)
+        IncrementalCurate.create(history, prefix)
+      } catch { case t: Throwable => curateStateBuilt.remove(dir); throw t }
     }
     IncrementalCurate.curateBatch(batch, history, bench, prefix, updateState = false)
       .filter(col("kept"))
@@ -705,8 +708,11 @@ object SparkQueries {
     val history = docs.filter(col("doc_id") % 2 === 0)
     val table = dedupIndexTable(dir)
     if (dedupIndexBuilt.add(dir)) {
-      BandIndex.create(history, "doc_id", "text", table,
+      // un-mark on failure: a guard left set after a failed create() would
+      // make every later call in this JVM search a missing/partial index
+      try BandIndex.create(history, "doc_id", "text", table,
         BandIndex.Conf(shingleSize = 3, numHashes = 128, bands = 32, numBuckets = 32))
+      catch { case t: Throwable => dedupIndexBuilt.remove(dir); throw t }
     }
     BandIndex.incrementalPairs(docs.filter(col("doc_id") % 2 === 1), history,
       "doc_id", "text", table, threshold = 0.5)

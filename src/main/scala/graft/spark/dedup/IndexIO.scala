@@ -47,12 +47,22 @@ private[graft] object IndexIO {
     * index at ~4 files/bucket). With autoBucketedScan off the scan stays
     * bucketed, the elision is then legitimate, and each task writes exactly
     * its one bucket file. */
-  private def withAlignedBucketWrite[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
-  }
+  // JVM-global lock for the conf-scoped write below: the set/restore is a
+  // session-global mutation, so two interleaved writers could otherwise
+  // read each other's "false" as the value to restore and leave the
+  // optimization permanently disabled. Queries planned in OTHER threads of
+  // the same session during a write still see autoBucketedScan off for the
+  // write's duration — a bounded, harmless planning pessimization (the
+  // scan stays bucketed), unlike the clobber this lock prevents.
+  private val alignedWriteLock = new Object
+
+  private def withAlignedBucketWrite[T](spark: SparkSession)(body: => T): T =
+    alignedWriteLock.synchronized {
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
 
   private def writeConf(spark: SparkSession, table: String,
                         conf: Seq[(String, Int)]): Unit = {

@@ -106,8 +106,11 @@ object IncrementalCurate {
           s"'${stateTable(prefix)}' — was it written via IncrementalCurate.create?", e)
     }
 
-  private def maxIdOf(df: DataFrame): Long =
-    df.agg(max(col("doc_id"))).head().getLong(0)
+  /** None when the frame is empty (an empty max aggregate is NULL). */
+  private def maxIdOf(df: DataFrame): Option[Long] = {
+    val r = df.agg(max(col("doc_id"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
 
   /** Initialize the pipeline state from the history corpus: digest index +
     * band index over the history's stage-2 survivors, plus the id
@@ -122,7 +125,9 @@ object IncrementalCurate {
           "threshold_pm" -> math.round(conf.nearDupThreshold * 1000).toInt))
       BandIndex.create(surv, "doc_id", "text", bandTable(prefix),
         BandIndex.Conf(conf.shingleSize, conf.numHashes, conf.bands, conf.numBuckets))
-      writeState(spark, prefix, maxIdOf(history)) // watermark over RAW history ids
+      // watermark over the RAW history ids; an EMPTY history bootstraps at
+      // Long.MinValue (a fresh pipeline with no indexed past is legitimate)
+      writeState(spark, prefix, maxIdOf(history).getOrElse(Long.MinValue))
     } finally surv.unpersist(blocking = false)
   }
 
@@ -137,14 +142,34 @@ object IncrementalCurate {
     * lookup against the corpus store, not a re-scan.
     * `updateState = false` computes the flags WITHOUT appending the batch
     * (a dry-run / re-run surface; the driver query and bench use it so
-    * repeated invocations stay idempotent). */
+    * repeated invocations stay idempotent).
+    * Flag attribution: `quality_ok` is strictly per-doc (a quality doc that
+    * loses the within-batch digest race reads quality_ok=true,
+    * exact_kept=false). An EMPTY batch is a defined no-op (zero rows, no
+    * state mutation). */
   def curateBatch(batch: DataFrame, historyTexts: DataFrame, benchDocs: DataFrame,
                   prefix: String, updateState: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val conf = IndexIO.readConf(spark, digestTable(prefix), "IncrementalCurate.create")
     val threshold = conf("threshold_pm") / 1000.0
     val watermark = readMaxId(spark, prefix)
-    val batchMin = batch.agg(min(col("doc_id"))).head().getLong(0)
+    // per-doc stage-1 view of the WHOLE batch: quality is per-doc, so the
+    // flag must not depend on the within-batch dedup race (a quality doc
+    // that loses the digest race is an exact_kept=false drop, not a
+    // quality_ok=false one)
+    val base = batch.select(col("doc_id"), col("lang"), col("source"),
+      md5(col("text")).as("digest"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"),
+      TextFunctions.isQuality(col("text")).as("quality_ok"))
+    val batchMinRow = batch.agg(min(col("doc_id"))).head()
+    if (batchMinRow.isNullAt(0)) {
+      // empty batch (a quiet crawl day): a defined no-op, not an NPE —
+      // no flags, no state mutation
+      return base
+        .withColumn("exact_kept", lit(false)).withColumn("fuzzy_kept", lit(false))
+        .withColumn("clean", lit(false)).withColumn("kept", lit(false))
+    }
+    val batchMin = batchMinRow.getLong(0)
     require(batchMin > watermark,
       s"IncrementalCurate: batch ids must be monotone above the indexed history " +
         s"(batch min $batchMin <= indexed max $watermark) — out-of-order ids would " +
@@ -212,13 +237,10 @@ object IncrementalCurate {
           flagged.filter(col("fuzzy_kept")), benchDocs, "doc_id", "text", n = 8,
           passthrough = Seq.empty)
         .select(col("doc_id"), (!col("contaminated")).as("clean"))
-      val flags = batch.select(col("doc_id"), col("lang"), col("source"))
-        .join(surv.select(col("doc_id"), col("digest"), col("toks"))
-          .withColumn("quality_ok", lit(true)), Seq("doc_id"), "left")
+      val flags = base
         .join(flagged.select(col("doc_id"), col("exact_kept"), col("fuzzy_kept")),
           Seq("doc_id"), "left")
         .join(decont, Seq("doc_id"), "left")
-        .withColumn("quality_ok", coalesce(col("quality_ok"), lit(false)))
         .withColumn("exact_kept", coalesce(col("exact_kept"), lit(false)))
         .withColumn("fuzzy_kept", coalesce(col("fuzzy_kept"), lit(false)))
         .withColumn("clean", coalesce(col("clean"), lit(false)))
@@ -234,7 +256,7 @@ object IncrementalCurate {
         IndexIO.append(digestRelation(surv), digestTable(prefix), "dkey",
           conf("num_buckets"))
         BandIndex.append(surv, "doc_id", "text", bandTable(prefix))
-        writeState(spark, prefix, math.max(watermark, maxIdOf(batch)))
+        writeState(spark, prefix, math.max(watermark, maxIdOf(batch).getOrElse(watermark)))
       }
       out
     } finally surv.unpersist(blocking = false)

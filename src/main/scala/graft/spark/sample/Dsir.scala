@@ -98,7 +98,8 @@ object Dsir {
 
   /** Importance-resample k docs without replacement (Gumbel top-k): returns
     * the input plus `dsir_logw_milli` (long) and `selected` (boolean,
-    * exactly min(k, n) rows true). Deterministic per (model, seed):
+    * exactly min(k, number of non-NULL-text rows) true — a NULL text has
+    * no score and is never selected). Deterministic per (model, seed):
     * u = md5-derived uniform in (0,1), key = logw + (−log(−log u)),
     * ties by id. The cut is [[graft.spark.sample.Sampling.topKFlags]]'
     * boundary-bucket refinement — NO TakeOrdered (O(k) bounded priority

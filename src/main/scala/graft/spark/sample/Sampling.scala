@@ -134,8 +134,8 @@ object Sampling {
   // ---- distributed exact top-k selection ----
 
   /** Flag the top `k` rows by (`key` DESC, `idCol` ASC) — the EXACT result
-    * of `orderBy(key.desc, id).limit(k)`, computed without O(k) state
-    * anywhere: no TakeOrdered (whose per-task bounded priority queue and
+    * of `orderBy(key.desc, id).limit(k)` over the non-null-key rows,
+    * computed without O(k) state anywhere: no TakeOrdered (whose per-task bounded priority queue and
     * driver merge are both O(k)) and no k-row broadcast. This is the
     * [[tokenBudgetKeepFlags]] two-level boundary cut applied to a DOUBLE
     * key (round-5 verdict top item — DSIR's published selections are
@@ -155,10 +155,14 @@ object Sampling {
     *     Gumbel this is ~1 row — the window's single-task sort is bounded
     *     by the duplicate count of the boundary key, never by k).
     *
-    * `key` must be non-NaN; NULL keys are kept with selected = false
-    * (they sort below everything, like NULLS LAST). `idCol` must be
-    * unique — it is the deterministic tie rule. Returns the input plus
-    * `selected` (exactly min(k, non-null-key rows) true). */
+    * `key` must be non-NaN; NULL keys are kept in the output with
+    * selected = false and are NEVER selected. This is a DELIBERATE
+    * divergence from `limit(k)`'s NULLS LAST tail-fill (which would pad
+    * the selection with null-key rows once k exceeds the non-null count):
+    * a row with no key has no rank, and selecting it would be an
+    * arbitrary choice. `idCol` must be unique — it is the deterministic
+    * tie rule. Returns the input plus `selected` (exactly
+    * min(k, non-null-key rows) true; SamplingSpec pins the null rule). */
   def topKFlags(df: DataFrame, idCol: String, key: Column, k: Long): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     import org.apache.spark.storage.StorageLevel

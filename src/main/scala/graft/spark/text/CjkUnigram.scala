@@ -38,7 +38,10 @@ object CjkUnigram {
       extends Serializable {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     val total: Long = counts.valuesIterator.sum
-    val maxLen: Int = if (counts.isEmpty) 1 else math.min(8, counts.keysIterator.map(_.length).max)
+    // the probe span covers EVERY vocab word — [[train]]'s maxWordLen bound
+    // is applied at training time, so no stored word can silently become
+    // unreachable while still inflating the smoothing denominator
+    val maxLen: Int = if (counts.isEmpty) 1 else counts.keysIterator.map(_.length).max
     private val denom = total + alpha * (counts.size + 1)
     /** Smoothed log-probability of a known word. */
     def logP(w: String): Double = math.log((counts(w) + alpha) / denom)
@@ -110,14 +113,20 @@ object CjkUnigram {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Train from a whitespace-segmented corpus column: explode tokens, keep
-    * pure-CJK-letter words, one bounded groupBy (top `maxVocab` by count,
-    * ties by word — deterministic), collect only the capped vocabulary. */
+    * pure-CJK-letter words of length <= `maxWordLen` (the Viterbi probe
+    * span is the vocab's max length, so the bound caps decode cost — 16
+    * chars is beyond any real CJK word; longer "words" in the training
+    * column are almost always segmentation noise), one bounded groupBy
+    * (top `maxVocab` by count, ties by word — deterministic), collect only
+    * the capped vocabulary. */
   def train(df: DataFrame, textCol: String, minCount: Long = 1L,
-            maxVocab: Int = 100000, alpha: Double = 0.5): Model = {
+            maxVocab: Int = 100000, alpha: Double = 0.5,
+            maxWordLen: Int = 16): Model = {
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
     val isCjkWord = udf((w: String) => w.nonEmpty && w.forall(CjkSegment.isCjkLetter))
     val rows = df
       .select(explode(split(col(textCol), "\\s+")).as("w"))
-      .filter(col("w") =!= "" && isCjkWord(col("w")))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen && isCjkWord(col("w")))
       .groupBy(col("w")).count()
       .filter(col("count") >= minCount)
       .orderBy(col("count").desc, col("w"))

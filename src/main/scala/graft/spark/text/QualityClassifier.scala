@@ -75,12 +75,17 @@ object QualityClassifier {
     * `sampleCap` > 0 bounds the training set (round-5 verdict "what's
     * wrong" #2 — at 100 TB nobody full-batch-trains on the corpus; the
     * published classifier-filter pipelines train on a bounded labeled
-    * sample): a deterministic content-hash sample in the Ann
-    * driver-sample posture — rows ordered by (xxhash64(text), text,
-    * label) and capped, so the SAME docs are chosen under any
-    * partitioning or cluster size and the quantized-gradient
+    * sample): a deterministic CONTENT-HASH-THRESHOLD cut
+    * ([[graft.spark.sample.Sampling.hashSampleKept]] on md5(text) at rate
+    * sampleCap/n) — a pure per-row predicate, so there is no O(cap) task
+    * state or driver merge anywhere (the TakeOrdered shape this library
+    * deliberately avoids), the SAME docs are chosen under any
+    * partitioning or cluster size, and the quantized-gradient
     * byte-determinism is preserved (QualityClassifierSpec pins byte-equal
     * models across repartitionings and sampled-model holdout accuracy).
+    * The sampled size is the cap in EXPECTATION (md5 prefixes are
+    * uniform; the binomial deviation is ~sqrt(cap), irrelevant for
+    * training); a cap >= the corpus size trains on everything, exactly.
     * The sampled set is persisted across the iteration scans and
     * unpersisted before returning. 0 (default) = train on everything. */
   def train(labeled: DataFrame, textCol: String, labelCol: String,
@@ -88,15 +93,16 @@ object QualityClassifier {
             sampleCap: Int = 0): Model = {
     require(iters > 0 && lr > 0, s"iters/lr must be positive, got $iters/$lr")
     if (sampleCap > 0) {
-      val sampled = labeled
-        .select(col(textCol), col(labelCol))
-        .withColumn("__h", xxhash64(col(textCol)))
-        .orderBy(col("__h"), col(textCol), col(labelCol))
-        .limit(sampleCap)
-        .drop("__h")
-        .persist()
-      try return trainFull(sampled, textCol, labelCol, buckets, iters, lr)
-      finally sampled.unpersist(blocking = false)
+      val n = labeled.count()
+      if (n > sampleCap) {
+        val th = graft.spark.sample.Sampling.rateThreshold8(sampleCap.toDouble / n)
+        val sampled = labeled
+          .select(col(textCol), col(labelCol))
+          .filter(graft.spark.sample.Sampling.hashSampleKept(col(textCol), th))
+          .persist()
+        try return trainFull(sampled, textCol, labelCol, buckets, iters, lr)
+        finally sampled.unpersist(blocking = false)
+      }
     }
     trainFull(labeled, textCol, labelCol, buckets, iters, lr)
   }

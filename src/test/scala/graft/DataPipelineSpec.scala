@@ -158,7 +158,8 @@ class DataPipelineSpec extends AnyFunSuite {
       (106L, "en", "c.com", C + " second addendum note"),
       (107L, "en", "c.com", C + " addendum note"),
       (105L, "en", "e.com", "perfectly reasonable essay text which also contains the " +
-        benchPhrase + " inside it somewhere")       // contaminated
+        benchPhrase + " inside it somewhere"),      // contaminated
+      (108L, "en", "d.com", D)                     // exact IN-BATCH dup of 102
     ).toDF("doc_id", "lang", "source", "text")
     val batch2 = Seq(
       (200L, "en", "d.com", D + " fresh spin"),    // near-dup of KEPT batch1 doc 102
@@ -190,11 +191,17 @@ class DataPipelineSpec extends AnyFunSuite {
       IncrementalCurate.create(history, prefix)
       def keptOf(df: DataFrame): Set[Long] =
         df.filter(col("kept")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
-      val got1 = keptOf(IncrementalCurate.curateBatch(batch1, history, bench, prefix))
+      val flags1 = IncrementalCurate.curateBatch(batch1, history, bench, prefix)
+      val got1 = keptOf(flags1)
       val want1 = oneShotKept(history.unionByName(batch1))
         .filter(_ >= 100L).filter(_ < 200L)
       assert(got1 == want1, s"batch1: got $got1, want $want1")
       assert(got1 == Set(102L), s"fixture sanity: only the fresh cluster rep survives: $got1")
+      // flag attribution: quality is per-doc — the in-batch exact dup (108)
+      // passed the gate and lost the DEDUP race, not the quality gate
+      val f108 = flags1.filter(col("doc_id") === 108L).head()
+      assert(f108.getAs[Boolean]("quality_ok") && !f108.getAs[Boolean]("exact_kept"),
+        s"in-batch dup must read quality_ok=true, exact_kept=false: $f108")
       // batch2 runs against state that now INCLUDES batch1's survivors
       val hist2 = history.unionByName(batch1)
       val got2 = keptOf(IncrementalCurate.curateBatch(batch2, hist2, bench, prefix))
@@ -202,6 +209,11 @@ class DataPipelineSpec extends AnyFunSuite {
       assert(got2 == want2, s"batch2: got $got2, want $want2")
       assert(got2 == Set(202L),
         s"near-dup of a kept batch1 doc and exact dup of a fuzzy-dropped doc must both drop: $got2")
+      // an EMPTY batch (quiet crawl day) is a defined no-op: zero rows, no
+      // state mutation — a later real batch still passes the watermark
+      val empty = IncrementalCurate.curateBatch(
+        batch2.filter(col("doc_id") < 0), hist2, bench, prefix)
+      assert(empty.count() == 0L)
       // monotonicity contract: replaying old ids fails loudly
       val e = intercept[IllegalArgumentException] {
         IncrementalCurate.curateBatch(batch1, hist2, bench, prefix)
