@@ -266,7 +266,8 @@ object ScalingBench {
          |(line/span frequency flags, span
          |removal, decontamination, fractional contamination, minhash+CC
          |near-dup clustering, incremental minhash, the fixed-batch
-         |incremental-vs-band-index pair plus its isolated sign kernels, and
+         |incremental-vs-band-index pair plus its isolated sign kernels and
+         |the degraded-vs-compacted index search, and
          |DSIR) have their own measured
          |sf0.1-vs-10x growth curve —
          |see the table in **BENCH/CORPUS_SCALE.md** (generated by

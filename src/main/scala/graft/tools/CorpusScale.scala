@@ -35,6 +35,7 @@ object CorpusScale {
   private[graft] val ops = Seq("line_flags", "span_flags", "span_clean", "decontaminate",
     "contamination_frac", "neardup_cc", "neardup_incremental",
     "neardup_fixedbatch_incr", "neardup_fixedbatch_index",
+    "neardup_degraded_index",
     "sign_batch", "sign_history", "dsir")
 
   def main(args: Array[String]): Unit = args.toSeq match {
@@ -123,6 +124,7 @@ object CorpusScale {
   // per-level band indexes built ONCE (untimed — the build-once half of the
   // production shape; the measurement is the per-batch SEARCH)
   private var indexBuilt = Set.empty[String]
+  private var degIndexBuilt = Set.empty[String]
 
   private def opJob(name: String, spark: SparkSession, docs: DataFrame,
                     mult: String): Long = {
@@ -182,6 +184,24 @@ object CorpusScale {
         if (!indexBuilt(mult)) {
           BandIndex.create(history, "doc_id", "text", table)
           indexBuilt += mult
+        }
+        BandIndex.incrementalPairs(batch, history, "doc_id", "text", table,
+          threshold = 0.5).count()
+      // the round-6 compaction datapoint: the SAME search against a
+      // DEGRADED index — same history content, but built as create(3/4) +
+      // three appends (~4 files/bucket), so the one-file-per-bucket sort
+      // elision is lost and every search re-sorts the index side. The wall
+      // delta vs neardup_fixedbatch_index is what compactTo buys back.
+      case "neardup_degraded_index" =>
+        val (batch, history) = fixedBatchSplit(docs)
+        val table = s"graft_cs_bidx_deg_x$mult"
+        if (!degIndexBuilt(mult)) {
+          val chunk = pmod(xxhash64(col("doc_id")), lit(4L))
+          BandIndex.create(history.filter(chunk === 0), "doc_id", "text", table)
+          (1L to 3L).foreach { i =>
+            BandIndex.append(history.filter(chunk === i), "doc_id", "text", table)
+          }
+          degIndexBuilt += mult
         }
         BandIndex.incrementalPairs(batch, history, "doc_id", "text", table,
           threshold = 0.5).count()
@@ -285,6 +305,14 @@ object CorpusScale {
          |1/10 of the GENERATED docs — a 5k batch vs 45k history, so sf1's
          |fixedbatch walls are an independent within-level comparison, not
          |part of the x1/x10 fixed-batch series.)
+         |`neardup_degraded_index` is the round-6 compaction datapoint: the
+         |SAME search against the same history stored as create(1/4) + three
+         |appends (~4 files/bucket) — the un-compacted mid-week state, where
+         |the one-file-per-bucket sort elision is lost and every search
+         |re-sorts the index side. Its wall vs `neardup_fixedbatch_index` is
+         |what `compactTo` (or the table format's compaction) buys back per
+         |search; `IndexIO.append` warns loudly once files/bucket crosses the
+         |advisory threshold so the state can't degrade silently.
          |
          |Notes: neardup_cc at x10 clusters ~10-way replica groups (pairs grow
          |with within-bucket duplicate density, C(10,2) per group — run exact
