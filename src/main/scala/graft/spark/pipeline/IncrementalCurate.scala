@@ -262,6 +262,35 @@ object IncrementalCurate {
     } finally surv.unpersist(blocking = false)
   }
 
+  /** The state-append half of [[curateBatch]] ALONE — for deployments that
+    * persist the flag relation BEFORE advancing state, so a crash between
+    * the two is resumable instead of wedged ([[IncrementalCuratePipeline]]:
+    * flags written + state behind → re-run appends only; flags written +
+    * state advanced → no-op). Same monotonicity guard; empty batch is a
+    * no-op. */
+  def appendBatch(batch: DataFrame, prefix: String): Unit = {
+    val spark = batch.sparkSession
+    val conf = IndexIO.readConf(spark, digestTable(prefix), "IncrementalCurate.create")
+    val watermark = readMaxId(spark, prefix)
+    maxIdOf(batch).foreach { mx =>
+      val mn = batch.agg(min(col("doc_id"))).head().getLong(0)
+      require(mn > watermark,
+        s"IncrementalCurate.appendBatch: batch ids must be monotone above the " +
+          s"indexed history (batch min $mn <= indexed max $watermark)")
+      val surv = gatedDeduped(batch).persist()
+      try {
+        IndexIO.append(digestRelation(surv), digestTable(prefix), "dkey",
+          conf("num_buckets"))
+        BandIndex.append(surv, "doc_id", "text", bandTable(prefix))
+        writeState(spark, prefix, math.max(watermark, mx))
+      } finally surv.unpersist(blocking = false)
+    }
+  }
+
+  /** The indexed-id watermark (max doc_id the state has absorbed). */
+  def indexedMaxId(spark: SparkSession, prefix: String): Long =
+    readMaxId(spark, prefix)
+
   /** Rewrite both indexes one-file-per-bucket (post-append maintenance). */
   def compactTo(spark: SparkSession, from: String, to: String): Unit = {
     IndexIO.compactTo(spark, digestTable(from), digestTable(to), "dkey")
@@ -269,9 +298,101 @@ object IncrementalCurate {
     writeState(spark, to, readMaxId(spark, from))
   }
 
+  /** Whether state exists under `prefix` (the create-vs-curate decision of
+    * a scheduled deployment). */
+  def exists(spark: SparkSession, prefix: String): Boolean =
+    spark.catalog.tableExists(stateTable(prefix))
+
   def drop(spark: SparkSession, prefix: String): Unit = {
     IndexIO.drop(spark, digestTable(prefix))
     BandIndex.drop(spark, bandTable(prefix))
     Bucketing.dropTable(spark, stateTable(prefix))
+  }
+}
+
+/** spark-submit entry point for the DAILY-BATCH deployment — the
+  * [[CuratePipeline]] lineage/metrics pattern applied to
+  * [[IncrementalCurate]].
+  *
+  * Usage: IncrementalCuratePipeline <batchParquet> <historyParquet>
+  *        <benchParquet> <statePrefix> <outDir>
+  *
+  * First run (no state under `statePrefix`): initializes the state from
+  * <historyParquet> and exits — run again with the first batch. Every
+  * later run computes the per-doc flag relation READ-ONLY, writes it to
+  * <outDir>/flags, and only THEN appends the batch to the state — so a
+  * crash at any point is resumable, never wedged: flags missing → full
+  * re-run; flags written but state behind the batch's max id → re-run
+  * appends only; both done → no-op. A lineage row per stage (rows, wall
+  * ms) goes to <outDir>/metrics. <historyParquet> must be the accumulated
+  * corpus store (ids unique, monotone across batches) — it supplies the
+  * texts for the candidate-pair verify. */
+object IncrementalCuratePipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 5,
+      "usage: IncrementalCuratePipeline <batchParquet> <historyParquet> " +
+        "<benchParquet> <statePrefix> <outDir>")
+    val Array(batchPath, historyPath, benchPath, prefix, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-curate-incremental")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, batchPath, historyPath, benchPath, prefix, outDir)
+    spark.stop()
+  }
+
+  /** Returns the (stage, count) lineage it recorded — for tests; the
+    * durable record is <outDir>/metrics. */
+  def run(spark: SparkSession, batchPath: String, historyPath: String,
+          benchPath: String, prefix: String, outDir: String): Seq[(String, Long)] = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    if (!IncrementalCurate.exists(spark, prefix)) {
+      val history = spark.read.parquet(historyPath)
+      IncrementalCurate.create(history, prefix)
+      println(s"[curate-incr] state '$prefix' initialized from $historyPath — " +
+        "run again with the first batch")
+      return Seq(("create", history.count()))
+    }
+    val flagsDir = s"$outDir/flags"
+    val success = new org.apache.hadoop.fs.Path(flagsDir, "_SUCCESS")
+    val flagsDone =
+      success.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(success)
+    val batch = spark.read.parquet(batchPath)
+    if (flagsDone) {
+      // flags persisted — finish the state append if a crash interrupted it
+      val batchMax = batch.agg(max(col("doc_id"))).head()
+      if (!batchMax.isNullAt(0) &&
+        batchMax.getLong(0) > IncrementalCurate.indexedMaxId(spark, prefix)) {
+        IncrementalCurate.appendBatch(batch, prefix)
+        println(s"[curate-incr] resumed: state append completed for $flagsDir")
+        return Seq(("resume_append", batch.count()))
+      }
+      println(s"[curate-incr] $flagsDir already processed and state current — no-op")
+      return Seq.empty
+    }
+    val history = spark.read.parquet(historyPath)
+    val bench = spark.read.parquet(benchPath).select(col("text"))
+    val flags = IncrementalCurate.curateBatch(batch, history, bench, prefix,
+      updateState = false)
+    flags.write.mode("overwrite").parquet(flagsDir)
+    IncrementalCurate.appendBatch(batch, prefix)
+    val persisted = spark.read.parquet(flagsDir)
+    val lineage = Seq(
+      ("batch", persisted.count()),
+      ("quality_ok", persisted.filter(col("quality_ok")).count()),
+      ("exact_kept", persisted.filter(col("exact_kept")).count()),
+      ("fuzzy_kept", persisted.filter(col("fuzzy_kept")).count()),
+      ("kept", persisted.filter(col("kept")).count()))
+    lineage.map { case (st, n) => (st, n, System.currentTimeMillis() - t0) }
+      .toDF("stage", "rows", "wall_ms")
+      .write.mode("append").parquet(s"$outDir/metrics")
+    lineage.foreach { case (st, n) => println(s"[curate-incr] $st: $n") }
+    lineage
   }
 }

@@ -222,6 +222,62 @@ class DataPipelineSpec extends AnyFunSuite {
     } finally IncrementalCurate.drop(spark, prefix)
   }
 
+  test("IncrementalCuratePipeline main: init, process, no-op re-run, crash-resume append") {
+    import spark.implicits._
+    import graft.spark.pipeline.{IncrementalCurate, IncrementalCuratePipeline}
+    val work = Files.createTempDirectory("graft_incr_curate").toString
+    val A = "omega committee minutes summarize infrastructure funding allocations approved for riverside bridge repairs"
+    val history = Seq(
+      (0L, "en", "a.com", A),
+      (1L, "en", "a.com", A + " tail marker"),
+      (2L, "en", "b.com", "standalone feature story profiles harbor pilots guiding container ships through narrow channels")
+    ).toDF("doc_id", "lang", "source", "text")
+    val batch1 = Seq(
+      (100L, "en", "a.com", A),              // exact dup of history 0
+      (101L, "en", "c.com", "entirely novel report reviews alpine observatory telescope commissioning milestones this spring"),
+      (102L, "en", "c.com", "short")         // fails quality
+    ).toDF("doc_id", "lang", "source", "text")
+    val bench = Seq("benchmark text that matches nothing in this fixture corpus at all truly").toDF("text")
+    def save(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val p = s"$work/$name"; df.write.mode("overwrite").parquet(p); p
+    }
+    val historyP = save(history, "history")
+    val batch1P = save(batch1, "batch1")
+    val benchP = save(bench, "bench")
+    val prefix = "graft_incr_pipe_spec"
+    IncrementalCurate.drop(spark, prefix)
+    try {
+      // 1) first run initializes state and exits
+      val r0 = IncrementalCuratePipeline.run(spark, batch1P, historyP, benchP,
+        prefix, s"$work/out1")
+      assert(r0.map(_._1) == Seq("create"))
+      // 2) second run processes the batch: flags written, state advanced
+      val r1 = IncrementalCuratePipeline.run(spark, batch1P, historyP, benchP,
+        prefix, s"$work/out1")
+      assert(r1.toMap.apply("batch") == 3L)
+      assert(r1.toMap.apply("kept") == 1L, s"only the novel doc survives: $r1")
+      assert(IncrementalCurate.indexedMaxId(spark, prefix) == 102L)
+      // 3) re-run is a no-op (flags _SUCCESS + state current)
+      assert(IncrementalCuratePipeline.run(spark, batch1P, historyP, benchP,
+        prefix, s"$work/out1").isEmpty)
+      // 4) crash-resume: batch2's flags exist but the state append was lost
+      val hist2 = history.unionByName(batch1)
+      val batch2 = Seq((200L, "en", "d.com",
+        "closing segment recaps coastal marathon results with volunteer aid station highlights")).toDF("doc_id", "lang", "source", "text")
+      val batch2P = save(batch2, "batch2")
+      val hist2P = save(hist2, "history2")
+      IncrementalCurate.curateBatch(batch2, hist2, bench, prefix, updateState = false)
+        .write.mode("overwrite").parquet(s"$work/out2/flags")
+      val r3 = IncrementalCuratePipeline.run(spark, batch2P, hist2P, benchP,
+        prefix, s"$work/out2")
+      assert(r3.map(_._1) == Seq("resume_append"), s"must finish the append: $r3")
+      assert(IncrementalCurate.indexedMaxId(spark, prefix) == 200L)
+      // and now fully processed: no-op
+      assert(IncrementalCuratePipeline.run(spark, batch2P, hist2P, benchP,
+        prefix, s"$work/out2").isEmpty)
+    } finally IncrementalCurate.drop(spark, prefix)
+  }
+
   test("shard assignment is content-addressed and covers all shards") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
