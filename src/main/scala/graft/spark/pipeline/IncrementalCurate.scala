@@ -91,7 +91,10 @@ object IncrementalCurate {
 
   private def writeState(spark: SparkSession, prefix: String, maxId: Long): Unit = {
     import spark.implicits._
-    Bucketing.dropTable(spark, stateTable(prefix))
+    // overwrite WITHOUT a prior drop: an explicit drop would open a crash
+    // window in which the state table is simply absent and a scheduled
+    // re-run would silently re-initialize from scratch (losing every
+    // appended batch); overwrite keeps the table present throughout
     Bucketing.saveTableWithStaleLocationRetry(spark, stateTable(prefix)) {
       Seq(maxId).toDF("max_doc_id")
         .write.mode("overwrite").format("parquet").saveAsTable(stateTable(prefix))
@@ -251,12 +254,11 @@ object IncrementalCurate {
       // nothing below changes what the lazy plan would see
       val out = if (updateState) flags.localCheckpoint(true) else flags
 
-      // state append: the batch's stage-2 survivors become history
+      // state append: the batch's stage-2 survivors become history (the
+      // probed idempotent path shared with appendBatch)
       if (updateState) {
-        IndexIO.append(digestRelation(surv), digestTable(prefix), "dkey",
-          conf("num_buckets"))
-        BandIndex.append(surv, "doc_id", "text", bandTable(prefix))
-        writeState(spark, prefix, math.max(watermark, maxIdOf(batch).getOrElse(watermark)))
+        appendSurv(spark, surv, prefix, conf,
+          math.max(watermark, maxIdOf(batch).getOrElse(watermark)))
       }
       out
     } finally surv.unpersist(blocking = false)
@@ -267,7 +269,17 @@ object IncrementalCurate {
     * the two is resumable instead of wedged ([[IncrementalCuratePipeline]]:
     * flags written + state behind → re-run appends only; flags written +
     * state advanced → no-op). Same monotonicity guard; empty batch is a
-    * no-op. */
+    * no-op.
+    *
+    * IDEMPOTENT at sub-step granularity: each index append is a committed
+    * Spark write job (all-or-nothing via the output-commit protocol), and
+    * before appending, each index is PROBED for the batch's max survivor
+    * id — a resume after a crash between the two appends (or before the
+    * watermark write) skips whichever halves already landed instead of
+    * double-appending rows (duplicate band rows would silently inflate
+    * bucket member lists toward the maxBucket truncation cap). The probe
+    * predicate is on doc_id, which is monotone per append, so parquet
+    * row-group stats prune all but the newest files. */
   def appendBatch(batch: DataFrame, prefix: String): Unit = {
     val spark = batch.sparkSession
     val conf = IndexIO.readConf(spark, digestTable(prefix), "IncrementalCurate.create")
@@ -278,13 +290,27 @@ object IncrementalCurate {
         s"IncrementalCurate.appendBatch: batch ids must be monotone above the " +
           s"indexed history (batch min $mn <= indexed max $watermark)")
       val surv = gatedDeduped(batch).persist()
-      try {
+      try appendSurv(spark, surv, prefix, conf, math.max(watermark, mx))
+      finally surv.unpersist(blocking = false)
+    }
+  }
+
+  /** The shared probed append (see [[appendBatch]]'s idempotency note). */
+  private def appendSurv(spark: SparkSession, surv: DataFrame, prefix: String,
+                         conf: Map[String, Int], newWatermark: Long): Unit = {
+    maxIdOf(surv).foreach { probeId =>
+      def has(table: String): Boolean =
+        Bucketing.readTable(spark, table)
+          .filter(col("doc_id") === probeId).limit(1).count() > 0
+      if (!has(digestTable(prefix))) {
         IndexIO.append(digestRelation(surv), digestTable(prefix), "dkey",
           conf("num_buckets"))
+      }
+      if (!has(bandTable(prefix))) {
         BandIndex.append(surv, "doc_id", "text", bandTable(prefix))
-        writeState(spark, prefix, math.max(watermark, mx))
-      } finally surv.unpersist(blocking = false)
+      }
     }
+    writeState(spark, prefix, newWatermark)
   }
 
   /** The indexed-id watermark (max doc_id the state has absorbed). */
@@ -323,10 +349,14 @@ object IncrementalCurate {
   * <outDir>/flags, and only THEN appends the batch to the state — so a
   * crash at any point is resumable, never wedged: flags missing → full
   * re-run; flags written but state behind the batch's max id → re-run
-  * appends only; both done → no-op. A lineage row per stage (rows, wall
-  * ms) goes to <outDir>/metrics. <historyParquet> must be the accumulated
-  * corpus store (ids unique, monotone across batches) — it supplies the
-  * texts for the candidate-pair verify. */
+  * appends only (the appends themselves are probed-idempotent); both done
+  * → no-op. Every run — create, process, resume, no-op — appends ONE
+  * metrics row (event, per-stage counts, total wall ms) to
+  * <outDir>/metrics. Use a FRESH outDir per batch (flags for a different
+  * batch in the same outDir fail loudly instead of being skipped).
+  * <historyParquet> must be the accumulated corpus store (ids unique,
+  * monotone across batches) — it supplies the texts for the
+  * candidate-pair verify. */
 object IncrementalCuratePipeline {
   def main(args: Array[String]): Unit = {
     require(args.length == 5,
@@ -347,17 +377,40 @@ object IncrementalCuratePipeline {
   }
 
   /** Returns the (stage, count) lineage it recorded — for tests; the
-    * durable record is <outDir>/metrics. */
+    * durable record is <outDir>/metrics (one row PER RUN: the stage counts
+    * come out of one fused flag job, so a per-stage wall would be
+    * fiction — wall_ms is the run total; create/resume/no-op runs write
+    * their own row too, so monitoring keyed on metrics sees every run). */
   def run(spark: SparkSession, batchPath: String, historyPath: String,
           benchPath: String, prefix: String, outDir: String): Seq[(String, Long)] = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
+    def record(event: String, lineage: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val m = lineage.toMap
+      Seq((event, m.getOrElse("batch", 0L), m.getOrElse("quality_ok", 0L),
+        m.getOrElse("exact_kept", 0L), m.getOrElse("fuzzy_kept", 0L),
+        m.getOrElse("kept", 0L), System.currentTimeMillis() - t0))
+        .toDF("event", "batch", "quality_ok", "exact_kept", "fuzzy_kept",
+          "kept", "wall_ms")
+        .write.mode("append").parquet(s"$outDir/metrics")
+      lineage.foreach { case (st, n) => println(s"[curate-incr] $st: $n") }
+      lineage
+    }
     if (!IncrementalCurate.exists(spark, prefix)) {
+      // half-present state (conf tables without the state table) means a
+      // crash inside create() or a manually broken warehouse — rebuilding
+      // silently from historyParquet would discard appended batches and
+      // the original Conf; demand an explicit drop instead
+      require(!spark.catalog.tableExists(
+        graft.spark.dedup.IndexIO.confTable(s"${prefix}__digests")),
+        s"incremental-curate state '$prefix' is PARTIALLY present (index conf " +
+          "without the state table) — refusing to silently re-initialize; " +
+          "IncrementalCurate.drop() it explicitly if a rebuild is intended")
       val history = spark.read.parquet(historyPath)
       IncrementalCurate.create(history, prefix)
       println(s"[curate-incr] state '$prefix' initialized from $historyPath — " +
         "run again with the first batch")
-      return Seq(("create", history.count()))
+      return record("create", Seq(("create", history.count())))
     }
     val flagsDir = s"$outDir/flags"
     val success = new org.apache.hadoop.fs.Path(flagsDir, "_SUCCESS")
@@ -365,15 +418,26 @@ object IncrementalCuratePipeline {
       success.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(success)
     val batch = spark.read.parquet(batchPath)
     if (flagsDone) {
+      // persisted flags must belong to THIS batch — a reused outDir with a
+      // previous batch's flags would otherwise skip flag computation
+      // entirely and advance the state past the new batch (unrecoverable)
+      val persisted = spark.read.parquet(flagsDir)
+      val pIds = persisted.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val bIds = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      require(pIds.isNullAt(0) == bIds.isNullAt(0) &&
+        (pIds.isNullAt(0) || (pIds.getLong(0) == bIds.getLong(0) &&
+          pIds.getLong(1) == bIds.getLong(1))),
+        s"$flagsDir holds flags for a DIFFERENT batch (flag id range " +
+          s"$pIds vs batch $bIds) — each batch needs its own outDir")
       // flags persisted — finish the state append if a crash interrupted it
-      val batchMax = batch.agg(max(col("doc_id"))).head()
-      if (!batchMax.isNullAt(0) &&
-        batchMax.getLong(0) > IncrementalCurate.indexedMaxId(spark, prefix)) {
+      if (!bIds.isNullAt(1) &&
+        bIds.getLong(1) > IncrementalCurate.indexedMaxId(spark, prefix)) {
         IncrementalCurate.appendBatch(batch, prefix)
         println(s"[curate-incr] resumed: state append completed for $flagsDir")
-        return Seq(("resume_append", batch.count()))
+        return record("resume_append", Seq(("resume_append", batch.count())))
       }
       println(s"[curate-incr] $flagsDir already processed and state current — no-op")
+      record("noop", Seq.empty)
       return Seq.empty
     }
     val history = spark.read.parquet(historyPath)
@@ -382,17 +446,17 @@ object IncrementalCuratePipeline {
       updateState = false)
     flags.write.mode("overwrite").parquet(flagsDir)
     IncrementalCurate.appendBatch(batch, prefix)
-    val persisted = spark.read.parquet(flagsDir)
-    val lineage = Seq(
-      ("batch", persisted.count()),
-      ("quality_ok", persisted.filter(col("quality_ok")).count()),
-      ("exact_kept", persisted.filter(col("exact_kept")).count()),
-      ("fuzzy_kept", persisted.filter(col("fuzzy_kept")).count()),
-      ("kept", persisted.filter(col("kept")).count()))
-    lineage.map { case (st, n) => (st, n, System.currentTimeMillis() - t0) }
-      .toDF("stage", "rows", "wall_ms")
-      .write.mode("append").parquet(s"$outDir/metrics")
-    lineage.foreach { case (st, n) => println(s"[curate-incr] $st: $n") }
-    lineage
+    // ONE aggregation job over the persisted flags for every stage count
+    val c = spark.read.parquet(flagsDir).agg(
+      count(lit(1)).as("batch"),
+      sum(when(col("quality_ok"), 1L).otherwise(0L)).as("quality_ok"),
+      sum(when(col("exact_kept"), 1L).otherwise(0L)).as("exact_kept"),
+      sum(when(col("fuzzy_kept"), 1L).otherwise(0L)).as("fuzzy_kept"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("kept")).head()
+    val lineage = Seq("batch", "quality_ok", "exact_kept", "fuzzy_kept", "kept")
+      .zipWithIndex.map { case (st, i) =>
+        (st, if (c.isNullAt(i)) 0L else c.getLong(i))
+      }
+    record("process", lineage)
   }
 }

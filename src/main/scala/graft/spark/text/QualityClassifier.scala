@@ -100,8 +100,13 @@ object QualityClassifier {
           .select(col(textCol), col(labelCol))
           .filter(graft.spark.sample.Sampling.hashSampleKept(col(textCol), th))
           .persist()
-        try return trainFull(sampled, textCol, labelCol, buckets, iters, lr)
-        finally sampled.unpersist(blocking = false)
+        try {
+          // the content-hash cut can deterministically land empty (tiny
+          // caps; heavily duplicated texts collapse to few coin flips) —
+          // training on everything beats crashing on an empty sample
+          if (sampled.count() > 0)
+            return trainFull(sampled, textCol, labelCol, buckets, iters, lr)
+        } finally sampled.unpersist(blocking = false)
       }
     }
     trainFull(labeled, textCol, labelCol, buckets, iters, lr)

@@ -188,7 +188,7 @@ object CorpusScale {
         BandIndex.incrementalPairs(batch, history, "doc_id", "text", table,
           threshold = 0.5).count()
       // the round-6 compaction datapoint: the SAME search against a
-      // DEGRADED index — same history content, but built as create(3/4) +
+      // DEGRADED index — same history content, but built as create(1/4) +
       // three appends (~4 files/bucket), so the one-file-per-bucket sort
       // elision is lost and every search re-sorts the index side. The wall
       // delta vs neardup_fixedbatch_index is what compactTo buys back.
