@@ -36,6 +36,7 @@ object SparkEntry {
     "q_domain_cap" -> (SparkQueries.domainCapStats(_, _)),
     "q_temp_sample" -> (SparkQueries.temperatureSampleStats(_, _)),
     "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
+    "q_topk_select" -> (SparkQueries.topkSelect(_, _)),
     "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
     "q_pipeline_incremental" -> (SparkQueries.pipelineIncremental(_, _)),
     "q_normalize" -> (SparkQueries.normalizeStats(_, _)),
@@ -284,6 +285,12 @@ object SparkEntry {
         }.mkString +
         "ELSE NULL END THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
         "FROM documents GROUP BY lang"),
+    // distributed exact top-k (boundary-bucket refinement, no TakeOrdered):
+    // duplicate-heavy n_chars forces boundary-key ties, so the tie-by-id
+    // rule is exercised directly against the SQL LIMIT definition
+    "q_topk_select" ->
+      ("SELECT doc_id, n_chars FROM documents " +
+        "ORDER BY n_chars DESC, doc_id LIMIT 200"),
     "q_token_budget" ->
       ("WITH d AS (SELECT lang, doc_id, md5(text) AS p, " +
         "CASE WHEN trim(text) = '' THEN 0 " +

@@ -217,6 +217,20 @@ object SparkQueries {
         sum(when(col("kept"), col("toks")).otherwise(0L)).as("tokens_kept"))
   }
 
+  /** Distributed EXACT top-k selection (round-6): the longest-docs-first
+    * cut over documents via [[graft.spark.sample.Sampling.topKFlags]] —
+    * the boundary-bucket refinement with no TakeOrdered and no k-sized
+    * broadcast. n_chars is duplicate-HEAVY, so the boundary key carries
+    * many ties and the tie-by-id window is on the oracle path (DuckDB's
+    * ORDER BY n_chars DESC, doc_id LIMIT k is the definition). */
+  def topkSelect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.sample.Sampling
+    val d = tbl(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    Sampling.topKFlags(d, "doc_id", col("n_chars").cast("double"), 200L)
+      .filter(col("selected"))
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** The end-to-end curation pipeline (quality -> exact dedup ->
     * decontaminate -> domain cap -> token budget) as ONE declarative
     * DataFrame — every stage is re-derived independently by the DuckDB
