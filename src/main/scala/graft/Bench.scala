@@ -99,6 +99,7 @@ object Bench {
       "q_dedup_incremental" -> (SparkQueries.minhashPairsIncremental(_, _)),
       "q_dedup_index" -> (SparkQueries.minhashPairsFromIndex(_, _)),
       "q_token_budget" -> (SparkQueries.tokenBudgetStats(_, _)),
+      "q_topk_select" -> (SparkQueries.topkSelect(_, _)),
       "q_pipeline" -> (SparkQueries.pipelineStats(_, _)),
       "q_pipeline_incremental" -> (SparkQueries.pipelineIncremental(_, _)),
       "q_contamination_frac" -> (SparkQueries.contaminationOverlapStats(_, _)),
