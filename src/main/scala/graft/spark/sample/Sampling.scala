@@ -25,13 +25,52 @@ object Sampling {
         "group and priority columns are string-keyed (priority = a hex content hash)")
 
   /** Keep at most `cap` docs per group, in (priority, tie) order — the
-    * per-domain cap. Window partitions are (group) — i.e. individual
-    * domains, which stay small at corpus scale by definition of the cap's
-    * purpose. Returns the input rows plus a `kept` boolean. */
+    * per-domain cap, EXACTLY `row_number() <= cap` over that order but
+    * computed without ever sorting a whole group in one task (round 6: the
+    * old implementation windowed whole (group) partitions, so one hot
+    * domain at corpus scale was a single-task sort even for cap = 5):
+    *
+    *  1. bucket = first 2 chars of the priority string (a lexicographic
+    *     prefix, so bucket order refines doc order);
+    *  2. per-(group, bucket) counts plus a ≤256-rows-per-group running
+    *     offset window classify each bucket KEEP-ALL / DROP-ALL /
+    *     boundary — a DISTRIBUTED decision relation joined back on
+    *     (group, bucket), never collected or broadcast (domains are
+    *     unbounded in number, unlike the langs the token budget collects
+    *     per);
+    *  3. only boundary-bucket rows get the (priority, tie) window, scoped
+    *     to their own (group, bucket) partition — ~1/256 of one group.
+    *
+    * `priority` must cast to a non-null string whose lexicographic order
+    * is the intended priority order (the callers' content hex hashes);
+    * `tie` must be unique within a group. Returns the input rows plus a
+    * `kept` boolean (SamplingSpec pins equality with the row_number
+    * definition, randomized). */
   def groupCapFlags(df: DataFrame, groupCols: Seq[String], priority: Column,
                     tie: Column, cap: Int): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(priority, tie)
-    df.withColumn("kept", row_number().over(w) <= cap)
+    require(cap >= 0, s"cap must be >= 0, got $cap")
+    val gcols = groupCols.map(col)
+    val bucketed = df
+      .withColumn("__p", priority.cast("string"))
+      .withColumn("__t", tie)
+      .withColumn("__bkt", substring(col("__p"), 1, 2))
+    val wB = Window.partitionBy(gcols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val decisions = bucketed
+      .groupBy(gcols :+ col("__bkt"): _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", sum(col("__n")).over(wB) - col("__n"))
+      .withColumn("__ka", col("__off") + col("__n") <= cap)
+      .withColumn("__da", col("__off") >= cap)
+      .select(gcols ++ Seq(col("__bkt"), col("__off"), col("__ka"), col("__da")): _*)
+    val joined = bucketed.join(decisions, groupCols :+ "__bkt")
+    val wholesale = joined.filter(col("__ka") || col("__da"))
+      .withColumn("kept", col("__ka"))
+    val wIn = Window.partitionBy(gcols :+ col("__bkt"): _*)
+      .orderBy(col("__p"), col("__t"))
+    val boundary = joined.filter(!col("__ka") && !col("__da"))
+      .withColumn("kept", col("__off") + row_number().over(wIn) <= cap)
+    wholesale.unionByName(boundary)
+      .drop("__p", "__t", "__bkt", "__off", "__ka", "__da")
   }
 
   /** Exclusive prefix sum of `tokensCol` per `groupCol` in (priorityCol,

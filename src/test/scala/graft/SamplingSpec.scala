@@ -130,6 +130,63 @@ class SamplingSpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("groupCapFlags equals the naive row_number definition, randomized") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // many groups of wildly different sizes (incl. one "hot domain" far
+    // above the cap) — the old whole-group window and the new distributed
+    // boundary cut must agree exactly
+    val rows = (0L until 600L).map { id =>
+      val g = if (id < 300) "hot" else s"g${rnd.nextInt(40)}"
+      (g, id, s"doc-$id-${rnd.nextInt(1000)}")
+    }
+    val df = rows.toDF("g", "id", "text").withColumn("p", md5(col("text")))
+    for (cap <- Seq(0, 1, 5, 37, 299, 1000)) {
+      val naive = df.withColumn("kept",
+          row_number().over(Window.partitionBy(col("g"))
+            .orderBy(col("p"), col("id"))) <= cap)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+      val fast = Sampling.groupCapFlags(df, Seq("g"), col("p"), col("id"), cap)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+      assert(fast == naive, s"cap=$cap")
+    }
+    // partition invariance + multi-column groups (the curate shape)
+    val multi = df.withColumn("g2", col("id") % 3)
+    val a = Sampling.groupCapFlags(multi.repartition(3), Seq("g", "g2"),
+        col("p"), col("id"), 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    val b = Sampling.groupCapFlags(multi.repartition(13), Seq("g", "g2"),
+        col("p"), col("id"), 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(a == b)
+    val naiveMulti = multi.withColumn("kept",
+        row_number().over(Window.partitionBy(col("g"), col("g2"))
+          .orderBy(col("p"), col("id"))) <= 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(a == naiveMulti)
+  }
+
+  test("groupCapFlags plan sorts only (group, bucket) partitions, never a whole group") {
+    import spark.implicits._
+    val df = (0L until 400L).map(id => ("dom", id, s"t$id")).toDF("g", "id", "text")
+      .withColumn("p", md5(col("text")))
+    val plan = Sampling.groupCapFlags(df, Seq("g"), col("p"), col("id"), 5)
+      .queryExecution.executedPlan.toString
+    // every window that sorts DATA rows (order key __p) must be scoped to
+    // (group, __bkt) — a whole-group data sort would partition by [g]
+    // alone; the other window (the per-group running bucket offsets) only
+    // ever sees <= 256 aggregated rows per group and is fine
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(plan).map(_.start)
+      .map(i => plan.substring(i, math.min(plan.length, i + 250))).toList
+    val dataWindows = specs.filter(_.contains("__p#"))
+    assert(dataWindows.nonEmpty, s"expected a boundary data window in:\n$plan")
+    dataWindows.foreach { s =>
+      val bkt = s.indexOf("__bkt#")
+      assert(bkt >= 0 && bkt < s.indexOf("__p#"),
+        s"data window must partition by (group, __bkt), got: $s")
+    }
+  }
+
   // ---- distributed exact top-k selection (topKFlags) ----
 
   /** The definition topKFlags must reproduce: orderBy(key desc, id).limit(k). */
