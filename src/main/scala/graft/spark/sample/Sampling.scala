@@ -41,19 +41,32 @@ object Sampling {
     *  3. only boundary-bucket rows get the (priority, tie) window, scoped
     *     to their own (group, bucket) partition — ~1/256 of one group.
     *
-    * `priority` must cast to a non-null string whose lexicographic order
-    * is the intended priority order (the callers' content hex hashes);
-    * `tie` must be unique within a group. Returns the input rows plus a
-    * `kept` boolean (SamplingSpec pins equality with the row_number
-    * definition, randomized). */
+    * `priority` must be a STRING column whose lexicographic order is the
+    * intended priority order (the callers' content hex hashes — checked at
+    * runtime like the sibling operators; a numeric priority would silently
+    * rank "10" < "9" as a string); `tie` must be unique within a group.
+    * NULL-safe: null groups and null priorities survive with the exact
+    * row_number semantics (null priority sorts first, NULLS FIRST). Returns
+    * the input rows plus a `kept` boolean (SamplingSpec pins equality with
+    * the row_number definition, randomized, incl. nulls). */
   def groupCapFlags(df: DataFrame, groupCols: Seq[String], priority: Column,
                     tie: Column, cap: Int): DataFrame = {
     require(cap >= 0, s"cap must be >= 0, got $cap")
+    require(df.select(priority).schema.head.dataType ==
+      org.apache.spark.sql.types.StringType,
+      "groupCapFlags: priority must be a STRING column (lexicographic order " +
+        "IS the priority order; a cast from numerics would silently reorder)")
+    val internal = Seq("__p", "__t", "__bkt", "__off", "__ka", "__da", "__n")
+    internal.foreach(n => require(!df.columns.contains(n),
+      s"groupCapFlags: input already has an internal column name '$n'"))
     val gcols = groupCols.map(col)
     val bucketed = df
-      .withColumn("__p", priority.cast("string"))
+      .withColumn("__p", priority)
       .withColumn("__t", tie)
-      .withColumn("__bkt", substring(col("__p"), 1, 2))
+      // null priority joins the "" bucket: both sort before every non-empty
+      // prefix, and the in-bucket window's NULLS FIRST puts null before ""
+      // — exactly the whole-group window's order
+      .withColumn("__bkt", coalesce(substring(col("__p"), 1, 2), lit("")))
     val wB = Window.partitionBy(gcols: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val decisions = bucketed
@@ -61,15 +74,27 @@ object Sampling {
       .withColumn("__off", sum(col("__n")).over(wB) - col("__n"))
       .withColumn("__ka", col("__off") + col("__n") <= cap)
       .withColumn("__da", col("__off") >= cap)
-      .select(gcols ++ Seq(col("__bkt"), col("__off"), col("__ka"), col("__da")): _*)
-    val joined = bucketed.join(decisions, groupCols :+ "__bkt")
-    val wholesale = joined.filter(col("__ka") || col("__da"))
-      .withColumn("kept", col("__ka"))
+      .select((groupCols.map(c => col(c).as(s"__d_$c")) :+
+        col("__bkt").as("__d_bkt")) ++
+        Seq(col("__off"), col("__ka"), col("__da")): _*)
+    // NULL-SAFE equi-join (<=>): a null group value must still find its
+    // decision row — a plain using-join would silently delete those docs
+    val cond = (groupCols.map(c => col(c) <=> col(s"__d_$c")) :+
+      (col("__bkt") <=> col("__d_bkt"))).reduce(_ && _)
+    val joined = bucketed.join(decisions, cond)
+      .drop(groupCols.map(c => s"__d_$c") :+ "__d_bkt": _*)
+    // ONE branch, ONE (group, bucket)-scoped window: a wholesale/boundary
+    // union would evaluate the scan + decisions subtree twice per action
+    // (measured: ReuseExchange does not fire across the branches). The
+    // rank is computed for every bucket rather than only the boundary one,
+    // but each sort is confined to its own (group, bucket) partition —
+    // still never a whole-group single-task sort.
     val wIn = Window.partitionBy(gcols :+ col("__bkt"): _*)
       .orderBy(col("__p"), col("__t"))
-    val boundary = joined.filter(!col("__ka") && !col("__da"))
-      .withColumn("kept", col("__off") + row_number().over(wIn) <= cap)
-    wholesale.unionByName(boundary)
+    joined
+      .withColumn("kept",
+        col("__ka") ||
+          (!col("__da") && col("__off") + row_number().over(wIn) <= cap))
       .drop("__p", "__t", "__bkt", "__off", "__ka", "__da")
   }
 

@@ -166,6 +166,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == naiveMulti)
   }
 
+  test("groupCapFlags: null groups and null priorities survive with row_number semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("g"), 1L, Some("aa")),
+      (Some("g"), 2L, None),          // null priority: sorts FIRST in its group
+      (None, 3L, Some("bb")),         // null group: its own partition
+      (None, 4L, Some("aa")),
+      (Some("g"), 5L, Some("ab"))).toDF("g", "id", "p")
+    val naive = df.withColumn("kept",
+        row_number().over(Window.partitionBy(col("g"))
+          .orderBy(col("p"), col("id"))) <= 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    val got = Sampling.groupCapFlags(df, Seq("g"), col("p"), col("id"), 1)
+    assert(got.count() == 5, "every input row must survive (null keys included)")
+    val fast = got.collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(fast == naive, s"$fast vs $naive")
+    // a numeric priority is rejected loudly instead of silently re-ranked
+    assertThrows[IllegalArgumentException](
+      Sampling.groupCapFlags(df, Seq("g"), col("id"), col("id"), 1))
+  }
+
   test("groupCapFlags plan sorts only (group, bucket) partitions, never a whole group") {
     import spark.implicits._
     val df = (0L until 400L).map(id => ("dom", id, s"t$id")).toDF("g", "id", "text")
