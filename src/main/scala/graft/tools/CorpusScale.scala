@@ -206,7 +206,7 @@ object CorpusScale {
         BandIndex.incrementalPairs(batch, history, "doc_id", "text", table,
           threshold = 0.5).count()
       // DSIR end to end: fit (2 scans -> bounded 4096-bucket aggs) + score
-      // (1 codegen'd scan) + Gumbel top-k (bounded TakeOrdered) — the
+      // (1 codegen'd scan) + Gumbel top-k (the distributed boundary cut) — the
       // per-doc rate should be level-invariant by construction
       case "dsir" =>
         val model = graft.spark.sample.Dsir.fit(
