@@ -15,10 +15,12 @@ import graft.spark.text.TextFunctions
   *   per-domain cap -> per-lang token budget -> sharded output
   *
   * Two surfaces:
-  *   - [[curate]]: the whole pipeline as ONE declarative DataFrame (no
-  *     intermediate materialization; Catalyst sees every stage). The
-  *     q_pipeline driver query checks it end-to-end against a DuckDB oracle
-  *     that re-derives every stage in SQL.
+  *   - [[curate]]: the whole pipeline as one composed DataFrame (stages 1-3
+  *     stay declarative; the narrow stage-4 survivor relation is pinned via
+  *     localCheckpoint so the multi-consumer budget stage cannot re-execute
+  *     the upstream pipeline — round 7). The q_pipeline driver query checks
+  *     it end-to-end against a DuckDB oracle that re-derives every stage in
+  *     SQL.
   *   - [[CuratePipeline]]: a spark-submit main that materializes each stage
   *     to parquet with per-stage lineage metrics and stage-level resume
   *     (a killed run re-executes only the stages whose outputs are missing).
@@ -126,6 +128,16 @@ object DataPipeline {
     val capped = Sampling.groupCapFlags(clean, Seq("lang", "source"),
         col("digest"), col("doc_id"), domainCap)
       .filter(col("kept")).drop("kept")
+      // round 7: pin the NARROW stage-4 survivor relation (doc_id, lang,
+      // source, digest, toks — text never reaches this point) ONCE. The
+      // token-budget stage consumes its input three ways (the eager
+      // bucket-totals probe plus the keep/boundary branches of its output
+      // plan); un-pinned, each consumption re-executed the ENTIRE stage-1..4
+      // pipeline — measured 8 parquet scans of `documents` per q_pipeline
+      // action. The checkpoint makes curate() eager (the optional fuzzy
+      // stage already was); on a cluster prefer the staged CuratePipeline
+      // main, which materializes every stage to parquet anyway.
+      .localCheckpoint(true)
     // 5. per-lang token budget (two-level boundary-bucket cut)
     Sampling.tokenBudgetKeepFlags(capped, "lang", "toks", "digest", "doc_id", tokenBudget)
       .filter(col("kept")).drop("kept")

@@ -164,12 +164,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "selection must not use O(k)-per-task TakeOrdered:\n" + plan)
     assert(!plan.contains("BroadcastHashJoin"),
       "selection must not broadcast a k-sized id set:\n" + plan)
-    // the flag plan is the non-tie comparison branch UNIONed with the
-    // boundary-key tie branch, whose window sorts ONLY rows filtered to
-    // the single boundary key (the SinglePartition exchange is bounded by
-    // the duplicate count of that one key, not by k)
-    assert(plan.contains("Union"), plan)
-    assert(plan.contains("SinglePartition"), plan)
+    // round 7: the flag plan is ONE comparison pass — no union of a tie
+    // branch and no window anywhere (the boundary-tie cut is resolved by
+    // the bounded driver walk BEFORE the flag plan is built; the old
+    // partition-less tie window was a single-task sort over the whole
+    // boundary tie class — the round-6 verdict scale cliff)
+    assert(!plan.contains("Union"), plan)
+    assert(!plan.contains("Window"), plan)
     // the scoring kernel runs as a native codegen'd expression
     assert(plan.contains("dsir_logw_milli"), plan)
     assert(!plan.contains("ScalaUDF"), "scoring must not cross a UDF boundary:\n" + plan)

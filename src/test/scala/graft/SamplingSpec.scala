@@ -234,9 +234,47 @@ class SamplingSpec extends AnyFunSuite {
       val got = topKIds(df, k.toLong)
       assert(got == expect, s"k=$k")
       assert(got.size == math.min(k, 300), s"k=$k cardinality")
+      // force the DISTRIBUTED tie walk (tieCollectMax below any tie-class
+      // size) — must agree with the bounded-collect path on every k
+      val gotWalk = Sampling.topKFlags(df, "id", col("key"), k.toLong,
+          tieCollectMax = 1L)
+        .filter(col("selected")).select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(gotWalk == expect, s"k=$k (tie walk)")
     }
     // partition-count invariance (the cut must not depend on layout)
     assert(topKIds(df.repartition(13), 137L) == takeOrderedIds(df, 137))
+  }
+
+  test("topKFlags: adversarial all-tied key takes the distributed tie walk (no window)") {
+    import spark.implicits._
+    // EVERY row shares one key (the round-6 verdict scale cliff: the old
+    // tie cut was a single-task global window over the whole tie class);
+    // negative ids exercise the signed ~id refinement. Forcing
+    // tieCollectMax below the class size takes the walk path.
+    val df = (0L until 5000L).map(id => (id - 2500L, 1.5)).toDF("id", "key")
+    val flags = Sampling.topKFlags(df, "id", col("key"), 1234L, tieCollectMax = 64L)
+    val got = flags.filter(col("selected")).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (-2500L until -1266L).toSet)
+    val plan = flags.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"tie cut must never window:\n$plan")
+    assert(!plan.contains("TakeOrdered"), plan)
+  }
+
+  test("topKFlags: NaN keys and internal-name collisions fail loudly") {
+    import spark.implicits._
+    val nan = Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0)).toDF("id", "key")
+    val ex = intercept[Exception](
+      Sampling.topKFlags(nan, "id", col("key"), 2L).collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    assert(messages(ex).contains("NaN"), s"got: ${messages(ex)}")
+    val collide = Seq((1L, 1.0, true)).toDF("id", "key", "selected")
+    assertThrows[IllegalArgumentException](
+      Sampling.topKFlags(collide, "id", col("key"), 1L))
+    val strId = Seq(("a", 1.0)).toDF("id", "key")
+    assertThrows[IllegalArgumentException](
+      Sampling.topKFlags(strId, "id", col("key"), 1L))
   }
 
   test("topKFlags: all rows share one key -> pure tie-by-id selection") {
@@ -257,7 +295,7 @@ class SamplingSpec extends AnyFunSuite {
     assert(sel == (0L until 40L).filter(_ % 4 != 0).toSet)
   }
 
-  test("topKFlags plan has no TakeOrdered and no per-k state") {
+  test("topKFlags plan has no TakeOrdered, no per-k state, no window") {
     import spark.implicits._
     val df = (0L until 500L).map(id => (id, (id * 37 % 101).toDouble)).toDF("id", "key")
     val plan = Sampling.topKFlags(df, "id", col("key"), 100L)
@@ -266,6 +304,11 @@ class SamplingSpec extends AnyFunSuite {
       s"selection must not rebuild the O(k)-per-task TakeOrdered:\n$plan")
     assert(!plan.contains("BroadcastHashJoin"),
       s"selection must not broadcast a k-sized id set:\n$plan")
+    // round 7: flags are pure comparisons in ONE pass — no union of a tie
+    // branch, no window (the old partition-less tie window was a
+    // single-task sort over the whole boundary tie class)
+    assert(!plan.contains("Window"), s"flags must be windowless:\n$plan")
+    assert(!plan.contains("Union"), s"flags must be a single pass:\n$plan")
   }
 
   test("sortableBits is monotone over the double line") {
