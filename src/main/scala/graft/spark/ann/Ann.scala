@@ -173,43 +173,50 @@ object Ann extends Serializable {
   def trainCoarseCentroids(corpus: DataFrame, nlist: Int,
                            lloydIters: Int): Array[(Int, Array[Float])] = {
     val spark = corpus.sparkSession
-    var centroids: Array[(Int, Array[Float])] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")) // vec_id tiebreak: hash ties must not
-      .limit(nlist)                     // make seeds partition-order-dependent
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }
-    var it = 0
-    while (it < lloydIters && centroids.nonEmpty) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val sums =
-        try corpus.select(col("embedding"))
-          .withColumn("cell", mkAssignUdf(bc)(col("embedding")))
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("v").cast("double")).as("s"))
-          .collect()
-        finally bc.destroy()
-      val dim = centroids.head._2.length
-      val acc = Array.fill(nlist)(new Array[Double](dim))
-      val seen = new Array[Boolean](nlist)
-      sums.foreach { r =>
-        val c = r.getInt(0); val p = r.getInt(1)
-        acc(c)(p) = r.getDouble(2); seen(c) = true
-      }
-      centroids = centroids.map { case (i, old) =>
-        if (!seen(i)) (i, old)
-        else {
-          val v = acc(i)
-          val norm = math.sqrt(v.map(x => x * x).sum)
-          if (norm == 0) (i, old) else (i, v.map(x => (x / norm).toFloat))
+    // round 7: pin the (vec_id, embedding) projection once — seeding plus
+    // every Lloyd iteration scans it (1 + lloydIters jobs; previously each
+    // re-read the source). Training is fully eager, so the
+    // persist/finally-unpersist pair leaks nothing into the caller's plan.
+    val proj = corpus.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[(Int, Array[Float])] = proj
+        .withColumn("h", xxhash64(col("vec_id")))
+        .orderBy(col("h"), col("vec_id")) // vec_id tiebreak: hash ties must not
+        .limit(nlist)                     // make seeds partition-order-dependent
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }
+      var it = 0
+      while (it < lloydIters && centroids.nonEmpty) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val sums =
+          try proj.select(col("embedding"))
+            .withColumn("cell", mkAssignUdf(bc)(col("embedding")))
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(sum(col("v").cast("double")).as("s"))
+            .collect()
+          finally bc.destroy()
+        val dim = centroids.head._2.length
+        val acc = Array.fill(nlist)(new Array[Double](dim))
+        val seen = new Array[Boolean](nlist)
+        sums.foreach { r =>
+          val c = r.getInt(0); val p = r.getInt(1)
+          acc(c)(p) = r.getDouble(2); seen(c) = true
         }
+        centroids = centroids.map { case (i, old) =>
+          if (!seen(i)) (i, old)
+          else {
+            val v = acc(i)
+            val norm = math.sqrt(v.map(x => x * x).sum)
+            if (norm == 0) (i, old) else (i, v.map(x => (x / norm).toFloat))
+          }
+        }
+        it += 1
       }
-      it += 1
-    }
-    centroids
+      centroids
+    } finally proj.unpersist(blocking = false)
   }
 
   /** Deterministic normalized PQ training sample (hashed-id order). */

@@ -306,15 +306,20 @@ object Dedup extends Serializable {
         .join(labels.select(col("id").as("src"), col("rep").as("srep")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("srep")).as("nrep"))
+      // carry the pre-round label through the round (round 7): the
+      // fixpoint check then reads the materialized round output directly
+      // instead of re-joining the previous label table — one fewer
+      // shuffle join per round
       val stepped = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .select(col("id"), col("rep").as("__old"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
       // 2) pointer halving: rep := rep(rep) — collapses label chains
       val repOf = stepped.select(col("id").as("rep_key"), col("rep").as("rep2"))
       val halved = ck(stepped.join(repOf, stepped("rep") === repOf("rep_key"), "left")
-        .select(stepped("id"), coalesce(col("rep2"), stepped("rep")).as("rep")))
-      done = halved.as("n").join(labels.as("o"), "id")
-        .filter(col("n.rep") =!= col("o.rep")).isEmpty
-      labels = halved
+        .select(stepped("id"), coalesce(col("rep2"), stepped("rep")).as("rep"),
+          col("__old")))
+      done = halved.filter(col("rep") =!= col("__old")).isEmpty
+      labels = halved.select(col("id"), col("rep"))
       it += 1
     }
     // an unconverged label table would silently mis-cluster downstream
@@ -336,15 +341,6 @@ object Dedup extends Serializable {
     val len = if (b < 4) 11 else 10
     shiftrightunsigned(sim, blockOffsets(b)) bitwiseAND lit((1L << len) - 1)
   }
-
-  /** All 20 combo keys of a simhash column: key = combo-tagged concatenation
-    * of the three block values (three 11-bit lanes; block values < 2^11). */
-  private def comboKeys(sim: Column): Column =
-    array(blockCombos.zipWithIndex.map { case ((i, j, k), c) =>
-      struct(lit(c).as("combo"),
-        (shiftleft(blockOf(sim, i), 22) bitwiseOR
-          shiftleft(blockOf(sim, j), 11) bitwiseOR blockOf(sim, k)).as("key"))
-    }: _*)
 
   /** The 20 combo keys FUSED into single 38-bit longs (combo id in bits
     * 33-37, the 33-bit 3-block key below) — collision-free by construction,
@@ -398,16 +394,18 @@ object Dedup extends Serializable {
     * INSIDE: a bucket of B rows inspects B²/2 pairs but only emits the ones
     * within `maxHamming` — the far-pair majority dies before the dedup
     * `distinct()` exchange instead of being shuffled 20-combos-deep and
-    * filtered after. ids and sims are parallel collect_lists from the same
-    * aggregate, so indices correspond. */
+    * filtered after. Members arrive as ONE struct list (round 7: explicit
+    * (id, sim) pairing in the row, replacing the previous parallel
+    * collect_lists whose index alignment Spark does not guarantee). */
   private def bucketSimPairsUdf(maxBucket: Int, maxHamming: Int,
                                 tele: TruncationTelemetry): UserDefinedFunction =
-    udf((ids: Seq[Long], sims: Seq[Long]) => {
-      if (ids.length > maxBucket) {
+    udf((members: Seq[Row]) => {
+      if (members.length > maxBucket) {
         tele.truncatedBuckets.add(1L)
-        tele.droppedIds.add((ids.length - maxBucket).toLong)
+        tele.droppedIds.add((members.length - maxBucket).toLong)
       }
-      val z = ids.zip(sims).sortBy(_._1).take(maxBucket).toArray
+      val z = members.map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).take(maxBucket).toArray
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
       var i = 0
       while (i < z.length) {
@@ -545,14 +543,20 @@ object Dedup extends Serializable {
     val tele = telemetry.getOrElse(TruncationTelemetry(df.sparkSession, "simhash"))
     val withSim = df.select(col(idCol).cast("long").as("doc_id"),
       TextExpressions.simhash64Native(col(textCol)).as("sim"))
+    // round 7: the 20 combo keys ship as single FUSED 38-bit longs
+    // ([[comboKeysLong]] — collision-free by construction, so grouping by
+    // the one column IS grouping by (combo, key); the incremental operator
+    // and SimHashIndex already keyed this way). The shuffle row narrows
+    // from (doc_id, sim, combo int, key long) to (doc_id, sim, skey long)
+    // and the aggregate carries ONE struct list instead of two parallel
+    // collect_lists.
     val keyed = withSim
-      .select(col("doc_id"), col("sim"), explode(comboKeys(col("sim"))).as("ck"))
-      .select(col("doc_id"), col("sim"), col("ck.combo").as("combo"), col("ck.key").as("key"))
+      .select(col("doc_id"), col("sim"), explode(comboKeysLong(col("sim"))).as("skey"))
     keyed
-      .groupBy(col("combo"), col("key"))
-      .agg(collect_list(col("doc_id")).as("ids"), collect_list(col("sim")).as("sims"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(bucketSimPairsUdf(maxBucket, maxHamming, tele)(col("ids"), col("sims"))).as("p"))
+      .groupBy(col("skey"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(bucketSimPairsUdf(maxBucket, maxHamming, tele)(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .distinct()
   }

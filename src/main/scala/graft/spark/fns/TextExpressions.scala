@@ -222,6 +222,23 @@ object TextKernels extends Serializable {
     math.floor(sum * 1000.0).toLong
   }
 
+  /** Σ table(b) over a PRECOMPUTED [[dsirBuckets]] id array, in array
+    * order — [[dsirBuckets]] emits features in exactly the order
+    * [[dsirLogWeightMilli]] accumulates them (all unigrams, then all
+    * bigrams), so summing the table in array order is the IDENTICAL double
+    * accumulation and milli-floor: margins computed from a cached feature
+    * projection are bit-for-bit the text kernel's (the round-7
+    * classifier-training cache relies on this; DsirSpec pins the
+    * parity). */
+  def dsirBucketWeightMilli(bucketIds: ArrayData, table: Array[Double]): Long = {
+    if (bucketIds == null) return 0L
+    var sum = 0.0
+    var i = 0
+    val n = bucketIds.numElements()
+    while (i < n) { sum += table(bucketIds.getInt(i)); i += 1 }
+    math.floor(sum * 1000.0).toLong
+  }
+
   /** Deterministic in-engine text embedding (round-5 verdict "what's
     * missing" #1 — the engine could consume but never PRODUCE an embedding
     * column): hashed unigram+bigram random projection into a unit float[d]
@@ -547,6 +564,35 @@ case class DsirLogWeightExpr(child: Expression, buckets: Int,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "dsir_logw_milli"
+}
+
+/** [[DsirLogWeightExpr]] over a PRECOMPUTED bucket-id ARRAY column — the
+  * round-7 classifier-training margin kernel: gradient-descent iterations
+  * score a cached (label, buckets) projection instead of re-reading and
+  * re-tokenizing the corpus text twice per iteration. Bit-identical to the
+  * text kernel by the shared accumulation order
+  * ([[TextKernels.dsirBucketWeightMilli]]). */
+case class DsirBucketWeightExpr(child: Expression,
+                                table: org.apache.spark.broadcast.Broadcast[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.dsirBucketWeightMilli(input.asInstanceOf[ArrayData], table.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftDsirBc", table,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Double]]].getName)
+    val arr = ctx.addMutableState("double[]", "graftDsirTable",
+      v => s"$v = (double[])$bcRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.spark.fns.TextKernels.dsirBucketWeightMilli($c, $arr)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "dsir_bucket_weight_milli"
 }
 
 /** Codegen'd deterministic text embedding
@@ -903,6 +949,10 @@ object TextExpressions {
       table: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
     GraftColumnBridge.column(
       DsirLogWeightExpr(GraftColumnBridge.expression(c), buckets, table))
+  def dsirBucketWeightNative(c: Column,
+      table: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      DsirBucketWeightExpr(GraftColumnBridge.expression(c), table))
 
   def bloomShingleHitNative(bloomBytes: Array[Byte], n: Int, text: Column): Column =
     GraftColumnBridge.column(BloomShingleHitExpr(GraftColumnBridge.expression(text), n,

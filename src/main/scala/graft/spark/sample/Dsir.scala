@@ -66,8 +66,15 @@ object Dsir {
   def fit(target: DataFrame, raw: DataFrame, textCol: String,
           buckets: Int = 10000, alpha: Double = 1.0): Model = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val ct = fitCounts(target, textCol, buckets)
+    // round 7: the two count jobs are independent — submit the target's
+    // from a second thread so its tasks back-fill the raw scan's tail
+    // (guide-§2.6 overlapping of independent jobs; results are plain count
+    // aggregates, so concurrency cannot change the model)
+    val ctF = scala.concurrent.Future(fitCounts(target, textCol, buckets))(
+      scala.concurrent.ExecutionContext.global)
     val cr = fitCounts(raw, textCol, buckets)
+    val ct = scala.concurrent.Await.result(
+      ctF, scala.concurrent.duration.Duration.Inf)
     val st = ct.sum.toDouble + alpha * buckets
     val sr = cr.sum.toDouble + alpha * buckets
     Model(buckets, Array.tabulate(buckets) { b =>

@@ -115,42 +115,58 @@ object QualityClassifier {
   private def trainFull(labeled: DataFrame, textCol: String, labelCol: String,
                         buckets: Int, iters: Int, lr: Double): Model = {
     val spark = labeled.sparkSession
-    val n = labeled.count()
-    require(n > 0, "training corpus is empty")
-    var w = new Array[Double](buckets)
-    var biasMilli = 0L
-    var it = 0
-    while (it < iters) {
-      val bc = spark.sparkContext.broadcast(w)
-      // residual_milli = floor(1000 * (sigmoid(margin) - y)) per doc —
-      // quantized BEFORE aggregation so gradient sums are exact Longs
-      val margin =
-        (TextExpressions.dsirLogWeightNative(col(textCol), buckets, bc) +
-          lit(biasMilli)).cast("double") / 1000.0
-      val residualMilli = floor(
-        (lit(1.0) / (lit(1.0) + exp(-margin)) -
-          col(labelCol).cast("int").cast("double")) * 1000.0).cast("long")
-      // ONE scan per iteration: sentinel bucket −1 carries the bias
-      // gradient (every doc emits it once, so empty docs still train bias)
-      val contrib = labeled
-        .select(col(textCol), residualMilli.as("r"))
-        .select(explode(concat(array(lit(-1)),
-          TextExpressions.dsirBucketsNative(col(textCol), buckets))).as("b"), col("r"))
-      val rows =
-        try contrib.groupBy(col("b")).agg(sum(col("r")).as("g")).collect()
-        finally bc.destroy()
-      val next = w.clone()
-      var biasGradMilli = 0L
-      rows.foreach { r =>
-        val b = r.getInt(0)
-        if (b < 0) biasGradMilli = r.getLong(1)
-        else next(b) = next(b) - lr * (r.getLong(1).toDouble / 1000.0) / n
+    // round 7: pin the per-doc FEATURE projection once — the bucket-id
+    // array plus the raw label is the entire per-doc training state, so the
+    // GD iterations read a cached narrow relation instead of re-scanning
+    // the corpus and re-tokenizing every doc TWICE per iteration (margin
+    // kernel + gradient explode; measured q_classifier_train ~1.5s -> the
+    // tokenization was iters x 2 of the total). The margin over the cached
+    // array ([[graft.spark.fns.DsirBucketWeightExpr]]) accumulates in the
+    // identical order as the text kernel, so weights stay BYTE-identical
+    // (QualityClassifierSpec + the ClsTruth-pinned q_classifier oracle).
+    // persist -> finally-unpersist inside this eager method: nothing leaks.
+    val feats = labeled
+      .select(col(labelCol).as("__y"),
+        TextExpressions.dsirBucketsNative(col(textCol), buckets).as("__fb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.count()
+      require(n > 0, "training corpus is empty")
+      var w = new Array[Double](buckets)
+      var biasMilli = 0L
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(w)
+        // residual_milli = floor(1000 * (sigmoid(margin) - y)) per doc —
+        // quantized BEFORE aggregation so gradient sums are exact Longs
+        val margin =
+          (TextExpressions.dsirBucketWeightNative(col("__fb"), bc) +
+            lit(biasMilli)).cast("double") / 1000.0
+        val residualMilli = floor(
+          (lit(1.0) / (lit(1.0) + exp(-margin)) -
+            col("__y").cast("int").cast("double")) * 1000.0).cast("long")
+        // ONE cached-projection pass per iteration: sentinel bucket −1
+        // carries the bias gradient (every doc emits it once, so empty
+        // docs still train bias)
+        val contrib = feats
+          .select(col("__fb"), residualMilli.as("r"))
+          .select(explode(concat(array(lit(-1)), col("__fb"))).as("b"), col("r"))
+        val rows =
+          try contrib.groupBy(col("b")).agg(sum(col("r")).as("g")).collect()
+          finally bc.destroy()
+        val next = w.clone()
+        var biasGradMilli = 0L
+        rows.foreach { r =>
+          val b = r.getInt(0)
+          if (b < 0) biasGradMilli = r.getLong(1)
+          else next(b) = next(b) - lr * (r.getLong(1).toDouble / 1000.0) / n
+        }
+        w = next
+        biasMilli = biasMilli -
+          math.round(lr * (biasGradMilli.toDouble / n)) // milli units
+        it += 1
       }
-      w = next
-      biasMilli = biasMilli -
-        math.round(lr * (biasGradMilli.toDouble / n)) // milli units
-      it += 1
-    }
-    Model(buckets, w, biasMilli)
+      Model(buckets, w, biasMilli)
+    } finally feats.unpersist(blocking = false)
   }
 }

@@ -120,4 +120,26 @@ class DsirSpec extends AnyFunSuite {
       TextKernels.dsirLogWeightMilli(UTF8String.fromString(t), B, m.logRatio))
     assert(got == want)
   }
+
+  test("bucket-array weight kernel is bit-identical to the text kernel") {
+    import spark.implicits._
+    // the round-7 classifier-training cache scores a precomputed
+    // dsirBuckets array; the accumulation order (all unigrams, then all
+    // bigrams) must make it bit-for-bit the text kernel's milli score —
+    // mixed-sign weights exercise non-associative double addition
+    val rnd = new scala.util.Random(3)
+    val words = Vector("aa", "Bb", "ccc", "δδ", "x", "longword")
+    val texts = "" +: (0 until 50).map(_ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    val table = Array.fill(B)(rnd.nextGaussian() * 0.37)
+    val bc = spark.sparkContext.broadcast(table)
+    val got = texts.toDF("text")
+      .select(graft.spark.fns.TextExpressions.dsirBucketWeightNative(
+        graft.spark.fns.TextExpressions.dsirBucketsNative(col("text"), B), bc))
+      .collect().map(_.getLong(0)).toSeq
+    val want = texts.map(t =>
+      TextKernels.dsirLogWeightMilli(UTF8String.fromString(t), B, table))
+    assert(got == want)
+  }
 }
