@@ -131,14 +131,22 @@ object SemDedup {
             s"raise maxCellSize or nClusters")
       }
       splitCells.add(splits.size.toLong)
-      val bcSplits = spark.sparkContext.broadcast(splits)
-      val saltUdf = udf((cell: Int, id: Long) => {
-        val k = bcSplits.value.getOrElse(cell, 1)
-        if (k <= 1) 0L else Math.floorMod(graft.hash.Fnv.fnv1a64(id.toString, 0), k).toLong
-      })
-      val assigned = pinned
-        .withColumn("block",
+      // round 7: the common case — NO cell above maxCellSize — needs no
+      // salt at all; the block id is then a pure codegen'd shift and the
+      // boxed salt UDF stays off the pair path entirely (it only runs when
+      // some cell actually splits, where its per-row cost is noise next to
+      // the quadratic pair work it bounds)
+      val assigned = if (splits.isEmpty) {
+        pinned.withColumn("block", col("cell").cast("long") * lit(1L << 20))
+      } else {
+        val bcSplits = spark.sparkContext.broadcast(splits)
+        val saltUdf = udf((cell: Int, id: Long) => {
+          val k = bcSplits.value.getOrElse(cell, 1)
+          if (k <= 1) 0L else Math.floorMod(graft.hash.Fnv.fnv1a64(id.toString, 0), k).toLong
+        })
+        pinned.withColumn("block",
           col("cell").cast("long") * lit(1L << 20) + saltUdf(col("cell"), col("vec_id")))
+      }
       // within-block pairs, oriented by the keep rank: b outranks a ⇒ a
       // is the candidate loser of the pair
       val a = assigned.select(col("block"), col("vec_id").as("id_a"),

@@ -182,13 +182,17 @@ object IncrementalCurate {
     try {
       // stage 2b: exact dedup vs the persisted digest index — semi-join on
       // the 8-byte key (stored side shuffle-free), exact digest equality
-      // verifies away xxhash64 collisions
+      // verifies away xxhash64 collisions. The duplicate-id set is pinned
+      // eagerly (round 7): `fresh` is consumed four ways below (band
+      // search, fresh-id set, decontamination input, final flag join), and
+      // un-pinned each consumption re-ran this index join
       val idx = Bucketing.readTable(spark, digestTable(prefix))
       val dupIds = digestRelation(surv).select(col("dkey"), col("digest"), col("doc_id"))
         .join(idx.select(col("dkey"), col("digest").as("h_digest")), Seq("dkey"))
         .filter(col("digest") === col("h_digest"))
         .select(col("doc_id")).distinct()
         .withColumn("__dup", lit(true))
+        .localCheckpoint(true)
       val fresh = surv.join(dupIds, Seq("doc_id"), "left")
         .withColumn("exact_kept", col("__dup").isNull).drop("__dup")
 
