@@ -134,7 +134,12 @@ object BandIndex {
     val conf = readConf(spark, table)
     val tele = telemetry.getOrElse(Dedup.TruncationTelemetry(spark, "band_index"))
 
+    // round 7: the band relation is consumed twice (the touched-bucket key
+    // probe and the members union) — un-pinned, the fused
+    // shingle→minhash→band kernel ran twice over the batch per search; the
+    // narrow (bkey, doc_id) relation is pinned once instead
     val newBands = bandRelation(newDocs, idCol, textCol, conf)
+      .localCheckpoint(true)
     // touched-bucket extraction: the bucketed index scan reports its hash
     // partitioning, so this semi-join shuffles ONLY the distinct batch keys
     // — the history side crosses no exchange (BandIndexSpec pins the plan)

@@ -283,7 +283,47 @@ object Dedup extends Serializable {
     * only when the context has none yet — an already-configured session
     * checkpoint dir takes precedence (and is left untouched). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          maxDriverEdges: Long = 1L << 20): DataFrame = {
+    // round 7: SIZE-ADAPTIVE fast path, the heavySet limit-probe pattern —
+    // when the edge list fits a bounded driver budget (default 2^20 edges
+    // ≈ 16 MB of longs), label components with a driver-side union-find
+    // and skip the iterative join rounds entirely: each round is 2+ Spark
+    // jobs whose fixed overhead dominates small graphs (the incremental
+    // pipelines' batch-batch edge sets are tiny by construction; measured
+    // ~3 s of q_pipeline_incremental's wall was CC rounds over a few
+    // hundred edges). Labels are IDENTICAL (rep = min id of the
+    // component); one bounded probe job is the price on the big-graph
+    // path, which then runs the unchanged distributed min-label +
+    // pointer-halving rounds (the 10^12-doc shape). Pass
+    // maxDriverEdges = 0 to force the distributed path (the specs do).
+    if (maxDriverEdges > 0) {
+      val lim = (math.min(maxDriverEdges, (Int.MaxValue - 2).toLong) + 1L).toInt
+      val probe = pairs
+        .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+        .limit(lim).collect()
+      if (probe.length < lim) {
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { e =>
+          val a = e.getLong(0); val b = e.getLong(1)
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return parent.keysIterator.map(n => (n, find(n))).toSeq
+          .toDF("doc_id", "rep")
+      }
+    }
     val ck: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
