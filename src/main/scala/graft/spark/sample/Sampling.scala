@@ -259,6 +259,82 @@ object Sampling {
     if (selectAll) None else res
   }
 
+  /** Exact top-`k` boundary of (`__kb` DESC, `__id` ASC) over a persisted
+    * (__id, __kb) projection: None = fewer than k rows (select all), else
+    * Some((T, B)) with selected ⇔ kb > T || (kb == T && id <= B).
+    *
+    * Walks 16-bit prefix histograms like [[walkBoundaryDesc]], but
+    * switches to ONE bounded collect as soon as the narrowed range is
+    * KNOWN to hold ≤ `collectMax` rows — after round 1 the boundary
+    * bucket's histogram count bounds the range, so typical keys finish in
+    * two jobs instead of four histogram rounds plus a tie job. A tie
+    * class at the exact boundary key that itself exceeds the bound falls
+    * through to the bit-flipped-id walk (ids unique ⇒ exact id boundary,
+    * no window, no single-task sort). Every driver collect is ≤
+    * `collectMax` rows of 16 bytes. */
+  private def topBoundary(proj: DataFrame, k: Long,
+                          collectMax: Long): Option[(Long, Long)] = {
+    var kRem = k
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var rangeCount = Long.MaxValue // rows in [lo, hi]; unknown before round 1
+    val shifts = Seq(48, 32, 16, 0)
+    var s = 0
+    while (s < shifts.length) {
+      if (rangeCount <= collectMax) {
+        // one bounded collect finishes the selection exactly: the first
+        // kRem rows of the range in (kb DESC, id ASC) order end at the
+        // boundary row (T, B)
+        val rows = proj.filter(col("__kb") >= lo && col("__kb") <= hi)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val sorted = rows.sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+        val bdry = sorted(kRem.toInt - 1)
+        return Some((bdry._2, bdry._1))
+      }
+      val shift = shifts(s)
+      val counts = proj.filter(col("__kb") >= lo && col("__kb") <= hi)
+        .groupBy(shiftright(col("__kb"), shift).as("b")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1)
+      var i = 0
+      var narrowed = false
+      while (i < counts.length && !narrowed) {
+        val (b, c) = counts(i)
+        if (kRem > c) { kRem -= c; i += 1 }
+        else if (shift == 0) {
+          // exact boundary key T with c bit-identical ties, kRem to take
+          val t = b
+          val bId =
+            if (kRem == c) Long.MaxValue // whole tie class selected
+            else if (c <= collectMax) {
+              val ids = proj.filter(col("__kb") === t).select(col("__id"))
+                .collect().map(_.getLong(0))
+              java.util.Arrays.sort(ids)
+              ids(kRem.toInt - 1)
+            } else {
+              // huge tie class (coarse keys at corpus scale): refine over
+              // ~id — bitwise NOT is an exact order reversal on signed
+              // longs, so the descending walk finds the kRem-th SMALLEST
+              // id; ids are unique, so it terminates at an exact boundary
+              ~walkBoundaryDesc(
+                proj.filter(col("__kb") === t)
+                  .select(bitwiseNOT(col("__id")).as("__nid")),
+                col("__nid"), kRem).get._1
+            }
+          return Some((t, bId))
+        } else {
+          lo = b << shift
+          hi = lo + ((1L << shift) - 1)
+          rangeCount = c
+          narrowed = true
+        }
+      }
+      if (!narrowed) return None // fewer rows than k: select everything
+      s += 1
+    }
+    throw new IllegalStateException("unreachable: shift-0 round always returns")
+  }
+
   /** Flag the top `k` rows by (`key` DESC, `idCol` ASC) — the EXACT result
     * of `orderBy(key.desc, id).limit(k)` over the non-null-key rows,
     * computed without O(k) state anywhere: no TakeOrdered (whose per-task bounded priority queue and
@@ -270,22 +346,23 @@ object Sampling {
     *
     *  1. the key is discretized order-preservingly to a signed long
     *     ([[graft.spark.fns.VecKernels.sortableBits]]);
-    *  2. FOUR refinement rounds (16 bits of key prefix each) walk
+    *  2. up to FOUR refinement rounds (16 bits of key prefix each) walk
     *     bucket-count histograms from the top: each round is one bounded
     *     aggregate (≤ 2^16 rows to the driver) over a persisted 16-byte-row
-    *     (id, bits) projection, narrowing to the single boundary bucket
-    *     until round 4 pins the EXACT boundary key T, the residual count r
-    *     to take at T, and the total tie count c at T;
+    *     (id, bits) projection, narrowing to the single boundary bucket —
+    *     and as soon as the narrowed range is KNOWN to fit the driver
+    *     budget (the previous round's boundary-bucket count ≤
+    *     `tieCollectMax`), ONE bounded collect finishes the boundary
+    *     (key T, id B) exactly: typical keys need two jobs, not five;
     *  3. the boundary-key TIE cut (round-6 verdict top item: the old
     *     row_number window over all `bits == T` rows shipped the whole tie
     *     class — ~5·10^7 rows for a coarse key like doc length at corpus
-    *     scale — into ONE task) is now itself distributed: the r-th
-    *     smallest tie id B is found either by one bounded collect of the
-    *     tie ids (c ≤ `tieCollectMax`, the same ≤ 2^16 driver posture as
-    *     the histograms) or, above that, by the SAME 16-bit refinement
-    *     walk over the tie rows' bit-flipped ids (~id descending == id
-    *     ascending; ids are unique, so the walk terminates at an exact
-    *     boundary) — never a single-task sort;
+    *     scale — into ONE task) is itself distributed when the walk does
+    *     reach an over-budget tie class at shift 0: the r-th smallest tie
+    *     id B comes from the SAME 16-bit refinement walk over the tie
+    *     rows' bit-flipped ids (~id descending == id ascending; ids are
+    *     unique, so the walk terminates at an exact boundary) — never a
+    *     single-task sort;
     *  4. flags are then PURE per-row comparisons
     *     (`bits > T || (bits == T && id <= B)`) in one pass over the
     *     input — no union, no window, no join (SamplingSpec pins the plan).
@@ -322,40 +399,15 @@ object Sampling {
       .filter(col("__kb").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      walkBoundaryDesc(proj, col("__kb"), k) match {
+      val cmax = math.max(1L, math.min(tieCollectMax, (Int.MaxValue - 2).toLong))
+      topBoundary(proj, k, cmax) match {
         case None => // fewer non-null-key rows than k: select them all
           withBits.withColumn("selected", col("__kb").isNotNull).drop("__kb")
-        case Some((t, r, c)) =>
-          // tie cut: B = the r-th smallest id among the c rows with
-          // bits == T (ids unique). r == c means the whole tie class is
-          // selected — no cut needed.
-          val idSelected: Column =
-            if (r == c) lit(true)
-            else {
-              val ties = proj.filter(col("__kb") === t).select(col("__id"))
-              val b =
-                if (c <= tieCollectMax) {
-                  // bounded collect over the CACHED projection — the same
-                  // ≤ 2^16 driver posture as the histogram rounds
-                  val ids = ties.collect().map(_.getLong(0))
-                  java.util.Arrays.sort(ids)
-                  ids(r.toInt - 1)
-                } else {
-                  // huge tie class (coarse keys at corpus scale): refine
-                  // over ~id — bitwise NOT is an exact order reversal on
-                  // signed longs, so the descending walk finds the r-th
-                  // SMALLEST id; ids are unique, so the walk always
-                  // terminates at shift 0 with an exact boundary
-                  val nb = walkBoundaryDesc(
-                    ties.select(bitwiseNOT(col("__id")).as("__nid")),
-                    col("__nid"), r).get._1
-                  ~nb
-                }
-              col(idCol).cast("long") <= b
-            }
+        case Some((t, bId)) =>
           withBits
             .withColumn("selected", coalesce(
-              col("__kb") > t || (col("__kb") === t && idSelected), lit(false)))
+              col("__kb") > t ||
+                (col("__kb") === t && col(idCol).cast("long") <= bId), lit(false)))
             .drop("__kb")
       }
     } finally proj.unpersist(blocking = false)
