@@ -103,7 +103,9 @@ class Round3Spec extends AnyFunSuite {
     import spark.implicits._
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, maxIters = 1)
+      // maxDriverEdges = 0: the cap only exists on the distributed rounds
+      // (the driver fast path needs no iterations)
+      Dedup.connectedComponents(pairs, maxIters = 1, maxDriverEdges = 0L)
     }
     assert(e.getMessage.contains("converge"))
   }
