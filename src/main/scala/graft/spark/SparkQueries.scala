@@ -28,14 +28,6 @@ object SparkQueries {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** [[graft.spark.Parallelism.ensureParallel]] — the round-7 scan floor:
-    * the fixture tables are single-row-group parquet, so per-row kernels
-    * otherwise run in ONE task; a no-op on multi-split inputs. Applied per
-    * query (NOT in [[tbl]]) because bucketed writes and the
-    * partitioning-sensitive sketch estimators must keep the raw layout. */
-  private def par(df: DataFrame): DataFrame =
-    graft.spark.Parallelism.ensureParallel(df)
-
   // ---------- exact-oracle queries ----------
 
   /** Per-lang doc counts + char volume (baseline scan/agg shape). */
@@ -46,7 +38,7 @@ object SparkQueries {
 
   /** Exact dedup by content digest — the hash-groupBy dedup operator. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    par(tbl(spark, dir, "documents").select(col("lang"), col("text")))
+    tbl(spark, dir, "documents")
       .select(col("lang"), md5(col("text")).as("digest"))
       .groupBy(col("lang"))
       .agg(countDistinct(col("digest")).as("n_distinct_texts"))
@@ -59,8 +51,7 @@ object SparkQueries {
     * the real pruning decision. */
   def decontaminateStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.Corpus
-    val docs = par(tbl(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text")))
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
     Corpus.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0).select(col("text")),
         "doc_id", "text", n = 8, bloomCapacity = 200000L, passthrough = Seq("lang"))
       .groupBy(col("lang"))
@@ -95,8 +86,7 @@ object SparkQueries {
     * bit-exact). */
   def contaminationOverlapStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.Corpus
-    val docs = par(tbl(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text")))
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
     Corpus.contaminationOverlap(docs,
         docs.filter(col("doc_id") % 17 === 0).select(col("text")),
         "doc_id", "text", n = 8, bloomCapacity = 200000L, passthrough = Seq("lang"))
@@ -118,12 +108,10 @@ object SparkQueries {
     * naturally duplicated fixture docs contribute their own repeats. */
   def spanDedupStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.Corpus
-    val planted = par(tbl(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), col("text")))
-      .select(col("lang"), col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 5 === 0, lit(" " + spanPlant)).otherwise(lit("")))
-          .as("text"))
+    val planted = tbl(spark, dir, "documents").select(col("lang"), col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + spanPlant)).otherwise(lit("")))
+        .as("text"))
     // the fused hash-only variant: aggregates don't need span text, so no
     // window string is ever materialized (CorpusSpec pins agreement with
     // the string variant)
@@ -143,12 +131,10 @@ object SparkQueries {
     * cleaned texts. */
   def spanCleanStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.Corpus
-    val planted = par(tbl(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), col("text")))
-      .select(col("lang"), col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 5 === 0, lit(" " + spanPlant)).otherwise(lit("")))
-          .as("text"))
+    val planted = tbl(spark, dir, "documents").select(col("lang"), col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + spanPlant)).otherwise(lit("")))
+        .as("text"))
     Corpus.removeRepeatedSpans(planted, "text", n = 8, minCount = 4L,
         idCol = Some("doc_id"))
       .groupBy(col("lang"))
@@ -170,13 +156,11 @@ object SparkQueries {
     * duplicate-doc lines participate too. */
   def lineDedupStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.Corpus
-    val planted = par(tbl(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), col("text")))
-      .select(col("lang"),
-        concat(col("text"),
-          when(col("doc_id") % 5 === 0, lit("\n" + lineDedupPlantA)).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0, lit("\n" + lineDedupPlantB)).otherwise(lit("")))
-          .as("text"))
+    val planted = tbl(spark, dir, "documents").select(col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit("\n" + lineDedupPlantA)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\n" + lineDedupPlantB)).otherwise(lit("")))
+        .as("text"))
     Corpus.lineFrequencyFlags(planted, "text", minCount = 4L, passthrough = Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_lines"),
@@ -192,13 +176,11 @@ object SparkQueries {
     * q_line_dedup. */
   def lineCleanStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.dedup.Corpus
-    val planted = par(tbl(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), col("text")))
-      .select(col("lang"),
-        concat(col("text"),
-          when(col("doc_id") % 5 === 0, lit("\n" + lineDedupPlantA)).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0, lit("\n" + lineDedupPlantB)).otherwise(lit("")))
-          .as("text"))
+    val planted = tbl(spark, dir, "documents").select(col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit("\n" + lineDedupPlantA)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\n" + lineDedupPlantB)).otherwise(lit("")))
+        .as("text"))
     Corpus.removeBoilerplate(planted, "text", minCount = 4L)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -213,8 +195,7 @@ object SparkQueries {
   def domainCapStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.sample.Sampling
     Sampling.groupCapFlags(
-        par(tbl(spark, dir, "documents")
-          .select(col("lang"), col("source"), col("doc_id"), col("text")))
+        tbl(spark, dir, "documents")
           .select(col("lang"), col("source"), col("doc_id"), md5(col("text")).as("p")),
         Seq("lang", "source"), col("p"), col("doc_id"), cap = 5)
       .groupBy(col("lang"))
@@ -227,10 +208,8 @@ object SparkQueries {
     * identical to the naive windowed definition the oracle runs. */
   def tokenBudgetStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.sample.Sampling
-    val d = par(tbl(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), col("text")))
-      .select(col("lang"), col("doc_id"),
-        md5(col("text")).as("p"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    val d = tbl(spark, dir, "documents").select(col("lang"), col("doc_id"),
+      md5(col("text")).as("p"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
     Sampling.tokenBudgetKeepFlags(d, "lang", "toks", "p", "doc_id", budget = 2000L)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -311,10 +290,8 @@ object SparkQueries {
     * oracle runs. */
   def seqPackStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.spark.sample.Sampling
-    val d = par(tbl(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), col("text")))
-      .select(col("lang"), col("doc_id"),
-        md5(col("text")).as("p"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    val d = tbl(spark, dir, "documents").select(col("lang"), col("doc_id"),
+      md5(col("text")).as("p"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
     Sampling.groupPrefixSums(d, "lang", "toks", "p", "doc_id")
       .select(col("lang"), col("toks"), floor(col("cum_excl") / 512).as("bin"))
       .groupBy(col("lang"))
@@ -344,7 +321,7 @@ object SparkQueries {
 
   /** Token counting over the documents table (pure built-in expressions). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    par(tbl(spark, dir, "documents").select(col("lang"), col("text")))
+    tbl(spark, dir, "documents")
       .select(col("lang"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
       .groupBy(col("lang"))
       .agg(sum(col("toks")).as("total_tokens"), max(col("toks")).as("max_tokens"),
@@ -353,7 +330,7 @@ object SparkQueries {
   /** BPE-ish token counting (GPT-2-style pre-tokenizer regex) — the token
     * unit LLM data pipelines budget by, as a pure codegen'd expression. */
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
-    par(tbl(spark, dir, "documents").select(col("lang"), col("text")))
+    tbl(spark, dir, "documents")
       .select(col("lang"), TextFunctions.bpeTokenCount(col("text")).cast("long").as("toks"))
       .groupBy(col("lang"))
       .agg(sum(col("toks")).as("total_bpe_tokens"), max(col("toks")).as("max_bpe_tokens"),
@@ -361,7 +338,7 @@ object SparkQueries {
 
   /** Quality scoring: integer-metric heuristic, count survivors per lang. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame =
-    par(tbl(spark, dir, "documents").select(col("lang"), col("text")))
+    tbl(spark, dir, "documents")
       .select(col("lang"), TextFunctions.isQuality(col("text")).as("q"))
       .groupBy(col("lang"))
       .agg(sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"), count(lit(1)).as("n_docs"))
@@ -517,7 +494,7 @@ object SparkQueries {
   /** Exact per-lang top-3 sources — the two-phase top-k the HH sketch
     * approximates, with deterministic tiebreak. */
   def heavyDomainsExact(spark: SparkSession, dir: String): DataFrame = {
-    val counts = par(tbl(spark, dir, "documents").select(col("lang"), col("source")))
+    val counts = tbl(spark, dir, "documents")
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n_docs").desc, col("source"))
     counts.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 3)
@@ -525,15 +502,13 @@ object SparkQueries {
 
   /** Event-time windowed aggregation (the RotatingBloom/window analogue). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
-    par(tbl(spark, dir, "events")
-        .select(col("ts"), col("event_type"), col("user_id")))
+    tbl(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
 
   /** TPC-H Q1-shaped pricing summary restricted to exact-integer measures. */
   def lineitemPricing(spark: SparkSession, dir: String): DataFrame =
-    par(tbl(spark, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
+    tbl(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity")).cast("long").as("sum_qty"), count(lit(1)).as("n_rows"))
 
@@ -549,8 +524,7 @@ object SparkQueries {
     val bloomBytes = custKeys
       .agg(SketchUdafs.bloom(200000, 0.01)(col("c_custkey").cast("string")).as("blm"))
       .head().getAs[Array[Byte]]("blm")
-    par(tbl(spark, dir, "orders")
-        .select(col("o_custkey"), col("o_orderpriority")))
+    tbl(spark, dir, "orders")
       // map-side bloom prune — native codegen'd probe, stays in WholeStageCodegen
       .filter(graft.spark.fns.SketchExpressions.bloomMightContainNative(
         bloomBytes, col("o_custkey").cast("string")))

@@ -63,10 +63,8 @@ object BandIndex {
     * fused codegen'd shingle→minhash→band kernel, keyed for the index. */
   private def bandRelation(docs: DataFrame, idCol: String, textCol: String,
                            conf: Conf): DataFrame =
-    // parallelism floor before the fused signing kernel (single-row-group
-    // fixture files otherwise sign in ONE task; no-op on multi-split inputs)
-    graft.spark.Parallelism.ensureParallel(
-        docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .select(col("doc_id"),
         posexplode(TextExpressions.minhashBandsNative(
           col("text"), conf.shingleSize, conf.numHashes, conf.bands))

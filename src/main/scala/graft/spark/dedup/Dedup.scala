@@ -140,11 +140,7 @@ object Dedup extends Serializable {
                       threshold: Double = 0.8, maxBucket: Int = 4096,
                       telemetry: Option[TruncationTelemetry] = None): DataFrame = {
     val tele = telemetry.getOrElse(TruncationTelemetry(df.sparkSession, "minhash"))
-    // round 7: floor the scan parallelism BEFORE the fused signing kernel —
-    // single-row-group fixture files otherwise run the whole kernel in one
-    // task (no-op on multi-split inputs; graft.spark.Parallelism)
-    val base = graft.spark.Parallelism.ensureParallel(
-      df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
+    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
 
     // (doc_id, band, band_hash) only — the exploded/shuffled relation stays
     // 3 narrow columns; neither shingles nor the 64-long signature ever
@@ -188,8 +184,7 @@ object Dedup extends Serializable {
     val tag = (df: DataFrame, isNew: Boolean) => df.select(
       col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
       lit(isNew).as("is_new"))
-    val base = graft.spark.Parallelism.ensureParallel(
-      tag(newDocs, true).unionByName(tag(oldDocs, false)))
+    val base = tag(newDocs, true).unionByName(tag(oldDocs, false))
     val banded = base
       .select(col("doc_id"), col("is_new"),
         posexplode(TextExpressions.minhashBandsNative(
@@ -415,9 +410,7 @@ object Dedup extends Serializable {
                             telemetry: Option[TruncationTelemetry] = None): DataFrame = {
     import graft.spark.ann.Ann
     val tele = telemetry.getOrElse(TruncationTelemetry(df.sparkSession, "embed_neardup"))
-    // parallelism floor before the fused hyperplane-signature kernel
-    val base = graft.spark.Parallelism.ensureParallel(
-      df.select(col(idCol).cast("long").as("vid"), col(embCol).as("emb")))
+    val base = df.select(col(idCol).cast("long").as("vid"), col(embCol).as("emb"))
     // fused kernel: ONE UDF call emits all table signatures (bit-identical
     // to the per-table hyperplaneSig chain — VecExprSpec)
     val sigsAll = Ann.hyperplaneSigs(tables, bitsPerTable, dim, seedBase = EmbedHyperplaneSeed)
@@ -524,13 +517,10 @@ object Dedup extends Serializable {
                               telemetry: Option[TruncationTelemetry] = None): DataFrame = {
     val tele = telemetry.getOrElse(TruncationTelemetry(newDocs.sparkSession, "simhash_incr"))
     val tag = (df: DataFrame, isNew: Boolean) => df.select(
-      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+      col(idCol).cast("long").as("doc_id"),
+      TextExpressions.simhash64Native(col(textCol)).as("sim"),
       lit(isNew).as("is_new"))
-    // parallelism floor before the simhash kernel (see minhashLshPairs)
-    val keyed = graft.spark.Parallelism.ensureParallel(
-        tag(newDocs, true).unionByName(tag(oldDocs, false)))
-      .select(col("doc_id"),
-        TextExpressions.simhash64Native(col("text")).as("sim"), col("is_new"))
+    val keyed = tag(newDocs, true).unionByName(tag(oldDocs, false))
       .select(col("doc_id"), col("sim"), col("is_new"),
         explode(comboKeysLong(col("sim"))).as("skey"))
     keyed
@@ -561,8 +551,7 @@ object Dedup extends Serializable {
       TruncationTelemetry(newVecs.sparkSession, "embed_neardup_incr"))
     val tag = (df: DataFrame, isNew: Boolean) => df.select(
       col(idCol).cast("long").as("vid"), col(embCol).as("emb"), lit(isNew).as("is_new"))
-    val base = graft.spark.Parallelism.ensureParallel(
-      tag(newVecs, true).unionByName(tag(oldVecs, false)))
+    val base = tag(newVecs, true).unionByName(tag(oldVecs, false))
     val sigsAll = Ann.hyperplaneSigs(tables, bitsPerTable, dim, seedBase = EmbedHyperplaneSeed)
     val bucketed = base
       .select(col("vid"), col("is_new"), posexplode(sigsAll(col("emb"))).as(Seq("t", "h")))
@@ -592,10 +581,8 @@ object Dedup extends Serializable {
                    maxHamming: Int = 3, maxBucket: Int = 4096,
                    telemetry: Option[TruncationTelemetry] = None): DataFrame = {
     val tele = telemetry.getOrElse(TruncationTelemetry(df.sparkSession, "simhash"))
-    // parallelism floor before the simhash kernel (see minhashLshPairs)
-    val withSim = graft.spark.Parallelism.ensureParallel(
-        df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
-      .select(col("doc_id"), TextExpressions.simhash64Native(col("text")).as("sim"))
+    val withSim = df.select(col(idCol).cast("long").as("doc_id"),
+      TextExpressions.simhash64Native(col(textCol)).as("sim"))
     // round 7: the 20 combo keys ship as single FUSED 38-bit longs
     // ([[comboKeysLong]] — collision-free by construction, so grouping by
     // the one column IS grouping by (combo, key); the incremental operator

@@ -74,13 +74,9 @@ object DataPipeline {
              nearDupThreshold: Option[Double] = None,
              classifierGate: Option[(graft.spark.text.QualityClassifier.Model, Long)] =
                None): DataFrame = {
-    // parallelism floor before the stage-1 kernels (md5 + token count +
-    // quality gates) — no-op on multi-split inputs (graft.spark.Parallelism)
-    val base = graft.spark.Parallelism.ensureParallel(
-        docs.select(col("doc_id"), col("lang"), col("source"), col("text")))
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        md5(col("text")).as("digest"),
-        tokenCounter(col("text")).cast("long").as("toks"))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
+      md5(col("text")).as("digest"),
+      tokenCounter(col("text")).cast("long").as("toks"))
     // 1. per-doc quality gate (pure codegen'd expressions), optionally
     // composed with the char-LM perplexity threshold and/or a trained
     // classifier floor ((model, minScoreMilli)) in the same filter — all

@@ -78,13 +78,9 @@ object IncrementalCurate {
     * digest). Returns (doc_id, lang, source, text, digest, toks) — the
     * stage-2 survivor frame whose digests/bands become state. */
   private def gatedDeduped(docs: DataFrame): DataFrame = {
-    // parallelism floor before the md5/token/quality kernels (no-op on
-    // multi-split inputs; graft.spark.Parallelism)
-    val base = graft.spark.Parallelism.ensureParallel(
-        docs.select(col("doc_id"), col("lang"), col("source"), col("text")))
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        md5(col("text")).as("digest"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
+      md5(col("text")).as("digest"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
     val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
     base.filter(TextFunctions.isQuality(col("text")))
       .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1).drop("__rk")
@@ -164,12 +160,10 @@ object IncrementalCurate {
     // flag must not depend on the within-batch dedup race (a quality doc
     // that loses the digest race is an exact_kept=false drop, not a
     // quality_ok=false one)
-    val base = graft.spark.Parallelism.ensureParallel(
-        batch.select(col("doc_id"), col("lang"), col("source"), col("text")))
-      .select(col("doc_id"), col("lang"), col("source"),
-        md5(col("text")).as("digest"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("toks"),
-        TextFunctions.isQuality(col("text")).as("quality_ok"))
+    val base = batch.select(col("doc_id"), col("lang"), col("source"),
+      md5(col("text")).as("digest"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"),
+      TextFunctions.isQuality(col("text")).as("quality_ok"))
     val batchMinRow = batch.agg(min(col("doc_id"))).head()
     if (batchMinRow.isNullAt(0)) {
       // empty batch (a quiet crawl day): a defined no-op, not an NPE —

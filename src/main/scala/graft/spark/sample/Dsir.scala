@@ -52,9 +52,7 @@ object Dsir {
     * a groupBy bounded to `buckets` rows (only the bounded table reaches the
     * driver). */
   def fitCounts(df: DataFrame, textCol: String, buckets: Int): Array[Long] = {
-    // parallelism floor before the feature kernel (fit is eager, so a
-    // caller's exchange-bearing frame costs nothing extra here)
-    val rows = graft.spark.Parallelism.ensureParallel(df.select(col(textCol)))
+    val rows = df
       .select(explode(TextExpressions.dsirBucketsNative(col(textCol), buckets)).as("b"))
       .groupBy(col("b")).count()
       .collect()
@@ -121,9 +119,7 @@ object Dsir {
                     k: Int, seed: String): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     val spark = df.sparkSession
-    // parallelism floor before the scoring kernel + Gumbel md5 (the
-    // selection walk that follows is eager anyway)
-    val scored = graft.spark.Parallelism.ensureParallel(df)
+    val scored = df
       .withColumn("dsir_logw_milli", logWeightMilli(spark, model)(col(textCol)))
       .withColumn("__u",
         (conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 15),

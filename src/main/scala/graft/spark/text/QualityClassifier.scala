@@ -125,8 +125,7 @@ object QualityClassifier {
     // identical order as the text kernel, so weights stay BYTE-identical
     // (QualityClassifierSpec + the ClsTruth-pinned q_classifier oracle).
     // persist -> finally-unpersist inside this eager method: nothing leaks.
-    val feats = graft.spark.Parallelism.ensureParallel(
-        labeled.select(col(labelCol), col(textCol)))
+    val feats = labeled
       .select(col(labelCol).as("__y"),
         TextExpressions.dsirBucketsNative(col(textCol), buckets).as("__fb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -110,13 +110,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = formatted(SparkQueries.lineDedupStats(spark, dir))
     assert(plan.contains("xxhash64"), plan)
     assert(!plan.contains("Join"), s"no join on the broadcast path:\n$plan")
-    // round 7: one hash exchange (the final aggregation) — the only other
-    // exchange permitted is the round-robin scan-parallelism floor
-    // (graft.spark.Parallelism; fixture files are single-row-group)
-    val hashShuffles = "hashpartitioning".r.findAllIn(plan).length
-    assert(hashShuffles == 1, s"expected the final agg shuffle only:\n$plan")
     val shuffles = "\\+- Exchange\\b".r.findAllIn(plan).length
-    assert(shuffles <= 2, s"agg shuffle + at most the parallelism floor:\n$plan")
+    assert(shuffles == 1, s"expected the final agg shuffle only:\n$plan")
   }
 
   test("tokenBudget: single Sort/Window confined to the boundary branch of a Union") {
