@@ -203,51 +203,28 @@ object IncrementalCurate {
       val pairs = BandIndex.incrementalPairs(freshOnly, historyTexts,
         "doc_id", "text", bandTable(prefix), threshold = threshold)
         .persist()
-      val freshIds = freshOnly.select(col("doc_id")).persist()
       val fuzzyDrop =
-        try {
-          val aNew = pairs.join(freshIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
-          val abNew = aNew.join(freshIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
-          // anchored = batch doc with ANY history-side neighbor
-          val anchored = pairs
-            .select(col("id_a").as("doc_id"), col("id_b").as("other"))
-            .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other")))
-            .join(freshIds, Seq("doc_id"), "left_semi")
-            .join(freshIds.withColumnRenamed("doc_id", "other"), Seq("other"), "left_anti")
-            .select(col("doc_id")).distinct()
-          // components over BATCH-BATCH edges (plus singletons implicitly):
-          // a doc drops iff its component is anchored or it is not the min
-          val comp = Dedup.connectedComponents(
-            abNew.select(col("id_a"), col("id_b")))
-          val compAll = freshIds
-            .join(comp, Seq("doc_id"), "left")
-            .withColumn("rep", coalesce(col("rep"), col("doc_id")))
-          val anchoredReps = compAll.join(anchored, Seq("doc_id"), "left_semi")
-            .select(col("rep")).distinct().withColumn("__anch", lit(true))
-          compAll.join(anchoredReps, Seq("rep"), "left")
-            .withColumn("fuzzy_kept", col("__anch").isNull && col("doc_id") === col("rep"))
-            .select(col("doc_id"), col("fuzzy_kept"))
-            .filter(!col("fuzzy_kept"))
-            .localCheckpoint(true) // CC is eager anyway; pin the small drop set
-        } finally {
-          pairs.unpersist(blocking = false)
-          freshIds.unpersist(blocking = false)
-        }
+        try fuzzyDropSet(spark, pairs, freshOnly, watermark)
+        finally pairs.unpersist(blocking = false)
 
-      // stage 3: decontamination (fixed bench set, per-doc)
+      // stage 3: decontamination, FUSED into the flag projection (round 7):
+      // the collected-bench path of Corpus.decontaminate is a pure per-row
+      // bloom-gate expression, so running it over the whole flagged frame
+      // with the flags as passthrough needs NO extra join or extra
+      // evaluation of `fresh`; clean = fuzzy_kept && !contaminated
+      // reproduces the old survivors-only left join exactly (non-survivors
+      // read clean = false either way)
       val flagged = fresh
-        .join(fuzzyDrop.select(col("doc_id")).withColumn("__fd", lit(true)),
-          Seq("doc_id"), "left")
+        .join(fuzzyDrop, Seq("doc_id"), "left")
         .withColumn("fuzzy_kept", col("exact_kept") && col("__fd").isNull)
         .drop("__fd")
-      val decont = Corpus.decontaminate(
-          flagged.filter(col("fuzzy_kept")), benchDocs, "doc_id", "text", n = 8,
-          passthrough = Seq.empty)
-        .select(col("doc_id"), (!col("contaminated")).as("clean"))
+      val withClean = Corpus.decontaminate(
+          flagged, benchDocs, "doc_id", "text", n = 8,
+          passthrough = Seq("exact_kept", "fuzzy_kept"))
+        .select(col("doc_id"), col("exact_kept"), col("fuzzy_kept"),
+          (col("fuzzy_kept") && !col("contaminated")).as("clean"))
       val flags = base
-        .join(flagged.select(col("doc_id"), col("exact_kept"), col("fuzzy_kept")),
-          Seq("doc_id"), "left")
-        .join(decont, Seq("doc_id"), "left")
+        .join(withClean, Seq("doc_id"), "left")
         .withColumn("exact_kept", coalesce(col("exact_kept"), lit(false)))
         .withColumn("fuzzy_kept", coalesce(col("fuzzy_kept"), lit(false)))
         .withColumn("clean", coalesce(col("clean"), lit(false)))
@@ -266,6 +243,85 @@ object IncrementalCurate {
       }
       out
     } finally surv.unpersist(blocking = false)
+  }
+
+  /** The fuzzy-stage DROP set: (doc_id, __fd=true) for every exact-kept
+    * batch doc that loses the anchored-component decision (see the object
+    * doc). Round 7 — bounded driver fast path, the connectedComponents
+    * limit-probe pattern: the drop set is a pure function of the PAIR list
+    * (drops ⊆ pair endpoints; a doc in no pair is trivially kept), and
+    * under the monotone-id contract an endpoint is a batch doc iff its id
+    * is above the watermark — so when the pair list fits the bounded
+    * driver budget (2^20 edges), one collect over the ALREADY-PERSISTED
+    * pairs replaces the ~6 tiny-data join/checkpoint jobs of the
+    * distributed path (each ~100ms of fixed overhead at batch scale).
+    * Above the bound: the distributed anchored-component joins, unchanged.
+    * Labels are identical — PipelineSpec pins the one-shot equivalence and
+    * the path split is exercised by the existing suites (sf fixtures take
+    * the driver path; maxDriverEdges = 0 in CC specs keeps the distributed
+    * machinery covered). */
+  private[graft] def fuzzyDropSet(spark: SparkSession, pairs: DataFrame,
+                                     freshOnly: DataFrame, watermark: Long,
+                                     maxDriverEdges: Long = 1L << 20): DataFrame = {
+    import spark.implicits._
+    val lim = (math.min(maxDriverEdges, (Int.MaxValue - 2).toLong) + 1L).toInt
+    val probe = pairs.select(col("id_a"), col("id_b")).limit(lim).collect()
+    if (probe.length < lim) {
+      // driver union-find over batch-batch edges, min-id roots; anchored =
+      // a batch endpoint of any batch-history pair
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val anchored = scala.collection.mutable.Set[Long]()
+      probe.foreach { e =>
+        val a = e.getLong(0); val b = e.getLong(1)
+        val aNew = a > watermark; val bNew = b > watermark
+        if (aNew && bNew) {
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        } else if (aNew) { add(a); anchored += a }
+        else if (bNew) { add(b); anchored += b }
+      }
+      val anchoredReps = anchored.map(find)
+      val drops = parent.keysIterator.filter { n =>
+        val r = find(n)
+        anchoredReps.contains(r) || n != r
+      }.toSeq
+      drops.map(d => (d, true)).toDF("doc_id", "__fd")
+    } else {
+      val freshIds = freshOnly.select(col("doc_id")).persist()
+      try {
+        val aNew = pairs.join(freshIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+        val abNew = aNew.join(freshIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+        // anchored = batch doc with ANY history-side neighbor
+        val anchored = pairs
+          .select(col("id_a").as("doc_id"), col("id_b").as("other"))
+          .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+          .join(freshIds, Seq("doc_id"), "left_semi")
+          .join(freshIds.withColumnRenamed("doc_id", "other"), Seq("other"), "left_anti")
+          .select(col("doc_id")).distinct()
+        // components over BATCH-BATCH edges (plus singletons implicitly):
+        // a doc drops iff its component is anchored or it is not the min
+        val comp = Dedup.connectedComponents(
+          abNew.select(col("id_a"), col("id_b")))
+        val compAll = freshIds
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+        val anchoredReps = compAll.join(anchored, Seq("doc_id"), "left_semi")
+          .select(col("rep")).distinct().withColumn("__anch", lit(true))
+        compAll.join(anchoredReps, Seq("rep"), "left")
+          .filter(!(col("__anch").isNull && col("doc_id") === col("rep")))
+          .select(col("doc_id"), lit(true).as("__fd"))
+          .localCheckpoint(true) // CC is eager anyway; pin the small drop set
+      } finally freshIds.unpersist(blocking = false)
+    }
   }
 
   /** The state-append half of [[curateBatch]] ALONE — for deployments that

@@ -278,6 +278,33 @@ class DataPipelineSpec extends AnyFunSuite {
     } finally IncrementalCurate.drop(spark, prefix)
   }
 
+  test("fuzzyDropSet: bounded driver path == distributed path on a randomized pair graph") {
+    import spark.implicits._
+    // the round-7 fast path resolves the anchored-component decision on
+    // the driver from the pair list alone (batch endpoint <=> id above the
+    // watermark); it must drop exactly the ids the distributed
+    // join/CC/checkpoint machinery drops, on chains, anchors and singletons
+    val rnd = new scala.util.Random(23)
+    val watermark = 1000L
+    val pairs = (0 until 500).map { _ =>
+      val (a, b) = rnd.nextInt(3) match {
+        case 0 => (1001L + rnd.nextInt(200), 1001L + rnd.nextInt(200)) // batch-batch
+        case 1 => (1001L + rnd.nextInt(200), 1L + rnd.nextInt(1000))   // batch-history
+        case _ => (1L + rnd.nextInt(1000), 1001L + rnd.nextInt(200))   // history-batch
+      }
+      (math.min(a, b), math.max(a, b), 0.9)
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b", "jaccard")
+    val freshOnly = (1001L to 1200L).toDF("doc_id")
+    def drops(bound: Long): Set[Long] =
+      graft.spark.pipeline.IncrementalCurate
+        .fuzzyDropSet(spark, pairs, freshOnly, watermark, maxDriverEdges = bound)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val fast = drops(1L << 20)
+    val dist = drops(0L)
+    assert(fast == dist, s"fast=$fast\ndist=$dist")
+    assert(fast.nonEmpty) // the random graph must actually exercise drops
+  }
+
   test("shard assignment is content-addressed and covers all shards") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
