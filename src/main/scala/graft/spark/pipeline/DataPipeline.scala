@@ -120,10 +120,15 @@ object DataPipeline {
     }
     // 3. benchmark decontamination (drop any doc sharing an 8-token
     // shingle — long n-grams so incidental vocabulary overlap does not
-    // count as contamination, GPT-3 App. C style)
+    // count as contamination, GPT-3 App. C style). The NARROW survivor
+    // relation (text is projected away here) is pinned once (round 7): the
+    // domain-cap stage consumes it twice (decisions aggregate + join
+    // probe — see the groupCapFlags note), and un-pinned each consumption
+    // re-executed the whole stage-1..3 pipeline.
     val clean = Corpus.decontaminate(fuzzy, benchDocs, "doc_id", "text", n = 8,
         passthrough = Seq("lang", "source", "digest", "toks"))
       .filter(!col("contaminated")).drop("contaminated")
+      .localCheckpoint(true)
     // 4. per-domain cap, priority = content digest
     val capped = Sampling.groupCapFlags(clean, Seq("lang", "source"),
         col("digest"), col("doc_id"), domainCap)

@@ -67,17 +67,15 @@ object Sampling {
       // prefix, and the in-bucket window's NULLS FIRST puts null before ""
       // — exactly the whole-group window's order
       .withColumn("__bkt", coalesce(substring(col("__p"), 1, 2), lit("")))
-      // ONE explicit exchange keyed exactly like every downstream consumer
-      // (the decisions aggregate, the decisions join's probe side and the
-      // in-bucket rank window): the planner satisfies all three from this
-      // single shuffle and ReuseExchange collapses the aggregate's and the
-      // join's reads into ONE evaluation of the input subtree. Round 7:
-      // previously the full upstream plan (in q_pipeline: scan + quality
-      // gate + digest window + decontamination) executed TWICE per action,
-      // once under the decisions aggregate and once under the join probe —
-      // measured 2 parquet scans -> 1, and the window's own exchange is
-      // elided (its partitioning is already established here).
-      .repartition(gcols :+ col("__bkt"): _*)
+    // NOTE (round 7, measured): the input subtree IS evaluated twice per
+    // action — once under the decisions aggregate, once under the join
+    // probe. An explicit shared (group, __bkt) repartition was tried to
+    // collapse the two via exchange reuse and REJECTED: column pruning
+    // projects the two subtrees differently (the aggregate side drops
+    // __p/__t), so the exchanges never canonicalize equal and the extra
+    // shuffle only cost the aggregate its map-side partial aggregation.
+    // Callers whose input is expensive pin it instead
+    // (DataPipeline.curate localCheckpoints the stage-3 relation).
     val wB = Window.partitionBy(gcols: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val decisions = bucketed
@@ -167,22 +165,19 @@ object Sampling {
   def tokenBudgetKeepFlags(df: DataFrame, groupCol: String, tokensCol: String,
                            priorityCol: String, tieCol: String, budget: Long): DataFrame = {
     requireStringCol(df, groupCol); requireStringCol(df, priorityCol)
-    val bucketed0 = df.withColumn("__bkt", substring(col(priorityCol), 1, 2))
-    // the totals probe aggregates the UN-repartitioned frame (map-side
-    // partial aggregation, tiny exchange) — it is a separate eager job, so
-    // it cannot share the output plan's exchange anyway
-    val totals = bucketed0.groupBy(col(groupCol), col("__bkt"))
+    val bucketed = df.withColumn("__bkt", substring(col(priorityCol), 1, 2))
+    val totals = bucketed.groupBy(col(groupCol), col("__bkt"))
       .agg(sum(col(tokensCol)).as("t"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    // ONE explicit exchange shared by the union's two branches below
-    // (ReuseExchange): previously each branch re-evaluated the whole input
-    // subtree (in q_pipeline: the entire stage-1..4 pipeline; standalone:
-    // scan + md5 + token count) — measured 2 parquet scans -> 1 per action.
-    // The boundary window's (group, __bkt) exchange is elided too (the
-    // partitioning is already established here). Key cardinality is
-    // |groups| * 256 — same key space the boundary window already used.
-    val bucketed = bucketed0.repartition(col(groupCol), col("__bkt"))
+    // NOTE (round 7, measured): the union's two branches each evaluate the
+    // input subtree once per action (plus the totals probe above — three
+    // evaluations total). A shared explicit repartition was tried and
+    // REJECTED: the boundary branch's pushed-down isnotnull filter makes
+    // the two exchange subtrees canonicalize differently, so no reuse
+    // fires and the extra shuffle is pure cost. Callers whose input is
+    // expensive pin it instead (DataPipeline.curate localCheckpoints the
+    // stage-4 relation this operator consumes).
     // running offsets per group, buckets in priority (lexicographic) order
     val keepAllB = List.newBuilder[(String, String)]
     val boundaryB = List.newBuilder[(String, String, Long)]

@@ -45,6 +45,10 @@ object R07Plans {
     qs.foreach { case (name, mk) =>
       try {
         val df = mk()
+        // EXECUTE first (noop sink), so the dumped plan is the FINAL
+        // adaptive plan — AQE's runtime exchange/stage reuse (the round-7
+        // shared-exchange claims) is invisible in the pre-execution plan
+        df.write.format("noop").mode("overwrite").save()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         java.nio.file.Files.writeString(out.resolve(s"${name}_$suffix.txt"), plan)
