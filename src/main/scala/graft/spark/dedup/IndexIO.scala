@@ -145,7 +145,22 @@ private[graft] object IndexIO {
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(loc).count { st =>
+    val entries = fs.listStatus(loc)
+    // ADVICE (round 7): the non-recursive listing is correct for the flat
+    // managed-parquet layout this index writes; a future partitioned/nested
+    // layout would put the data files in SUBDIRECTORIES, silently report
+    // ~0 files per bucket here and permanently mute the compaction
+    // advisory — fail loudly on any data subdirectory instead. (A low
+    // root-file count alone is legitimate: the bucketed writer skips empty
+    // buckets, so a sparse index holds fewer files than buckets.)
+    val dataDirs = entries.filter(st =>
+      st.isDirectory && !st.getPath.getName.startsWith("_"))
+    require(dataDirs.isEmpty,
+      s"graft index '$table' holds data subdirectories " +
+        s"(${dataDirs.take(3).map(_.getPath.getName).mkString(", ")} ...) — " +
+        "the flat layout filesPerBucket assumes is gone (nested/partitioned " +
+        "layout?); fix the health metric before trusting the compaction advisory")
+    val files = entries.count { st =>
       st.isFile && st.getPath.getName.startsWith("part-")
     }
     files.toDouble / math.max(1, numBuckets)

@@ -447,7 +447,13 @@ object IncrementalCuratePipeline {
     val t0 = System.currentTimeMillis()
     def record(event: String, lineage: Seq[(String, Long)]): Seq[(String, Long)] = {
       val m = lineage.toMap
-      Seq((event, m.getOrElse("batch", 0L), m.getOrElse("quality_ok", 0L),
+      // ADVICE (round 7): create/resume_append lineage counts previously
+      // wrote under keys this builder never read, so their metrics rows
+      // persisted 0 for every column and the computed count survived only
+      // in stdout — fold them into the 'batch' column
+      val batchCount = m.getOrElse("batch",
+        m.getOrElse("create", m.getOrElse("resume_append", 0L)))
+      Seq((event, batchCount, m.getOrElse("quality_ok", 0L),
         m.getOrElse("exact_kept", 0L), m.getOrElse("fuzzy_kept", 0L),
         m.getOrElse("kept", 0L), System.currentTimeMillis() - t0))
         .toDF("event", "batch", "quality_ok", "exact_kept", "fuzzy_kept",
@@ -480,15 +486,27 @@ object IncrementalCuratePipeline {
     if (flagsDone) {
       // persisted flags must belong to THIS batch — a reused outDir with a
       // previous batch's flags would otherwise skip flag computation
-      // entirely and advance the state past the new batch (unrecoverable)
+      // entirely and advance the state past the new batch (unrecoverable).
+      // Round 7 (ADVICE): id boundaries alone cannot tell a REGENERATED
+      // batch file with the same id range apart — compare row count and an
+      // order-free content fingerprint (xor of xxhash64(doc_id, digest):
+      // commutative, so any row order/partitioning fingerprints equally;
+      // both sides carry digest = md5(text), so changed content flips it)
       val persisted = spark.read.parquet(flagsDir)
-      val pIds = persisted.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val bIds = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      def identity(df: DataFrame, digest: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Row =
+        df.select(col("doc_id"), xxhash64(col("doc_id"), digest).as("__h"))
+          .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1)),
+            coalesce(expr("bit_xor(__h)"), lit(0L)).as("fp")).head()
+      val pIds = identity(persisted, col("digest"))
+      val bIds = identity(batch, md5(col("text")))
       require(pIds.isNullAt(0) == bIds.isNullAt(0) &&
         (pIds.isNullAt(0) || (pIds.getLong(0) == bIds.getLong(0) &&
-          pIds.getLong(1) == bIds.getLong(1))),
-        s"$flagsDir holds flags for a DIFFERENT batch (flag id range " +
-          s"$pIds vs batch $bIds) — each batch needs its own outDir")
+          pIds.getLong(1) == bIds.getLong(1) &&
+          pIds.getLong(2) == bIds.getLong(2) &&
+          pIds.getLong(3) == bIds.getLong(3))),
+        s"$flagsDir holds flags for a DIFFERENT batch (flag identity " +
+          s"(min,max,count,fp) $pIds vs batch $bIds) — each batch needs its own outDir")
       // flags persisted — finish the state append if a crash interrupted it
       if (!bIds.isNullAt(1) &&
         bIds.getLong(1) > IncrementalCurate.indexedMaxId(spark, prefix)) {
